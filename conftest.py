@@ -1,7 +1,12 @@
 """Root conftest: make the repo importable and force a virtual multi-device CPU mesh.
 
 Tests exercise multi-chip sharding logic (shard_map / pjit over a Mesh) on a virtual
-8-device CPU backend, as real multi-chip TPU hardware is not available in CI.
+8-device CPU backend; real multi-chip TPU hardware is not available in CI.
+
+Note: this environment's sitecustomize imports jax in every interpreter (so env-var
+tricks in conftest are too late for JAX_PLATFORMS), but backends initialize lazily —
+`jax.config.update` before the first device use still wins. XLA_FLAGS is read at
+CPU-client creation, which is also lazy.
 """
 
 import os
@@ -9,8 +14,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert len(jax.devices()) == 8, (
+    f"expected the 8-device virtual CPU mesh, got {jax.devices()}; "
+    "was a backend initialized before conftest ran?"
+)

@@ -1,0 +1,78 @@
+"""Jitted k-means (Lloyd iterations) for IVF coarse quantizers and PQ codebooks.
+
+Parity: the reference trains k-means inside faiss (C++/GPU clustering,
+`faiss_search/build_gpu.py:103-144`); here it is a pure-JAX program: chunked
+assignment (lax.map over query blocks keeps the [n, k] distance matrix bounded)
++ segment-sum centroid update, all on the MXU.
+"""
+
+from __future__ import annotations
+
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+
+
+def _assign_chunked(x: jax.Array, centroids: jax.Array, chunk: int = 4096) -> jax.Array:
+    """Nearest-centroid assignment, chunked over rows to bound memory.
+
+    Uses the ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 expansion; the x.c term is a
+    matmul (MXU), ||x||^2 is irrelevant for the argmin.
+    """
+    n = x.shape[0]
+    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)  # [k]
+
+    n_chunks = max(1, (n + chunk - 1) // chunk)
+    pad = n_chunks * chunk - n
+    x_pad = jnp.pad(x, ((0, pad), (0, 0)))
+    x_chunks = x_pad.reshape(n_chunks, chunk, x.shape[-1])
+
+    def one(xc: jax.Array) -> jax.Array:
+        ip = jnp.dot(xc, centroids.T, preferred_element_type=jnp.float32)  # [chunk, k]
+        d = c_sq[None, :] - 2.0 * ip
+        return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+    assign = jax.lax.map(one, x_chunks).reshape(-1)
+    return assign[:n]
+
+
+def kmeans(
+    rng: jax.Array,
+    x: jax.Array,
+    n_clusters: int,
+    n_iters: int = 10,
+    chunk: int = 4096,
+) -> tuple[jax.Array, jax.Array]:
+    """Lloyd k-means. Returns (centroids [k, d] f32, assignments [n] i32).
+
+    Init: random distinct-ish sample of rows (parity with faiss's default
+    sampling init; kmeans++ is overkill at IVF scales where n >> k).
+    Empty clusters are re-seeded from random points each iteration.
+    """
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    init_idx = jax.random.choice(rng, n, shape=(n_clusters,), replace=False)
+    centroids = x[init_idx]
+
+    def step(carry, rng_i):
+        centroids = carry
+        assign = _assign_chunked(x, centroids, chunk=chunk)
+        sums = jax.ops.segment_sum(x, assign, num_segments=n_clusters)
+        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assign, num_segments=n_clusters)
+        new_c = sums / jnp.maximum(counts[:, None], 1.0)
+        # Re-seed empty clusters from random data points.
+        reseed_idx = jax.random.randint(rng_i, (n_clusters,), 0, n)
+        new_c = jnp.where((counts > 0)[:, None], new_c, x[reseed_idx])
+        return new_c, None
+
+    rngs = jax.random.split(rng, n_iters)
+    centroids, _ = jax.lax.scan(step, centroids, rngs)
+    assign = _assign_chunked(x, centroids, chunk=chunk)
+    return centroids, assign
+
+
+def infer_n_clusters(n_vectors: int) -> int:
+    """`IVFauto` heuristic: ~sqrt(n), clamped (parity: reference
+    `faiss_search/support.py:13` `infer_factory_centroids`)."""
+    return int(max(1, min(2 ** 16, round(float(n_vectors) ** 0.5))))

@@ -1,0 +1,121 @@
+"""Product quantization: codebook training, encoding, and ADC scoring.
+
+Parity: replaces faiss's `PQ{M}x8` codecs and qdrant's scalar quantization
+(reference `vod_configs/search.py:124` factory strings like `OPQ32_512,IVFauto,PQ32x8`).
+
+TPU-first design: the hot path never gathers per-vector codes at corpus scale.
+Retrieval over a PQ index is two-stage:
+  1. coarse scan — an int8 low-dim projection of the corpus scored with ONE MXU
+     matmul over all N vectors (exhaustive, no IVF cell gathers);
+  2. ADC rescore — gather the PQ codes of the top candidates only (k' * M bytes)
+     and score them with the query's lookup table.
+Stage 1 is where the FLOPs are and maps perfectly onto the MXU; stage 2 is a tiny
+gather. This replaces the CPU-style IVF cell-probing of faiss, which is
+gather-bound and hostile to XLA's static shapes.
+"""
+
+from __future__ import annotations
+
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+
+from .kmeans import kmeans
+
+
+def train_pq(
+    rng: jax.Array,
+    x: jax.Array,  # [n, d] training vectors
+    n_subquantizers: int,
+    n_codes: int = 256,
+    n_iters: int = 10,
+) -> jax.Array:
+    """Train PQ codebooks. Returns [M, n_codes, d/M] float32."""
+    n, d = x.shape
+    m = n_subquantizers
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by n_subquantizers {m}")
+    dsub = d // m
+    x_sub = x.reshape(n, m, dsub).transpose(1, 0, 2)  # [M, n, dsub]
+    rngs = jax.random.split(rng, m)
+
+    def train_one(r: jax.Array, xs: jax.Array) -> jax.Array:
+        c, _ = kmeans(r, xs, n_clusters=n_codes, n_iters=n_iters)
+        return c
+
+    return jax.lax.map(lambda args: train_one(*args), (rngs, x_sub))
+
+
+def encode_pq(codebooks: jax.Array, x: jax.Array, chunk: int = 8192) -> jax.Array:
+    """Encode vectors to PQ codes. Returns [n, M] uint8."""
+    n, d = x.shape
+    m, n_codes, dsub = codebooks.shape
+    n_chunks = max(1, (n + chunk - 1) // chunk)
+    pad = n_chunks * chunk - n
+    x_pad = jnp.pad(x, ((0, pad), (0, 0))).reshape(n_chunks, chunk, m, dsub)
+
+    c_sq = jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=-1)  # [M, n_codes]
+
+    def one(xc: jax.Array) -> jax.Array:  # [chunk, M, dsub]
+        ip = jnp.einsum(
+            "cmd,mkd->cmk", xc.astype(jnp.float32), codebooks.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        dist = c_sq[None] - 2.0 * ip
+        return jnp.argmin(dist, axis=-1).astype(jnp.uint8)
+
+    codes = jax.lax.map(one, x_pad).reshape(-1, m)
+    return codes[:n]
+
+
+def adc_lut(codebooks: jax.Array, queries: jax.Array) -> jax.Array:
+    """Inner-product ADC lookup tables: lut[b, m, c] = q_b[m] . codebook[m, c]."""
+    b, d = queries.shape
+    m, n_codes, dsub = codebooks.shape
+    q_sub = queries.reshape(b, m, dsub)
+    return jnp.einsum(
+        "bmd,mkd->bmk", q_sub.astype(jnp.float32), codebooks.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def adc_score_codes(lut: jax.Array, codes: jax.Array) -> jax.Array:
+    """Score gathered codes against per-query LUTs.
+
+    lut: [B, M, n_codes]; codes: [B, K, M] uint8 (candidate codes per query).
+    Returns [B, K] approximate inner products.
+    """
+    b, m, n_codes = lut.shape
+    codes_i = codes.astype(jnp.int32)  # [B, K, M]
+    # take_along_axis over the code axis, vectorized over (B, M)
+    lut_t = lut.transpose(0, 2, 1)  # [B, n_codes, M]
+    gathered = jnp.take_along_axis(lut_t, codes_i, axis=1)  # [B, K, M]
+    return jnp.sum(gathered, axis=-1)
+
+
+def train_projection(x: jax.Array, out_dim: int) -> tuple[jax.Array, jax.Array]:
+    """PCA projection for the coarse scan stage (OPQ-lite rotation).
+
+    Returns (projection [d, out_dim] f32, mean [d]). The reference uses faiss's
+    OPQ/PCAR preprocessors (`build_gpu.py:82`); a PCA rotation captures most of
+    the benefit for the coarse stage and is a pure eigendecomposition here.
+    """
+    mean = jnp.mean(x, axis=0)
+    xc = (x - mean).astype(jnp.float32)
+    cov = (xc.T @ xc) / xc.shape[0]
+    eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending
+    proj = eigvecs[:, ::-1][:, :out_dim]
+    return proj, mean
+
+
+def quantize_int8(x: jax.Array, axis: int = 0) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-column int8 quantization. Returns (codes int8, scale f32)."""
+    absmax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_scale(scale: jax.Array) -> jax.Array:
+    return scale

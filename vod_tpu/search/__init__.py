@@ -1,0 +1,28 @@
+"""TPU-native search engines (replaces reference `src/vod_search/` — faiss dense
+MIPS, Elasticsearch BM25, Qdrant — with device-resident JAX indexes)."""
+
+from .base import SearchQueries, subset_mask
+from .dense import DenseIndex, PQIndex, build_dense_index, build_pq_index
+from .lookup import lookup_search
+from .sharded import ShardedDenseIndex, build_sharded_dense_index, sharded_dense_search
+from .sparse import SparseIndex, build_sparse_index, sparse_search
+from .hybrid import HybridEngines, hybrid_search_and_sample, hybrid_search
+
+__all__ = [
+    "DenseIndex",
+    "HybridEngines",
+    "PQIndex",
+    "SearchQueries",
+    "ShardedDenseIndex",
+    "SparseIndex",
+    "build_dense_index",
+    "build_pq_index",
+    "build_sharded_dense_index",
+    "build_sparse_index",
+    "hybrid_search",
+    "hybrid_search_and_sample",
+    "lookup_search",
+    "sharded_dense_search",
+    "sparse_search",
+    "subset_mask",
+]

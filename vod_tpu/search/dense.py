@@ -1,0 +1,272 @@
+"""Dense MIPS indexes resident in device HBM.
+
+Parity: replaces the reference's faiss backend (`src/vod_search/faiss_search/` —
+factory strings `Flat`, `IVFauto,Flat`, `OPQ32_512,IVFauto,PQ32x8`) and the qdrant
+backend (HNSW + int8 quantization). Three codecs:
+
+  * flat  — raw bf16/f32 vectors, exhaustive MXU matmul + streaming top-k;
+  * int8  — per-dim symmetric int8 (qdrant scalar-quantization parity) at 1 byte/dim;
+  * pq    — coarse int8 PCA-projected scan over ALL rows (MXU) + PQ ADC rescore of
+            the top candidates (faiss `OPQ…,PQ32x8` memory parity; see ops/pq.py
+            for why this beats IVF cell-probing on TPU).
+
+The corpus scan is a `lax.scan` over row-chunks with a running top-k carry, so the
+[B, N] score matrix never materializes (SURVEY §7 "hard part #1").
+"""
+
+from __future__ import annotations
+
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vod_tpu.ops import pq as pq_ops
+from vod_tpu.types.retrieval import RetrievalBatch
+from .base import SearchQueries
+
+
+@struct.dataclass
+class DenseIndex:
+    """Flat (optionally int8-quantized) dense index."""
+
+    vectors: jax.Array  # [N, D] bf16/f32, or int8 codes
+    scale: typ.Optional[jax.Array] = None  # [1, D] f32 when int8
+    subset_ids: typ.Optional[jax.Array] = None  # [N] int32
+    n_real: int = struct.field(pytree_node=False, default=0)  # rows before padding
+    offset: int = struct.field(pytree_node=False, default=0)  # global-id offset
+
+
+@struct.dataclass
+class PQIndex:
+    """PQ-compressed index with an int8 coarse-scan stage."""
+
+    codebooks: jax.Array  # [M, 256, dsub] f32
+    codes: jax.Array  # [N, M] uint8
+    coarse_codes: jax.Array  # [N, dc] int8
+    coarse_scale: jax.Array  # [1, dc] f32
+    proj: jax.Array  # [D, dc] f32 (PCA/OPQ-lite rotation)
+    subset_ids: typ.Optional[jax.Array] = None  # [N] int32
+    n_real: int = struct.field(pytree_node=False, default=0)
+    offset: int = struct.field(pytree_node=False, default=0)
+    n_candidates: int = struct.field(pytree_node=False, default=1024)
+
+
+def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x
+
+
+def _auto_pad_multiple(n: int, requested: typ.Optional[int]) -> int:
+    """Row-padding granularity: 128 for small corpora (one chunk), 8192 for large
+    ones so the chunked scan always finds a well-sized divisor chunk (a prime-ish
+    row count would otherwise degrade the scan to 128-row chunks)."""
+    if requested is not None:
+        return requested
+    return 128 if n <= 131072 else 8192
+
+
+def build_dense_index(
+    vectors: jax.Array,
+    *,
+    subset_ids: typ.Optional[jax.Array] = None,
+    dtype: str = "bfloat16",
+    offset: int = 0,
+    pad_multiple: typ.Optional[int] = None,
+) -> DenseIndex:
+    """Build a flat index (parity: faiss `Flat` / `build.py:12`).
+
+    dtype: 'float32' | 'bfloat16' | 'int8'. Rows are padded to a multiple of 128
+    so chunked scans tile cleanly on the MXU; padded rows score -inf via n_real.
+    """
+    n_real = int(vectors.shape[0])
+    pad_multiple = _auto_pad_multiple(n_real, pad_multiple)
+    vectors = _pad_rows(vectors, pad_multiple)
+    if subset_ids is not None:
+        subset_ids = _pad_rows(subset_ids.astype(jnp.int32)[:, None], pad_multiple)[:, 0]
+    scale = None
+    if dtype == "int8":
+        codes, scale = pq_ops.quantize_int8(vectors.astype(jnp.float32), axis=0)
+        vectors = codes
+    else:
+        vectors = vectors.astype(jnp.dtype(dtype))
+    return DenseIndex(vectors=vectors, scale=scale, subset_ids=subset_ids, n_real=n_real, offset=offset)
+
+
+def build_pq_index(
+    rng: jax.Array,
+    vectors: jax.Array,
+    *,
+    n_subquantizers: int = 32,
+    coarse_dim: int = 32,
+    n_candidates: int = 1024,
+    train_size: typ.Optional[int] = None,
+    kmeans_iters: int = 10,
+    subset_ids: typ.Optional[jax.Array] = None,
+    offset: int = 0,
+    pad_multiple: typ.Optional[int] = None,
+) -> PQIndex:
+    """Build a PQ index (parity: faiss `OPQ{M}_{d},IVFauto,PQ{M}x8`).
+
+    Memory: M bytes/vector (codes) + coarse_dim bytes/vector (int8 coarse) —
+    e.g. M=32, coarse_dim=32 is 64 B/vector vs faiss PQ32x8's 32 B + IVF lists.
+    """
+    n_real = int(vectors.shape[0])
+    pad_multiple = _auto_pad_multiple(n_real, pad_multiple)
+    x = vectors.astype(jnp.float32)
+    train = x if train_size is None or train_size >= n_real else x[:train_size]
+
+    proj, mean = pq_ops.train_projection(train, coarse_dim)
+    # Fold the mean into nothing: MIPS is shift-sensitive, so project WITHOUT
+    # centering (PCA directions still concentrate energy).
+    coarse = x @ proj  # [n, dc]
+    coarse_codes, coarse_scale = pq_ops.quantize_int8(coarse, axis=0)
+
+    codebooks = pq_ops.train_pq(rng, train, n_subquantizers, n_iters=kmeans_iters)
+    codes = pq_ops.encode_pq(codebooks, x)
+
+    codes = _pad_rows(codes, pad_multiple)
+    coarse_codes = _pad_rows(coarse_codes, pad_multiple)
+    if subset_ids is not None:
+        subset_ids = _pad_rows(subset_ids.astype(jnp.int32)[:, None], pad_multiple)[:, 0]
+    return PQIndex(
+        codebooks=codebooks,
+        codes=codes,
+        coarse_codes=coarse_codes,
+        coarse_scale=coarse_scale,
+        proj=proj,
+        subset_ids=subset_ids,
+        n_real=n_real,
+        offset=offset,
+        n_candidates=n_candidates,
+    )
+
+
+def _scan_topk(
+    score_chunk_fn: typ.Callable[[jax.Array], jax.Array],  # chunk_start -> [B, chunk]
+    n_rows: int,
+    n_real: int,
+    batch: int,
+    top_k: int,
+    chunk: int,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming top-k over corpus chunks: scan with a running (scores, ids) carry."""
+    n_chunks = n_rows // chunk
+    init = (
+        jnp.full((batch, top_k), -jnp.inf, dtype=dtype),
+        jnp.full((batch, top_k), -1, dtype=jnp.int32),
+    )
+
+    def body(carry, ci):
+        top_s, top_i = carry
+        start = ci * chunk
+        s = score_chunk_fn(start)  # [B, chunk]
+        row_ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        s = jnp.where(row_ids < n_real, s, -jnp.inf)
+        ids = jnp.broadcast_to(row_ids, s.shape)
+        all_s = jnp.concatenate([top_s, s], axis=-1)
+        all_i = jnp.concatenate([top_i, ids], axis=-1)
+        new_s, pos = jax.lax.top_k(all_s, top_k)
+        new_i = jnp.take_along_axis(all_i, pos, axis=-1)
+        return (new_s, new_i), None
+
+    (top_s, top_i), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return top_s, top_i
+
+
+def dense_search(
+    index: DenseIndex,
+    queries: SearchQueries,
+    top_k: int,
+    *,
+    chunk: int = 131072,
+) -> RetrievalBatch:
+    """Exhaustive MIPS over a flat index with optional subset filtering.
+
+    Parity: faiss `/fast-search` (`faiss_search/server.py:77`) + ES-style subset
+    `terms` filtering — one fused XLA program, no HTTP, no host round-trip.
+    """
+    q = queries.vector
+    if q is None:
+        raise ValueError("dense_search requires queries.vector")
+    b, d = q.shape
+    n = index.vectors.shape[0]
+    chunk = min(chunk, n)
+    if n % chunk != 0:
+        # fall back to a divisor-friendly chunk (rows are padded to 128s)
+        chunk = n if n <= 131072 else 128 * (n // 128 // max(1, n // 131072))
+        while n % chunk != 0:
+            chunk -= 128
+    if index.scale is not None:  # int8 codec: fold scale into the query
+        q_eff = (q.astype(jnp.float32) * index.scale).astype(jnp.float32)
+    else:
+        q_eff = q.astype(index.vectors.dtype)
+
+    allowed = queries.subset_ids
+
+    def score_chunk(start: jax.Array) -> jax.Array:
+        v = jax.lax.dynamic_slice_in_dim(index.vectors, start, chunk, axis=0)
+        s = jnp.dot(q_eff, v.T.astype(q_eff.dtype), preferred_element_type=jnp.float32)
+        if allowed is not None and index.subset_ids is not None:
+            sub = jax.lax.dynamic_slice_in_dim(index.subset_ids, start, chunk, axis=0)
+            match = sub[None, None, :] == allowed[:, :, None]
+            ok = jnp.any(match, axis=1) | jnp.all(allowed < 0, axis=-1, keepdims=True)
+            s = jnp.where(ok, s, -jnp.inf)
+        return s
+
+    top_s, top_i = _scan_topk(score_chunk, n, index.n_real, b, top_k, chunk)
+    top_i = jnp.where(top_i >= 0, top_i + index.offset, top_i)
+    return RetrievalBatch(scores=top_s, indices=top_i)
+
+
+def pq_search(
+    index: PQIndex,
+    queries: SearchQueries,
+    top_k: int,
+    *,
+    chunk: int = 131072,
+) -> RetrievalBatch:
+    """Two-stage PQ search: int8 coarse scan -> ADC rescore of top candidates."""
+    q = queries.vector
+    if q is None:
+        raise ValueError("pq_search requires queries.vector")
+    b, d = q.shape
+    n = index.coarse_codes.shape[0]
+    chunk = min(chunk, n)
+    while n % chunk != 0:
+        chunk -= 128
+    n_cand = min(index.n_candidates, n)
+
+    # Stage 1: coarse scores over all rows via the projected int8 corpus.
+    q_proj = (q.astype(jnp.float32) @ index.proj) * index.coarse_scale  # [B, dc]
+    allowed = queries.subset_ids
+
+    def score_chunk(start: jax.Array) -> jax.Array:
+        v = jax.lax.dynamic_slice_in_dim(index.coarse_codes, start, chunk, axis=0)
+        s = jnp.dot(q_proj, v.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+        if allowed is not None and index.subset_ids is not None:
+            sub = jax.lax.dynamic_slice_in_dim(index.subset_ids, start, chunk, axis=0)
+            match = sub[None, None, :] == allowed[:, :, None]
+            ok = jnp.any(match, axis=1) | jnp.all(allowed < 0, axis=-1, keepdims=True)
+            s = jnp.where(ok, s, -jnp.inf)
+        return s
+
+    cand_s, cand_i = _scan_topk(score_chunk, n, index.n_real, b, n_cand, chunk)
+
+    # Stage 2: ADC rescore of the candidates (tiny gather: B * n_cand * M bytes).
+    safe_i = jnp.clip(cand_i, 0, n - 1)
+    cand_codes = index.codes[safe_i]  # [B, n_cand, M]
+    lut = pq_ops.adc_lut(index.codebooks, q.astype(jnp.float32))
+    adc = pq_ops.adc_score_codes(lut, cand_codes)  # [B, n_cand]
+    adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
+
+    top_s, pos = jax.lax.top_k(adc, top_k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=-1)
+    top_i = jnp.where(jnp.isfinite(top_s), top_i + index.offset, -1)
+    top_s = jnp.where(jnp.isfinite(top_s), top_s, -jnp.inf)
+    return RetrievalBatch(scores=top_s, indices=top_i)
