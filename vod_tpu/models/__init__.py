@@ -1,0 +1,28 @@
+"""Model layer (parity: reference `src/vod_models/`): flax encoders with VOD
+pooling, Ranker/Realm systems, gradient estimators, retrieval metrics."""
+
+from .pooler import VodPooler, VodPoolerConfig
+from .encoder import TransformerEncoder, TransformerEncoderConfig, VodEncoder, DebugEncoder
+from .lm import CausalLM, CausalLMConfig
+from .systems import Ranker, Realm
+from .gradients import Gradients, MarginalLikelihoodGradients, RetrievalGradients, VodGradients
+from .monitoring import RetrievalMonitor, retrieval_metrics
+
+__all__ = [
+    "CausalLM",
+    "CausalLMConfig",
+    "DebugEncoder",
+    "Gradients",
+    "MarginalLikelihoodGradients",
+    "Ranker",
+    "Realm",
+    "RetrievalGradients",
+    "RetrievalMonitor",
+    "TransformerEncoder",
+    "TransformerEncoderConfig",
+    "VodEncoder",
+    "VodGradients",
+    "VodPooler",
+    "VodPoolerConfig",
+    "retrieval_metrics",
+]

@@ -1,0 +1,126 @@
+"""Transformer encoder in flax, with VOD pooling.
+
+Parity: reference `src/vod_models/vod_encoder/modeling.py` wraps HF BERT / T5 /
+RoBERTa / XLM-R encoders (`modeling.py:261-307`) plus embedding-only `*Debug`
+variants (`:309-366`). Here the backbone is a native flax BERT-style encoder
+(bias-full post-LN transformer, BERT weight layout) so HF bert-family checkpoints
+(e5-small etc.) can be ported tensor-by-tensor; `DebugEncoder` is the
+embedding-only debug variant.
+
+TPU notes: computations default to bfloat16 activations with fp32 params
+(`dtype` vs `param_dtype`), sequence lengths are static, masks are multiplicative
+additive-(-inf) biases — everything jits to one fused program.
+"""
+
+from __future__ import annotations
+
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from .pooler import VodPooler, VodPoolerConfig
+
+
+@struct.dataclass
+class TransformerEncoderConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 256
+    num_layers: int = 4
+    num_heads: int = 4
+    intermediate_size: int = 1024
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    dtype: typ.Any = jnp.bfloat16
+    pooler: VodPoolerConfig = struct.field(default_factory=VodPoolerConfig)
+
+
+class _Embeddings(nn.Module):
+    cfg: TransformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, token_type_ids: typ.Optional[jax.Array]) -> jax.Array:
+        cfg = self.cfg
+        h = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings", dtype=cfg.dtype)(input_ids)
+        pos = jnp.arange(input_ids.shape[-1])[None]
+        h = h + nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size, name="position_embeddings", dtype=cfg.dtype
+        )(pos)
+        if cfg.type_vocab_size:
+            tt = token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
+            h = h + nn.Embed(cfg.type_vocab_size, cfg.hidden_size, name="token_type_embeddings", dtype=cfg.dtype)(tt)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="LayerNorm", dtype=cfg.dtype)(h)
+        return h
+
+
+class _Layer(nn.Module):
+    cfg: TransformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, h: jax.Array, mask: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        attn_out = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads,
+            qkv_features=cfg.hidden_size,
+            dtype=cfg.dtype,
+            name="attention",
+        )(h, h, mask=mask)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_norm", dtype=cfg.dtype)(h + attn_out)
+        ff = nn.Dense(cfg.intermediate_size, name="intermediate", dtype=cfg.dtype)(h)
+        ff = nn.gelu(ff)
+        ff = nn.Dense(cfg.hidden_size, name="output", dtype=cfg.dtype)(ff)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="output_norm", dtype=cfg.dtype)(h + ff)
+        return h
+
+
+class TransformerEncoder(nn.Module):
+    """BERT-style post-LN encoder backbone."""
+
+    cfg: TransformerEncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        token_type_ids: typ.Optional[jax.Array] = None,
+    ) -> jax.Array:
+        cfg = self.cfg
+        h = _Embeddings(cfg, name="embeddings")(input_ids, token_type_ids)
+        # boolean attention mask broadcast to [B, 1, 1(=Lq), L]
+        mask = (attention_mask[:, None, None, :] > 0)
+        for i in range(cfg.num_layers):
+            h = _Layer(cfg, name=f"layer_{i}")(h, mask)
+        return h
+
+
+class VodEncoder(nn.Module):
+    """Backbone + VodPooler (parity: `VodEncoderBase`, `modeling.py:186-258`)."""
+
+    cfg: TransformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        h = TransformerEncoder(self.cfg, name="backbone")(input_ids, attention_mask)
+        pooled = VodPooler(self.cfg.pooler, self.cfg.hidden_size, name="vod_pooler")(
+            h.astype(jnp.float32), attention_mask
+        )
+        return pooled
+
+
+class DebugEncoder(nn.Module):
+    """Embedding-only encoder (parity: `*Debug` variants, `modeling.py:309-366`):
+    word embeddings + pooling, no attention — for fast pipeline debugging."""
+
+    cfg: TransformerEncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        h = nn.Embed(self.cfg.vocab_size, self.cfg.hidden_size, name="word_embeddings")(input_ids)
+        pooled = VodPooler(self.cfg.pooler, self.cfg.hidden_size, name="vod_pooler")(
+            h.astype(jnp.float32), attention_mask
+        )
+        return pooled

