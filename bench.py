@@ -1,0 +1,113 @@
+"""Headline benchmark: dense MIPS QPS/chip + recall@10 vs CPU brute force.
+
+The BASELINE.json north star: ">=10x faiss-CPU QPS per v5e chip at matched
+recall/memory". faiss is not installed in this image, so the CPU comparator is a
+torch-CPU brute-force matmul + top-k — the same kernel faiss's IndexFlatIP uses
+(BLAS sgemm + heap), measured on this machine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
+TPU QPS (batch 64, 1M x 768 corpus, bf16 flat index, recall@10 vs exact >= 0.99
+asserted) and vs_baseline = tpu_qps / cpu_qps.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vod_tpu.search import SearchQueries, build_dense_index
+    from vod_tpu.search.dense import dense_search
+
+    import sys as _sys
+    def _log(msg):
+        print(f"# {msg}", file=_sys.stderr, flush=True)
+
+    rng = np.random.default_rng(0)
+    n, d, b, k = 1_000_000, 768, 64, 10
+    corpus = rng.normal(size=(n, d)).astype("float32")
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    q = corpus[rng.choice(n, b, replace=False)] + 0.1 * rng.normal(size=(b, d)).astype("float32")
+    q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype("float32")
+
+    # --- CPU baseline (faiss-IndexFlatIP-equivalent: BLAS matmul + topk) ---
+    import torch
+
+    _log("corpus built; running CPU baseline")
+    tc = torch.from_numpy(corpus)
+    tq = torch.from_numpy(q)
+    t0 = time.time()
+    scores_cpu = tq @ tc.T
+    exact_topk = torch.topk(scores_cpu, k, dim=-1).indices.numpy()
+    cpu_s = time.time() - t0
+    cpu_qps = b / cpu_s
+
+    _log(f"CPU baseline: {cpu_qps:.1f} QPS; building TPU index")
+    # --- TPU ---
+    index = build_dense_index(jnp.asarray(corpus), dtype="bfloat16")
+    del corpus
+    # Timing methodology for this environment's remote-execution tunnel:
+    # `block_until_ready` does not reliably wait and identical dispatches are
+    # deduplicated, so (a) every dispatch gets distinct inputs, (b) completion
+    # is forced by fetching a result slice to host, and (c) the fixed
+    # dispatch+fetch RTT is cancelled by differencing two dispatch sizes:
+    # per-batch time = (wall(T2) - wall(T1)) / (T2 - T1).
+    def many(ix, qs):  # qs: [T, B, D]
+        return jax.lax.map(lambda qv: dense_search(ix, SearchQueries(vector=qv), top_k=k), qs)
+
+    sfn = jax.jit(many)
+
+    def make_pool(t_batches: int) -> jax.Array:
+        return jnp.asarray(
+            np.concatenate(
+                [q[None]]
+                + [
+                    (q + np.float32(1e-2) * rng.normal(size=q.shape)).astype("float32")[None]
+                    for _ in range(t_batches - 1)
+                ]
+            )
+        )
+
+    def timed(t_batches, reps=3):
+        pools = [make_pool(t_batches) for _ in range(reps)]
+        out = sfn(index, pools[0])
+        np.asarray(out.scores[0, 0, 0])  # compile + settle
+        walls = []
+        last = None
+        for p in pools:
+            t0 = time.time()
+            last = sfn(index, p)
+            np.asarray(last.scores[-1])  # forces completion of the whole map
+            walls.append(time.time() - t0)
+        _log(f"T={t_batches}: walls={[round(w,3) for w in walls]}")
+        return min(walls), last
+
+    _log("timing T=8")
+    w1, _ = timed(8)
+    _log("timing T=64")
+    w2, out = timed(64)
+    tpu_s = (w2 - w1) / (64 - 8)
+    tpu_qps = b / tpu_s
+
+    got = np.asarray(out.indices[0])  # first batch of the pool = the exact-ground-truth queries
+    recall = float(np.mean([len(set(got[i]) & set(exact_topk[i])) / k for i in range(b)]))
+
+    result = {
+        "metric": f"dense MIPS QPS/chip (1M x 768 bf16 flat, batch {b}, recall@10={recall:.3f})",
+        "value": round(tpu_qps, 1),
+        "unit": "QPS",
+        "vs_baseline": round(tpu_qps / cpu_qps, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

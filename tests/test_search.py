@@ -119,7 +119,8 @@ def test_pq_search_recall() -> None:
 def test_sharded_search_matches_unsharded() -> None:
     devices = jax.devices()
     assert len(devices) == 8, "tests require the 8-device virtual CPU mesh"
-    mesh = jax.make_mesh((8,), ("shard",))
+    from vod_tpu.parallel import make_mesh
+    mesh = make_mesh((8,), ("shard",))
     rng = np.random.default_rng(5)
     n, d, b, k = 3000, 32, 4, 12
     corpus = _corpus(rng, n, d)
@@ -133,7 +134,8 @@ def test_sharded_search_matches_unsharded() -> None:
 
 
 def test_sharded_multi_corpus_routing() -> None:
-    mesh = jax.make_mesh((8,), ("shard",))
+    from vod_tpu.parallel import make_mesh
+    mesh = make_mesh((8,), ("shard",))
     rng = np.random.default_rng(6)
     n, d, b, k = 800, 16, 4, 5
     corpus = _corpus(rng, n, d)

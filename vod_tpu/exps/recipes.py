@@ -1,0 +1,125 @@
+"""The master recipe: periodic training with in-loop reindexing.
+
+Parity: reference `vod_exps/recipes/periodic_training.py:21` — while not
+completed: (benchmarks between periods) -> re-embed the corpus with the current
+encoder -> rebuild the search index -> train one period with live retrieval ->
+checkpoint. The reference restarts search-server processes and rebuilds faiss
+files on disk each period (`_compute_all_vectors:99`, `spawn_search_and_train`);
+here re-embedding is a jitted chunked forward and the index rebuild is an
+on-device array swap — in-loop reindexing becomes cheap (SURVEY §7 step 7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+import time
+import typing as typ
+
+import jax
+import numpy as np
+
+from vod_tpu.runtime.benchmark import benchmark_retrieval
+from vod_tpu.runtime.checkpoint import save_checkpoint
+from vod_tpu.runtime.collate import DeviceCorpus, QueryBatch
+from vod_tpu.runtime.predict import compute_embeddings
+from vod_tpu.runtime.state import TrainerState
+from vod_tpu.runtime.train import RealmTrainStep, training_loop
+from vod_tpu.search.dense import build_dense_index
+from vod_tpu.search.hybrid import HybridEngines
+
+
+@dataclasses.dataclass
+class PeriodicTrainingConfig:
+    embed_chunk: int = 512
+    index_dtype: str = "bfloat16"
+    checkpoint_dir: typ.Optional[str] = None
+    benchmark_on_init: bool = False
+    benchmark_between_periods: bool = False
+    log_interval: int = 50
+    val_check_interval: typ.Optional[int] = None
+    metrics: tuple[str, ...] = ("mrr", "ndcg_10", "hitrate_3")
+
+
+def periodic_training(
+    *,
+    model: typ.Any,
+    step_fn: RealmTrainStep,
+    params: typ.Any,
+    opt_state: typ.Any,
+    corpus: DeviceCorpus,
+    state: TrainerState,
+    train_queries_fn: typ.Callable[[int], typ.Iterable[QueryBatch]],
+    rng: jax.Array,
+    sparse_engine: typ.Any = None,
+    val_queries: typ.Optional[typ.Sequence[QueryBatch]] = None,
+    benchmark_queries: typ.Optional[typ.Sequence[QueryBatch]] = None,
+    config: typ.Optional[PeriodicTrainingConfig] = None,
+    on_log: typ.Optional[typ.Callable[[int, dict], None]] = None,
+) -> tuple[typ.Any, typ.Any, TrainerState, list[dict]]:
+    """Train until `state.completed`, re-embedding + rebuilding the dense index
+    at every period boundary. `train_queries_fn(pidx)` yields that period's
+    query batches. Returns (params, opt_state, state, per-period summaries).
+    """
+    cfg = config or PeriodicTrainingConfig()
+    history: list[dict] = []
+
+    encode = lambda p, i, m: model.apply(p, i, m, method=type(model).encode_field)
+
+    while not state.completed:
+        pidx = state.pidx
+        t0 = time.time()
+
+        # 1. re-embed the corpus with the CURRENT encoder + rebuild the index
+        #    (parity: `_compute_all_vectors` + `build_hybrid_search_engine`)
+        emb = compute_embeddings(encode, params, corpus, chunk=cfg.embed_chunk)
+        engines = HybridEngines(
+            dense=build_dense_index(emb, subset_ids=corpus.subset_ids, dtype=cfg.index_dtype),
+            sparse=sparse_engine,
+        )
+        embed_s = time.time() - t0
+
+        summary: dict[str, typ.Any] = {"period": pidx, "embed_s": round(embed_s, 3)}
+
+        # 2. optional between-period benchmark (parity: `_run_benchmarks`)
+        if benchmark_queries is not None and (
+            cfg.benchmark_between_periods or (pidx == 0 and cfg.benchmark_on_init)
+        ):
+            q_vecs = [
+                encode(params, qb.input_ids, qb.attention_mask) for qb in benchmark_queries
+            ]
+            summary["benchmark"] = benchmark_retrieval(
+                engines, benchmark_queries, query_vectors=q_vecs,
+                metrics=cfg.metrics if all("_" in m or m in ("mrr",) for m in cfg.metrics) else cfg.metrics,
+            )
+
+        # 3. train for one period with live retrieval
+        rng, loop_rng = jax.random.split(rng)
+        params, opt_state, state, last = training_loop(
+            step_fn=step_fn,
+            params=params,
+            opt_state=opt_state,
+            engines=engines,
+            corpus=corpus,
+            train_queries=train_queries_fn(pidx),
+            state=state,
+            rng=loop_rng,
+            val_queries=val_queries,
+            val_check_interval=cfg.val_check_interval,
+            log_interval=cfg.log_interval,
+            metrics=cfg.metrics,
+            on_log=on_log,
+        )
+        summary["train"] = last
+        summary["period_s"] = round(time.time() - t0, 3)
+        history.append(summary)
+
+        # 4. checkpoint at the period boundary (parity: `utils/io.py:15`)
+        if cfg.checkpoint_dir:
+            save_checkpoint(
+                pathlib.Path(cfg.checkpoint_dir) / f"period-{pidx}",
+                params=params, opt_state=opt_state, state=state,
+            )
+        if state.step >= state.max_steps:
+            break
+    return params, opt_state, state, history

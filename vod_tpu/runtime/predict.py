@@ -1,0 +1,51 @@
+"""Embedding computation: re-embed a tokenized corpus with the current encoder.
+
+Parity: reference `vod_ops/workflows/predict/` (`Predict:27`,
+`compute_and_store_predictions:51`) — the reference runs a Lightning predict loop
+writing float32 vectors to a tensorstore file per batch (device->host copy every
+step, `compute.py:119`). Here the forward is a jitted chunked scan whose output
+STAYS on device, feeding index construction directly (SURVEY §7 step 4: "no host
+round-trip"). Fingerprint-keyed host caching lives in vod_tpu/utils/cache.
+"""
+
+from __future__ import annotations
+
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+
+from .collate import DeviceCorpus
+
+
+def compute_embeddings(
+    apply_fn: typ.Callable[[typ.Any, jax.Array, jax.Array], jax.Array],
+    params: typ.Any,
+    corpus: DeviceCorpus,
+    *,
+    chunk: int = 512,
+    dtype: typ.Any = jnp.float32,
+) -> jax.Array:
+    """Embed every corpus row. Returns [N, H] on device.
+
+    `apply_fn(params, input_ids, attention_mask) -> [b, H]` — typically
+    `lambda p, i, m: model.apply(p, i, m, method=Ranker.encode_field)`.
+    """
+    n = corpus.size
+    n_chunks = (n + chunk - 1) // chunk
+    pad = n_chunks * chunk - n
+    ids = jnp.pad(corpus.input_ids, ((0, pad), (0, 0)))
+    mask = jnp.pad(corpus.attention_mask, ((0, pad), (0, 0)))
+    ids = ids.reshape(n_chunks, chunk, -1)
+    mask = mask.reshape(n_chunks, chunk, -1)
+
+    @jax.jit
+    def run(params, ids, mask):
+        def one(args):
+            i, m = args
+            return apply_fn(params, i, m).astype(dtype)
+
+        return jax.lax.map(one, (ids, mask))
+
+    out = run(params, ids, mask).reshape(n_chunks * chunk, -1)
+    return out[:n]

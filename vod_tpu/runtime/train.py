@@ -1,0 +1,218 @@
+"""Training: the fused live-retrieval train step + host-side loops.
+
+Parity: reference `vod_ops/loops/train.py:21` (`training_loop`: grad accumulation,
+clip, optimizer/scheduler step, interval logging/validation/checkpoint, live
+engine-weight schedule updates) and `loops/val.py:14`.
+
+TPU-first: ONE jitted program per step does
+  encode queries (live, current params) -> hybrid search over the HBM index ->
+  merge -> priority-sample -> gather section tokens -> model forward/backward ->
+  optimizer update
+— the reference's process topology (dataloader workers + HTTP search servers +
+NCCL training ranks) collapses into this program. Engine weights arrive as traced
+scalars (replacing `mp.Manager` shared dicts, `workflows/train.py:46`).
+"""
+
+from __future__ import annotations
+
+import time
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vod_tpu.models.monitoring import RetrievalMonitor
+from vod_tpu.search.hybrid import HybridEngines
+from vod_tpu.types.batch import RealmBatch
+from .collate import DeviceCorpus, QueryBatch, device_collate
+from .state import TrainerState
+
+
+class RealmTrainStep:
+    """Factory for the fused train/eval steps of a Ranker/Realm system."""
+
+    def __init__(
+        self,
+        model: typ.Any,  # flax module with evaluate/encode_field methods
+        tx: optax.GradientTransformation,
+        *,
+        prefetch: int = 100,
+        n_sections: int = 8,
+        max_pos_sections: int = 2,
+        temperature: float = 1.0,
+        max_support_size: typ.Optional[int] = None,
+        with_lm: bool = False,
+        gradient_clip_val: typ.Optional[float] = None,
+    ):
+        self.model = model
+        self.tx = tx
+        self.prefetch = prefetch
+        self.n_sections = n_sections
+        self.max_pos_sections = max_pos_sections
+        self.temperature = temperature
+        self.max_support_size = max_support_size
+        self.with_lm = with_lm
+        self.gradient_clip_val = gradient_clip_val
+        self._step = jax.jit(self._train_step, donate_argnums=(0, 1), static_argnames=("engine_names",))
+        self._eval = jax.jit(self._eval_step, static_argnames=("engine_names",))
+
+    # -- collate + forward -------------------------------------------------
+    def _collate(self, params, rng, engines, corpus, queries, weights_tuple, engine_names):
+        weights = dict(zip(engine_names, weights_tuple)) if engine_names else None
+        q_vec = None
+        if engines.dense is not None:
+            # live retrieval: embed queries with the CURRENT encoder (the
+            # reference uses vectors cached at the last re-embedding period,
+            # `realm_dataloader.py:79-89` — fresher is strictly better here).
+            q_vec = jax.lax.stop_gradient(
+                self.model.apply(
+                    params, queries.input_ids, queries.attention_mask,
+                    method=type(self.model).encode_field,
+                )
+            )
+        batch, sampled = device_collate(
+            rng, engines, corpus, queries,
+            query_vectors=q_vec,
+            prefetch=self.prefetch,
+            n_sections=self.n_sections,
+            max_pos_sections=self.max_pos_sections,
+            temperature=self.temperature,
+            max_support_size=self.max_support_size,
+            weights=weights,
+            with_lm=self.with_lm,
+        )
+        return batch, sampled
+
+    def _loss(self, params, batch: RealmBatch):
+        out = self.model.apply(params, batch, mode="evaluate")
+        return out.loss, out
+
+    def _train_step(self, params, opt_state, engines, corpus, queries, rng, weights_tuple, engine_names):
+        batch, _sampled = self._collate(params, rng, engines, corpus, queries, weights_tuple, engine_names)
+
+        (loss, out), grads = jax.value_and_grad(self._loss, has_aux=True)(params, batch)
+        if self.gradient_clip_val:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, self.gradient_clip_val / jnp.maximum(gnorm, 1e-9))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, **{k: v for k, v in out.diagnostics.items()}}
+        return params, opt_state, metrics, batch.section__relevance, out.retriever_scores
+
+    def _eval_step(self, params, engines, corpus, queries, rng, weights_tuple, engine_names):
+        batch, _ = self._collate(params, rng, engines, corpus, queries, weights_tuple, engine_names)
+        loss, out = self._loss(params, batch)
+        return {"loss": loss, **out.diagnostics}, batch.section__relevance, out.retriever_scores
+
+    # -- public ------------------------------------------------------------
+    def train_step(self, params, opt_state, engines, corpus, queries, rng, weights: dict[str, float]):
+        names = tuple(sorted(weights)) if weights else ()
+        wt = tuple(jnp.float32(weights[n]) for n in names)
+        return self._step(params, opt_state, engines, corpus, queries, rng, wt, engine_names=names)
+
+    def eval_step(self, params, engines, corpus, queries, rng, weights: dict[str, float]):
+        names = tuple(sorted(weights)) if weights else ()
+        wt = tuple(jnp.float32(weights[n]) for n in names)
+        return self._eval(params, engines, corpus, queries, rng, wt, engine_names=names)
+
+
+def make_train_step(model, tx, **kw) -> RealmTrainStep:
+    return RealmTrainStep(model, tx, **kw)
+
+
+def training_loop(
+    *,
+    step_fn: RealmTrainStep,
+    params: typ.Any,
+    opt_state: typ.Any,
+    engines: HybridEngines,
+    corpus: DeviceCorpus,
+    train_queries: typ.Iterable[QueryBatch],
+    state: TrainerState,
+    rng: jax.Array,
+    val_queries: typ.Optional[typ.Sequence[QueryBatch]] = None,
+    val_check_interval: typ.Optional[int] = None,
+    log_interval: int = 50,
+    metrics: typ.Sequence[str] = ("mrr", "ndcg_10", "hitrate_3"),
+    on_log: typ.Optional[typ.Callable[[int, dict], None]] = None,
+    on_checkpoint: typ.Optional[typ.Callable[[typ.Any, typ.Any, TrainerState], None]] = None,
+    until_step: typ.Optional[int] = None,
+) -> tuple[typ.Any, typ.Any, TrainerState, dict]:
+    """One period of training (parity: `loops/train.py:21-226`).
+
+    Runs until `until_step` (default: `state.next_period_start_step`) or the
+    query iterator is exhausted. Returns (params, opt_state, state, last_metrics).
+    """
+    until = until_step if until_step is not None else state.next_period_start_step
+    monitor = RetrievalMonitor(list(metrics))
+    last_logged: dict = {}
+    t0 = time.time()
+    n_done = 0
+    try:
+        for queries in train_queries:
+            if state.step >= until or state.completed:
+                break
+            rng, step_rng = jax.random.split(rng)
+            weights = state.get_parameters()  # schedules -> traced scalars each step
+            params, opt_state, m, rel, scores = step_fn.train_step(
+                params, opt_state, engines, corpus, queries, step_rng, weights
+            )
+            monitor.update(relevances=rel, scores=scores)
+            state.step += 1
+            state.update_steps += 1
+            n_done += 1
+            if state.step % log_interval == 0 or state.step >= until:
+                last_logged = {
+                    **{k: float(v) for k, v in m.items()},
+                    **monitor.compute(),
+                    "steps_per_sec": n_done / max(time.time() - t0, 1e-6),
+                    "step": state.step,
+                    **{f"parameters/{k}": v for k, v in weights.items()},
+                }
+                if on_log:
+                    on_log(state.step, last_logged)
+            if (
+                val_check_interval
+                and val_queries is not None
+                and state.step % val_check_interval == 0
+            ):
+                rng, val_rng = jax.random.split(rng)
+                val_metrics = validation_loop(
+                    step_fn=step_fn, params=params, engines=engines, corpus=corpus,
+                    val_queries=val_queries, rng=val_rng, weights=state.get_parameters(),
+                    metrics=metrics,
+                )
+                if on_log:
+                    on_log(state.step, {f"val/{k}": v for k, v in val_metrics.items()})
+                if on_checkpoint:
+                    on_checkpoint(params, opt_state, state)
+    except KeyboardInterrupt:  # parity: `loops/train.py:211` clean-exit
+        pass
+    return params, opt_state, state, last_logged
+
+
+def validation_loop(
+    *,
+    step_fn: RealmTrainStep,
+    params: typ.Any,
+    engines: HybridEngines,
+    corpus: DeviceCorpus,
+    val_queries: typ.Sequence[QueryBatch],
+    rng: jax.Array,
+    weights: dict[str, float],
+    metrics: typ.Sequence[str] = ("mrr", "ndcg_10", "hitrate_3"),
+) -> dict[str, float]:
+    """No-grad eval over the validation queries (parity: `loops/val.py:14`)."""
+    monitor = RetrievalMonitor(list(metrics))
+    losses = []
+    for queries in val_queries:
+        rng, r = jax.random.split(rng)
+        m, rel, scores = step_fn.eval_step(params, engines, corpus, queries, r, weights)
+        monitor.update(relevances=rel, scores=scores)
+        losses.append(float(m["loss"]))
+    out = monitor.compute()
+    out["loss"] = float(np.mean(losses)) if losses else float("nan")
+    return out
