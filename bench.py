@@ -58,50 +58,54 @@ def main() -> None:
     # `block_until_ready` does not reliably wait and identical dispatches are
     # deduplicated, so (a) every dispatch gets distinct inputs, (b) completion
     # is forced by fetching a result slice to host, and (c) the fixed
-    # dispatch+fetch RTT is cancelled by differencing two dispatch sizes:
-    # per-batch time = (wall(T2) - wall(T1)) / (T2 - T1).
-    def many(ix, qs):  # qs: [T, B, D]
-        return jax.lax.map(lambda qv: dense_search(ix, SearchQueries(vector=qv), top_k=k), qs)
+    # dispatch+fetch RTT is cancelled by differencing two batch sizes:
+    # per-query time = (wall(B2) - wall(B1)) / (B2 - B1).
+    #
+    # Batching: the exhaustive scan is HBM-bandwidth-bound (the index is read
+    # once per dispatch), so all queries of a dispatch go through ONE
+    # dense_search call — the TPU-native serving layout.
+    sfn = jax.jit(
+        lambda ix, qv: dense_search(ix, SearchQueries(vector=qv), top_k=k),
+        static_argnames=(),
+    )
 
-    sfn = jax.jit(many)
+    def make_queries(n_q: int) -> "jnp.ndarray":
+        extra = rng.normal(size=(max(0, n_q - b), d)).astype("float32")
+        out = np.concatenate([q, extra], axis=0)[:n_q]
+        return jnp.asarray(out / np.linalg.norm(out, axis=-1, keepdims=True))
 
-    def make_pool(t_batches: int) -> jax.Array:
-        return jnp.asarray(
-            np.concatenate(
-                [q[None]]
-                + [
-                    (q + np.float32(1e-2) * rng.normal(size=q.shape)).astype("float32")[None]
-                    for _ in range(t_batches - 1)
-                ]
-            )
-        )
-
-    def timed(t_batches, reps=3):
-        pools = [make_pool(t_batches) for _ in range(reps)]
+    def timed(n_q: int, reps: int = 3):
+        pools = [
+            make_queries(n_q) + jnp.float32(1e-4 * i) for i in range(reps)
+        ]
         out = sfn(index, pools[0])
-        np.asarray(out.scores[0, 0, 0])  # compile + settle
+        np.asarray(out.scores[0, 0])  # compile + settle
         walls = []
         last = None
         for p in pools:
             t0 = time.time()
             last = sfn(index, p)
-            np.asarray(last.scores[-1])  # forces completion of the whole map
+            np.asarray(last.scores[-1])  # forces completion
             walls.append(time.time() - t0)
-        _log(f"T={t_batches}: walls={[round(w,3) for w in walls]}")
+        _log(f"n_q={n_q}: walls={[round(w, 4) for w in walls]}")
         return min(walls), last
 
-    _log("timing T=8")
-    w1, _ = timed(8)
-    _log("timing T=64")
-    w2, out = timed(64)
-    tpu_s = (w2 - w1) / (64 - 8)
-    tpu_qps = b / tpu_s
+    b1, b2 = 256, 2048
+    w1, _ = timed(b1)
+    w2, out_big = timed(b2)
+    tpu_s_per_q = (w2 - w1) / (b2 - b1)
+    tpu_qps = 1.0 / tpu_s_per_q
 
-    got = np.asarray(out.indices[0])  # first batch of the pool = the exact-ground-truth queries
+    # recall on the ground-truth queries (first b rows; pool 0 had no offset...
+    # re-run once un-perturbed for the recall check)
+    out = sfn(index, make_queries(b))
+    _ = np.asarray(out.scores[0, 0])
+
+    got = np.asarray(out.indices)[:b]
     recall = float(np.mean([len(set(got[i]) & set(exact_topk[i])) / k for i in range(b)]))
 
     result = {
-        "metric": f"dense MIPS QPS/chip (1M x 768 bf16 flat, batch {b}, recall@10={recall:.3f})",
+        "metric": f"dense MIPS QPS/chip (1M x 768 bf16 flat, batch {b2}, recall@10={recall:.3f})",
         "value": round(tpu_qps, 1),
         "unit": "QPS",
         "vs_baseline": round(tpu_qps / cpu_qps, 1),

@@ -14,6 +14,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
 
+# zero-egress environment: fail fast instead of hanging on hub downloads
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

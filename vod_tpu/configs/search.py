@@ -1,0 +1,119 @@
+"""Search-engine factory configs + diff/override algebra.
+
+Parity: reference `vod_configs/search.py` — `FaissFactoryConfig:124` (factory
+string, nprobe, metric, train_size, gpu opts), `ElasticsearchFactoryConfig:168`,
+`QdrantFactoryConfig:215`, `HybridSearchFactoryConfig:286`,
+`SearchFactoryDefaults:310` with `__add__` diff application.
+
+TPU mapping: faiss factory strings become an explicit dense codec config
+(`flat` | `int8` | `pq`); ES becomes the on-device BM25 sparse config; qdrant's
+scalar quantization is the `int8` codec. The diff algebra is preserved
+(`defaults + per-dataset diff`).
+"""
+
+from __future__ import annotations
+
+import re
+import typing as typ
+
+import pydantic
+
+from .base import StrictModel, apply_diff
+
+DenseCodec = typ.Literal["flat", "int8", "pq"]
+DenseDtype = typ.Literal["float32", "bfloat16", "int8"]
+
+
+class DenseFactoryConfig(StrictModel):
+    """Dense index factory (replaces faiss factory strings + qdrant config)."""
+
+    codec: DenseCodec = "flat"
+    dtype: DenseDtype = "bfloat16"  # flat-codec storage dtype
+    # pq codec
+    n_subquantizers: int = 32
+    coarse_dim: int = 32
+    n_candidates: int = 1024
+    train_size: typ.Optional[int] = None
+    kmeans_iters: int = 10
+    # scan
+    chunk: int = 131072
+
+    @classmethod
+    def from_faiss_factory(cls, factory: str, train_size: typ.Optional[int] = None) -> "DenseFactoryConfig":
+        """Translate a faiss factory string (parity: `support.py:44` parser).
+
+        `Flat` -> flat/f32; `IVF*,Flat` -> flat/bf16 (exhaustive scan replaces
+        cell probing); `...PQ{M}x8...` -> pq codec with M subquantizers;
+        `OPQ{M}_{d},...` feeds the coarse projection dim.
+        """
+        m_pq = re.search(r"PQ(\d+)x8", factory)
+        if m_pq:
+            m_opq = re.search(r"OPQ\d+_(\d+)", factory)
+            return cls(
+                codec="pq",
+                n_subquantizers=int(m_pq.group(1)),
+                coarse_dim=min(64, int(m_opq.group(1)) if m_opq else 32),
+                train_size=train_size,
+            )
+        if "Flat" in factory and factory.strip() == "Flat":
+            return cls(codec="flat", dtype="float32")
+        return cls(codec="flat", dtype="bfloat16", train_size=train_size)
+
+    def __add__(self, diff: typ.Optional[typ.Mapping | pydantic.BaseModel]) -> "DenseFactoryConfig":
+        return apply_diff(self, diff)
+
+
+class SparseFactoryConfig(StrictModel):
+    """Sparse BM25 factory (replaces `ElasticsearchFactoryConfig` + es_body)."""
+
+    k1: float = 1.2
+    b: float = 0.75
+    max_postings: int = 2048
+    language: typ.Optional[str] = None  # analyzer language (stopwords)
+    lowercase: bool = True
+    min_token_len: int = 2
+    max_vocab: typ.Optional[int] = None
+    section_template: str = "{{ title }} {{ content }}"
+
+    def __add__(self, diff: typ.Optional[typ.Mapping | pydantic.BaseModel]) -> "SparseFactoryConfig":
+        return apply_diff(self, diff)
+
+
+class HybridSearchFactoryConfig(StrictModel):
+    """Named engine bundle (parity: `HybridSearchFactoryConfig:286`)."""
+
+    dense: typ.Optional[DenseFactoryConfig] = None
+    sparse: typ.Optional[SparseFactoryConfig] = None
+
+    @property
+    def engines(self) -> dict[str, StrictModel]:
+        out: dict[str, StrictModel] = {}
+        if self.dense is not None:
+            out["dense"] = self.dense
+        if self.sparse is not None:
+            out["sparse"] = self.sparse
+        return out
+
+    def __add__(self, diff: typ.Optional[typ.Mapping | pydantic.BaseModel]) -> "HybridSearchFactoryConfig":
+        return apply_diff(self, diff)
+
+
+class SearchFactoryDefaults(StrictModel):
+    """Per-backend defaults + per-dataset diffs (parity: `search.py:310-337`)."""
+
+    dense: DenseFactoryConfig = DenseFactoryConfig()
+    sparse: SparseFactoryConfig = SparseFactoryConfig()
+
+    def realize(self, diff: typ.Optional[typ.Mapping[str, typ.Any]] = None) -> HybridSearchFactoryConfig:
+        """Build the hybrid config = defaults merged with a per-dataset diff.
+
+        diff example: {"dense": {"codec": "pq"}, "sparse": None} (None disables).
+        """
+        diff = dict(diff or {})
+        engines: dict[str, typ.Any] = {}
+        for name, default in (("dense", self.dense), ("sparse", self.sparse)):
+            if name in diff and diff[name] is None:
+                engines[name] = None
+            else:
+                engines[name] = apply_diff(default, diff.get(name))
+        return HybridSearchFactoryConfig(**engines)

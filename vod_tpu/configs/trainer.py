@@ -1,0 +1,73 @@
+"""Trainer / benchmark / batch-size / system configs.
+
+Parity: reference `vod_configs/trainer.py` — `TrainerConfig:14` (max_steps,
+period, val_check_interval, accumulate_grad_batches, gradient_clip_val,
+per-engine `parameters` schedules, metrics, checkpoint_path),
+`BenchmarkConfig:42`, `BatchSizeConfig:66`, `SysConfig:75`.
+"""
+
+from __future__ import annotations
+
+import typing as typ
+
+import pydantic
+
+from .base import StrictModel
+
+
+class ScheduleConfig(StrictModel):
+    """Scalar schedule (parity: `utils/schedule.py:10`)."""
+
+    mode: typ.Literal["constant", "linear", "step", "exponential"] = "constant"
+    value: float = 1.0
+    start: float = 0.0
+    period: int = 1000
+    offset: int = 0
+
+    def instantiate(self):
+        from vod_tpu.runtime.state import ParameterSchedule
+
+        return ParameterSchedule(**self.model_dump())
+
+
+class BenchmarkConfig(StrictModel):
+    metrics: list[str] = pydantic.Field(
+        default_factory=lambda: ["ndcg_10", "mrr_10", "hitrate_3", "recall_50"]
+    )
+    on_init: bool = False
+    n_max_queries: typ.Optional[int] = None
+    top_k: int = 100
+
+
+class BatchSizeConfig(StrictModel):
+    """Effective batch size accounting (parity `trainer.py:66` + the hydra
+    accumulation resolver `resolvers.py:111`)."""
+
+    effective: int = 32
+    per_device: int = 8
+
+    def accumulation_steps(self, n_devices: int) -> int:
+        return max(1, -(-self.effective // (n_devices * self.per_device)))
+
+
+class TrainerConfig(StrictModel):
+    max_steps: int = 1_000
+    period: typ.Optional[int] = None
+    val_check_interval: typ.Optional[int] = None
+    log_interval: int = 50
+    accumulate_grad_batches: int = 1
+    gradient_clip_val: typ.Optional[float] = None
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    parameters: dict[str, ScheduleConfig] = pydantic.Field(default_factory=dict)
+    metrics: list[str] = pydantic.Field(default_factory=lambda: ["mrr", "ndcg_10", "hitrate_3"])
+    checkpoint_path: typ.Optional[str] = None
+    benchmark: BenchmarkConfig = BenchmarkConfig()
+    batch_size: BatchSizeConfig = BatchSizeConfig()
+
+
+class SysConfig(StrictModel):
+    seed: int = 0
+    cache_dir: typ.Optional[str] = None
+    mesh_shape: list[int] = pydantic.Field(default_factory=lambda: [-1])
+    mesh_axes: list[str] = pydantic.Field(default_factory=lambda: ["dp"])

@@ -1,0 +1,203 @@
+"""Compile + load the C++ analyzer via ctypes, with pure-Python fallbacks.
+
+The reference leans on Elasticsearch (Java) for analysis/indexing; here the
+native component is a small C++ library compiled in-tree (no pybind11 in this
+image — plain C ABI + ctypes).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import re
+import subprocess
+import threading
+import typing as typ
+
+import numpy as np
+
+_HERE = pathlib.Path(__file__).parent
+_SO_PATH = _HERE / "_build" / "libvodanalyzer.so"
+_LOCK = threading.Lock()
+_LIB: typ.Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_FNV_OFFSET = 1469598103934665603
+_FNV_PRIME = 1099511628211
+_MASK64 = (1 << 64) - 1
+
+_STOPWORDS = {
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
+    "into", "is", "it", "no", "not", "of", "on", "or", "such", "that", "the",
+    "their", "then", "there", "these", "they", "this", "to", "was", "will", "with",
+}
+
+_TOKEN_RE = re.compile(r"[0-9a-z\u0080-\U0010FFFF]+")
+
+
+def _compile() -> typ.Optional[ctypes.CDLL]:
+    src = _HERE / "analyzer.cpp"
+    _SO_PATH.parent.mkdir(exist_ok=True)
+    if not _SO_PATH.exists() or _SO_PATH.stat().st_mtime < src.stat().st_mtime:
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            str(src), "-o", str(_SO_PATH),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO_PATH))
+    except OSError:
+        return None
+    lib.analyze_batch.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.build_postings.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float,
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        np.ctypeslib.ndpointer(np.float32, flags="C"),
+    ]
+    return lib
+
+
+def _get_lib() -> typ.Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if not _TRIED:
+            _LIB = _compile()
+            _TRIED = True
+        return _LIB
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def _py_analyze(text: str, vocab_size: int, min_len: int, use_stopwords: bool, max_terms: int) -> list[int]:
+    out = []
+    for token in _TOKEN_RE.findall(text.lower()):
+        if len(token) < min_len:
+            continue
+        if use_stopwords and token in _STOPWORDS:
+            continue
+        h = _FNV_OFFSET
+        for byte in token.encode("utf-8"):
+            h = ((h ^ byte) * _FNV_PRIME) & _MASK64
+        out.append(h & (vocab_size - 1))
+        if len(out) >= max_terms:
+            break
+    return out
+
+
+def analyze_texts(
+    texts: typ.Sequence[str],
+    *,
+    vocab_size: int = 1 << 18,
+    min_len: int = 2,
+    use_stopwords: bool = True,
+    max_terms: int = 512,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize + hash a batch of texts.
+
+    Returns (ids [n, max_terms] int32 padded -1, counts [n] int32). vocab_size
+    must be a power of two (FNV hash mask).
+    """
+    assert vocab_size & (vocab_size - 1) == 0, "vocab_size must be a power of two"
+    n = len(texts)
+    lib = _get_lib()
+    out_ids = np.full((n, max_terms), -1, dtype=np.int32)
+    counts = np.zeros((n,), dtype=np.int32)
+    if lib is not None:
+        blobs = [t.encode("utf-8", errors="ignore") for t in texts]
+        offsets = np.zeros((n + 1,), dtype=np.int64)
+        for i, blob in enumerate(blobs):
+            offsets[i + 1] = offsets[i] + len(blob) + 1
+        buf = b"\x00".join(blobs) + b"\x00"
+        lib.analyze_batch(
+            buf, offsets, n, out_ids, counts, max_terms, vocab_size, min_len, int(use_stopwords)
+        )
+        # native writes ids contiguously; pad the tail
+        for i in range(n):
+            out_ids[i, counts[i]:] = -1
+        return out_ids, counts
+    for i, t in enumerate(texts):
+        ids = _py_analyze(t, vocab_size, min_len, use_stopwords, max_terms)
+        counts[i] = len(ids)
+        out_ids[i, : len(ids)] = ids
+    return out_ids, counts
+
+
+def build_postings(
+    doc_term_ids: np.ndarray,  # [n, max_terms] int32 padded -1  (or list of lists)
+    counts: typ.Optional[np.ndarray] = None,
+    *,
+    n_terms: int,
+    max_postings: int = 2048,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Impact-ordered truncated BM25 postings. Returns (docs [T, P], impacts)."""
+    if isinstance(doc_term_ids, np.ndarray) and counts is not None:
+        n = doc_term_ids.shape[0]
+        flat = []
+        offsets = np.zeros((n + 1,), dtype=np.int64)
+        for i in range(n):
+            c = int(counts[i])
+            flat.append(doc_term_ids[i, :c])
+            offsets[i + 1] = offsets[i] + c
+        flat_ids = np.concatenate(flat) if flat else np.zeros((0,), np.int32)
+    else:  # list of lists
+        docs = list(doc_term_ids)
+        n = len(docs)
+        offsets = np.zeros((n + 1,), dtype=np.int64)
+        for i, dl in enumerate(docs):
+            offsets[i + 1] = offsets[i] + len(dl)
+        flat_ids = np.asarray(
+            [t for dl in docs for t in dl], dtype=np.int32
+        ) if n else np.zeros((0,), np.int32)
+    flat_ids = np.ascontiguousarray(flat_ids, dtype=np.int32)
+
+    p = max_postings
+    out_docs = np.full((n_terms, p), -1, dtype=np.int32)
+    out_imps = np.zeros((n_terms, p), dtype=np.float32)
+    lib = _get_lib()
+    if lib is not None and n > 0:
+        lib.build_postings(flat_ids, offsets, n, n_terms, p, k1, b, out_docs, out_imps)
+        return out_docs, out_imps
+
+    # python fallback
+    doc_lens = np.diff(offsets).astype(np.float64)
+    avgdl = max(doc_lens.mean(), 1.0) if n else 1.0
+    postings: dict[int, list[tuple[int, int]]] = {}
+    for d in range(n):
+        tf: dict[int, int] = {}
+        for t in flat_ids[offsets[d]:offsets[d + 1]]:
+            t = int(t)
+            if 0 <= t < n_terms:
+                tf[t] = tf.get(t, 0) + 1
+        for t, c in tf.items():
+            postings.setdefault(t, []).append((d, c))
+    for t, plist in postings.items():
+        df = len(plist)
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        scored = sorted(
+            (
+                (idf * c * (k1 + 1.0) / (c + k1 * (1 - b + b * doc_lens[d] / avgdl)), d)
+                for d, c in plist
+            ),
+            key=lambda x: -x[0],
+        )[:p]
+        for j, (imp, d) in enumerate(scored):
+            out_docs[t, j] = d
+            out_imps[t, j] = imp
+    return out_docs, out_imps
