@@ -1,0 +1,131 @@
+"""Experiment layer tests: __vars__ expansion, Experiment parsing, and the full
+config-driven training run (the reference's `train` CLI path, offline)."""
+
+import numpy as np
+import pytest
+
+from tests.helpers import tiny_tokenizer
+from vod_tpu.exps.structconf import DatasetsConfig, Experiment, expand_vars
+
+
+def test_vars_expansion() -> None:
+    cfgs = [
+        {"identifier": "{lang}-qa", "split": "train-{lang}", "__vars__": {"lang": ["en", "fr"]}},
+        {"identifier": "plain"},
+    ]
+    out = expand_vars(cfgs)
+    assert [c["identifier"] for c in out] == ["en-qa", "fr-qa", "plain"]
+    assert out[1]["split"] == "train-fr"
+
+
+def test_datasets_link_validation() -> None:
+    raw = {
+        "queries": [{"identifier": "q1", "name_or_path": "x", "link": "s1"}],
+        "sections": [
+            {"identifier": "s1", "name_or_path": "y"},
+            {"identifier": "orphan", "name_or_path": "z"},
+        ],
+    }
+    cfg = DatasetsConfig.parse(raw)
+    assert [s.identifier for s in cfg.sections] == ["s1"]  # orphan dropped
+    with pytest.raises(ValueError, match="unknown section shard"):
+        DatasetsConfig.parse({"queries": [{"identifier": "q", "name_or_path": "x", "link": "nope"}], "sections": []})
+
+
+def test_experiment_parse_and_roundtrip(tmp_path) -> None:
+    raw = {
+        "model": {"kind": "ranker", "hidden_size": 64, "vocab_size": 128},
+        "trainer": {"max_steps": 5, "parameters": {"dense": {"mode": "linear", "value": 1.0}}},
+        "search_defaults": {"dense": {"codec": "pq", "n_subquantizers": 8}},
+    }
+    exp = Experiment.parse(raw)
+    assert exp.model.hidden_size == 64
+    assert exp.search_defaults.dense.codec == "pq"
+    p = tmp_path / "exp.json"
+    p.write_text(exp.model_dump_json())
+    exp2 = Experiment.from_file(str(p))
+    assert exp2.trainer.max_steps == 5
+
+
+def _toy_data(n_sections=32, n_queries=48):
+    rng = np.random.default_rng(0)
+    cities = ["paris", "tokyo", "berlin", "rome", "madrid", "london"]
+    countries = ["france", "japan", "germany", "italy", "spain", "england"]
+    sections, queries = [], []
+    for i in range(n_sections):
+        j = i % len(cities)
+        sections.append({
+            "id": f"s{i}",
+            "content": f"{cities[j]} is the capital of {countries[j]} tok{i}",
+            "title": countries[j],
+            "subset_id": None,
+        })
+    for i in range(n_queries):
+        j = i % len(cities)
+        queries.append({
+            "id": f"q{i}",
+            "query": f"what is the capital of {countries[j]} tok{i % n_sections}",
+            "answers": [cities[j]],
+            "answer_scores": [1.0],
+            "retrieval_ids": [f"s{i % n_sections}"],
+            "retrieval_scores": [1.0],
+            "subset_ids": [],
+        })
+    return sections, queries
+
+
+def test_run_experiment_config_driven_training() -> None:
+    """The `train` CLI path end-to-end, offline, two periods + validation."""
+    from vod_tpu.exps.cli import run_experiment
+
+    tok = tiny_tokenizer()
+    sections, queries = _toy_data()
+    exp = Experiment.parse({
+        "model": {
+            "kind": "ranker", "gradients": "retrieval",
+            "vocab_size": tok.vocab_size, "hidden_size": 32, "num_layers": 1,
+            "num_heads": 2, "intermediate_size": 64, "scaler": 8.0,
+        },
+        "tokenizer": {"max_length": 24},
+        "collate": {"prefetch_n_sections": 16, "n_sections": 4, "max_pos_sections": 1},
+        "dataloader": {"batch_size": 8},
+        "trainer": {
+            "max_steps": 12, "period": 6, "log_interval": 3, "val_check_interval": 6,
+            "learning_rate": 3e-3,
+            "parameters": {"dense": {"mode": "constant", "value": 1.0},
+                           "sparse": {"mode": "constant", "value": 0.5}},
+        },
+    })
+    logs = []
+    out = run_experiment(
+        exp, sections=sections, queries=queries, val_queries=queries[:8],
+        tokenizer=tok, on_log=lambda s, m: logs.append((s, m)),
+    )
+    assert out["state"].step == 12
+    assert len(out["history"]) == 2  # two periods -> two re-embeds/re-indexes
+    assert any("val/loss" in m for _, m in logs)
+    train_logs = [m for _, m in logs if "loss" in m]
+    assert train_logs and np.isfinite(train_logs[-1]["loss"])
+
+
+def test_realm_config_driven_training_with_vod() -> None:
+    """Realm (reader) + VOD gradients through the config path, one period."""
+    from vod_tpu.exps.cli import run_experiment
+
+    tok = tiny_tokenizer()
+    sections, queries = _toy_data(n_sections=16, n_queries=16)
+    exp = Experiment.parse({
+        "model": {
+            "kind": "realm", "gradients": "vod", "vod_alpha": 0.5,
+            "vocab_size": tok.vocab_size, "hidden_size": 32, "num_layers": 1,
+            "num_heads": 2, "intermediate_size": 64, "lm_hidden_size": 32,
+            "lm_num_layers": 1,
+        },
+        "tokenizer": {"max_length": 16},
+        "collate": {"prefetch_n_sections": 8, "n_sections": 2, "max_pos_sections": 1},
+        "dataloader": {"batch_size": 4},
+        "trainer": {"max_steps": 3, "log_interval": 1},
+    })
+    out = run_experiment(exp, sections=sections, queries=queries, tokenizer=tok)
+    assert out["state"].step == 3
+    assert np.isfinite(out["history"][0]["train"]["loss"])

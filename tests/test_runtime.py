@@ -247,3 +247,61 @@ def test_training_loop_with_schedules_and_sparse() -> None:
     assert state.step == 10
     assert logs and "loss" in logs[-1][1]
     assert logs[-1][1]["parameters/sparse"] > logs[0][1]["parameters/sparse"] - 1e-9
+
+
+def test_in_batch_negatives_flat_pool() -> None:
+    """in_batch_negatives=True: shared [U]-pool sections, 2-d encoding path."""
+    rng = np.random.default_rng(5)
+    corpus, make_queries = _make_task(rng)
+    cfg = TransformerEncoderConfig(
+        vocab_size=VOCAB, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+        dtype=jnp.float32,
+        pooler=VodPoolerConfig(agg_method="mean", output_norm="l2", scaler=8.0),
+    )
+    model = Ranker(cfg=cfg, gradients=RetrievalGradients())
+    emb = jnp.asarray(rng.normal(size=(corpus.size, 32)).astype("float32"))
+    engines = HybridEngines(dense=build_dense_index(emb, dtype="float32"))
+    queries = make_queries(4, 7)
+    batch, _ = device_collate(
+        jax.random.PRNGKey(0), engines, corpus, queries,
+        query_vectors=jnp.asarray(rng.normal(size=(4, 32)).astype("float32")),
+        prefetch=8, n_sections=4, max_pos_sections=1, in_batch_negatives=True,
+    )
+    u = 4 * 4
+    assert batch.section__input_ids.shape == (u, corpus.input_ids.shape[-1])
+    assert batch.section__score.shape == (4, u)
+    assert batch.extras.get("flat_sections") is True
+    # pool ids unique among real entries
+    pool = np.asarray(batch.section__idx[0])
+    # each query's gold id is in the pool with relevance 1
+    gold = np.asarray(queries.section_ids)[:, 0]
+    rel = np.asarray(batch.section__relevance)
+    for i, g in enumerate(gold):
+        js = np.where(pool == g)[0]
+        assert len(js) >= 1 and rel[i, js[0]] == 1
+    # model evaluates on the flat layout
+    params = model.init(jax.random.PRNGKey(0), batch, mode="evaluate")
+    out = model.apply(params, batch, mode="evaluate")
+    assert out.retriever_scores.shape == (4, u)
+    assert np.isfinite(float(out.loss))
+
+
+def test_grad_accumulation_step() -> None:
+    rng = np.random.default_rng(6)
+    corpus, make_queries = _make_task(rng)
+    model, tx, step_fn = _model_and_step()
+    emb = jnp.asarray(rng.normal(size=(corpus.size, 32)).astype("float32"))
+    engines = HybridEngines(dense=build_dense_index(emb, dtype="float32"))
+    q0 = make_queries(4, 0)
+    batch, _ = device_collate(
+        jax.random.PRNGKey(0), engines, corpus, q0,
+        query_vectors=jnp.zeros((4, 32)), prefetch=16, n_sections=4, max_pos_sections=1,
+    )
+    params = model.init(jax.random.PRNGKey(0), batch, mode="evaluate")
+    opt_state = tx.init(params)
+    micro = [make_queries(4, s) for s in range(3)]
+    params, opt_state, metrics, rel, scores = step_fn.train_step_accum(
+        params, opt_state, engines, corpus, micro, jax.random.PRNGKey(1), {"dense": 1.0}
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert rel.shape == (12, 4)  # 3 micro-batches x 4 queries

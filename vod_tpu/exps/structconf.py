@@ -1,0 +1,140 @@
+"""Structured experiment config: dict/YAML -> validated Experiment.
+
+Parity: reference `vod_exps/structconf/` — `Experiment:43` (main.py), dataset-list
+parsing with defaults/diff merging (`parsing.py:71,219`), `__vars__` combinatorial
+config expansion (`utils.py:14`), and link validation with orphan-section dropping
+(`datasets.py:26-53`). The reference parses a hydra/omegaconf tree; here plain
+dicts (from YAML/JSON/CLI) go straight into pydantic.
+"""
+
+from __future__ import annotations
+
+import copy
+import itertools
+import re
+import typing as typ
+
+import pydantic
+
+from vod_tpu.configs import (
+    DataLoaderConfig,
+    QueriesDatasetConfig,
+    RealmCollateConfig,
+    SearchFactoryDefaults,
+    SectionsDatasetConfig,
+    StrictModel,
+    SysConfig,
+    TemplatesConfig,
+    TokenizerConfig,
+    TrainerConfig,
+)
+
+_VARS_KEY = "__vars__"
+
+
+def expand_vars(configs: typ.Sequence[typ.Mapping[str, typ.Any]]) -> list[dict[str, typ.Any]]:
+    """Expand `__vars__` product placeholders (parity: `structconf/utils.py:14`).
+
+    [{"name": "{lang}-ds", "__vars__": {"lang": ["en", "fr"]}}] ->
+    [{"name": "en-ds"}, {"name": "fr-ds"}]
+    """
+    out: list[dict] = []
+    for cfg in configs:
+        if not isinstance(cfg, dict) or _VARS_KEY not in cfg:
+            out.append(dict(cfg) if isinstance(cfg, dict) else cfg)
+            continue
+        cfg = dict(cfg)
+        variables = cfg.pop(_VARS_KEY)
+
+        def _sub(v: typ.Any, target: str, value: typ.Any) -> typ.Any:
+            if isinstance(v, str):
+                return re.sub(rf"\{{\s*{target}\s*\}}", str(value), v)
+            if isinstance(v, dict):
+                return {k: _sub(x, target, value) for k, x in v.items()}
+            if isinstance(v, list):
+                return [_sub(x, target, value) for x in v]
+            return v
+
+        keys = list(variables.keys())
+        for combo in itertools.product(*variables.values()):
+            new = copy.deepcopy(cfg)
+            for key, val in zip(keys, combo):
+                new = {k: _sub(v, key, val) for k, v in new.items()}
+            out.append(new)
+    return out
+
+
+class ModelConfig(StrictModel):
+    """Flagship-model knobs (encoder + optional reader)."""
+
+    kind: typ.Literal["ranker", "realm"] = "ranker"
+    gradients: typ.Literal["retrieval", "marginal_likelihood", "vod"] = "retrieval"
+    vod_alpha: float = 0.0
+    vocab_size: int = 30522
+    hidden_size: int = 256
+    num_layers: int = 4
+    num_heads: int = 4
+    intermediate_size: int = 1024
+    agg_method: str = "mean"
+    output_norm: typ.Optional[str] = "l2"
+    scaler: float = 10.0
+    learn_scaler: bool = True
+    lm_hidden_size: int = 256
+    lm_num_layers: int = 4
+    debug_encoder: bool = False  # embedding-only encoder (parity: model/encoder=debug)
+
+
+class DatasetsConfig(StrictModel):
+    """Query + section shard lists with `__vars__` expansion + link validation."""
+
+    queries: list[QueriesDatasetConfig] = pydantic.Field(default_factory=list)
+    sections: list[SectionsDatasetConfig] = pydantic.Field(default_factory=list)
+
+    @classmethod
+    def parse(cls, raw: typ.Mapping[str, typ.Any]) -> "DatasetsConfig":
+        queries = [QueriesDatasetConfig(**d) for d in expand_vars(raw.get("queries", []))]
+        sections = [SectionsDatasetConfig(**d) for d in expand_vars(raw.get("sections", []))]
+        # link validation + orphan-section dropping (parity: `datasets.py:26-53`)
+        section_ids = {s.identifier for s in sections}
+        for q in queries:
+            if q.link is not None and q.link not in section_ids:
+                raise ValueError(f"Query shard {q.identifier!r} links to unknown section shard {q.link!r}")
+        linked = {q.link for q in queries if q.link is not None}
+        if linked:
+            sections = [s for s in sections if s.identifier in linked]
+        return cls(queries=queries, sections=sections)
+
+
+class Experiment(StrictModel):
+    """The full experiment config (parity: `structconf/main.py:43`)."""
+
+    model: ModelConfig = ModelConfig()
+    datasets: DatasetsConfig = DatasetsConfig()
+    search_defaults: SearchFactoryDefaults = SearchFactoryDefaults()
+    collate: RealmCollateConfig = RealmCollateConfig()
+    dataloader: DataLoaderConfig = DataLoaderConfig()
+    tokenizer: TokenizerConfig = TokenizerConfig()
+    templates: TemplatesConfig = TemplatesConfig()
+    trainer: TrainerConfig = TrainerConfig()
+    sys: SysConfig = SysConfig()
+
+    @classmethod
+    def parse(cls, raw: typ.Mapping[str, typ.Any]) -> "Experiment":
+        raw = dict(raw)
+        if "datasets" in raw and not isinstance(raw["datasets"], DatasetsConfig):
+            raw["datasets"] = DatasetsConfig.parse(raw["datasets"])
+        return cls.model_validate(raw)
+
+    @classmethod
+    def from_file(cls, path: str) -> "Experiment":
+        import json
+        import pathlib
+
+        text = pathlib.Path(path).read_text()
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            raw = yaml.safe_load(text)
+        else:
+            raw = json.loads(text)
+        return cls.parse(raw)

@@ -27,6 +27,29 @@ def _pad_to(x: jax.Array, length: int) -> jax.Array:
     return jnp.pad(x, ((0, 0), (0, length - x.shape[-1])))
 
 
+def _fused_encode(encoder, batch: RealmBatch) -> dict[str, jax.Array]:
+    """One fused encoder pass over query+section tokens (`ranker.py:76-125`).
+
+    When `batch.extras['flat_sections']` is set (in-batch negatives), the
+    section pool is SHARED across queries and the section encoding stays 2-d
+    [U, H]; the gradient estimators' score einsum handles both layouts
+    (parity: `_compute_retriever_scores`, `retrieval.py:193-198`).
+    """
+    q_ids, q_mask = batch.query__input_ids, batch.query__attention_mask
+    s_ids, s_mask = batch.section__input_ids, batch.section__attention_mask
+    b = q_ids.shape[0]
+    length = max(q_ids.shape[-1], s_ids.shape[-1])
+    ids = jnp.concatenate([_pad_to(q_ids, length), _pad_to(s_ids, length)], axis=0)
+    mask = jnp.concatenate([_pad_to(q_mask, length), _pad_to(s_mask, length)], axis=0)
+    pooled = encoder(ids, mask)
+    query_encoding = pooled[:b]
+    section_encoding = pooled[b:]
+    if not batch.extras.get("flat_sections", False):
+        d = section_encoding.shape[0] // b
+        section_encoding = section_encoding.reshape(b, d, -1)
+    return {"query_encoding": query_encoding, "section_encoding": section_encoding}
+
+
 class Ranker(nn.Module):
     """Dual-encoder ranker with a shared encoder.
 
@@ -44,20 +67,7 @@ class Ranker(nn.Module):
         self.encoder = enc_cls(self.cfg, name="encoder")
 
     def encode(self, batch: RealmBatch) -> dict[str, jax.Array]:
-        q_ids, q_mask = batch.query__input_ids, batch.query__attention_mask
-        s_ids, s_mask = batch.section__input_ids, batch.section__attention_mask
-        b = q_ids.shape[0]
-        length = max(q_ids.shape[-1], s_ids.shape[-1])
-        ids = jnp.concatenate([_pad_to(q_ids, length), _pad_to(s_ids, length)], axis=0)
-        mask = jnp.concatenate([_pad_to(q_mask, length), _pad_to(s_mask, length)], axis=0)
-        pooled = self.encoder(ids, mask)
-        query_encoding = pooled[:b]
-        section_encoding = pooled[b:]
-        d = section_encoding.shape[0] // b
-        return {
-            "query_encoding": query_encoding,
-            "section_encoding": section_encoding.reshape(b, d, -1),
-        }
+        return _fused_encode(self.encoder, batch)
 
     def encode_field(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
         """Single-field encoding (the Predict/embedding pipeline entry)."""
@@ -89,20 +99,7 @@ class Realm(nn.Module):
         self.lm = CausalLM(self.lm_cfg, name="lm")
 
     def encode(self, batch: RealmBatch) -> dict[str, jax.Array]:
-        q_ids, q_mask = batch.query__input_ids, batch.query__attention_mask
-        s_ids, s_mask = batch.section__input_ids, batch.section__attention_mask
-        b = q_ids.shape[0]
-        length = max(q_ids.shape[-1], s_ids.shape[-1])
-        ids = jnp.concatenate([_pad_to(q_ids, length), _pad_to(s_ids, length)], axis=0)
-        mask = jnp.concatenate([_pad_to(q_mask, length), _pad_to(s_mask, length)], axis=0)
-        pooled = self.encoder(ids, mask)
-        query_encoding = pooled[:b]
-        section_encoding = pooled[b:]
-        d = section_encoding.shape[0] // b
-        return {
-            "query_encoding": query_encoding,
-            "section_encoding": section_encoding.reshape(b, d, -1),
-        }
+        return _fused_encode(self.encoder, batch)
 
     def encode_field(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
         return self.encoder(input_ids, attention_mask)

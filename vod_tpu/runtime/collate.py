@@ -103,6 +103,7 @@ def device_collate(
     max_support_size: typ.Optional[int] = None,
     weights: typ.Optional[dict[str, jax.Array | float]] = None,
     with_lm: bool = False,
+    in_batch_negatives: bool = False,
 ) -> tuple[RealmBatch, PrioritySampledSections]:
     """search -> merge -> sample -> gather section tokens -> RealmBatch, fused."""
     rng_sample, rng_fill = jax.random.split(rng)
@@ -125,6 +126,45 @@ def device_collate(
         max_support_size=max_support_size,
         weights=weights,
     )
+    if in_batch_negatives:
+        # shared unique section pool; every query scores against all of it
+        # (parity: `flatten_samples`, `in_batch_negatives.py:10`)
+        from vod_tpu.ops.in_batch_negatives import flatten_samples
+
+        flat = flatten_samples(sampled)
+        pool_idx = replace_negative_indices(flat.pool_ids, corpus.size, rng_fill)  # [U]
+        sec_ids = corpus.input_ids[pool_idx]  # [U, Ls]
+        sec_mask = corpus.attention_mask[pool_idx]
+        b = queries.input_ids.shape[0]
+        u = pool_idx.shape[0]
+        nan = jnp.full((b, u), jnp.nan, dtype=jnp.float32)
+        kw: dict[str, typ.Any] = {}
+        if with_lm:
+            lm_ids, lm_mask, lm_tt = build_lm_inputs(
+                jnp.broadcast_to(sec_ids[None], (b, u, sec_ids.shape[-1])),
+                jnp.broadcast_to(sec_mask[None], (b, u, sec_mask.shape[-1])),
+                queries.input_ids, queries.attention_mask,
+                queries.answer_ids, queries.answer_mask,
+            )
+            kw = {"lm__input_ids": lm_ids, "lm__attention_mask": lm_mask, "lm__token_type_ids": lm_tt}
+        batch = RealmBatch(
+            query__input_ids=queries.input_ids,
+            query__attention_mask=queries.attention_mask,
+            section__input_ids=sec_ids,
+            section__attention_mask=sec_mask,
+            section__relevance=jnp.maximum(flat.labels, 0).astype(jnp.float32),
+            section__idx=jnp.broadcast_to(pool_idx[None], (b, u)),
+            section__score=flat.scores,
+            section__sparse=flat.raw_scores.get("sparse", nan),
+            section__dense=flat.raw_scores.get("dense", nan),
+            section__log_weight=flat.log_weights,
+            section__lse_pos=flat.lse_pos,
+            section__lse_neg=flat.lse_neg,
+            extras={"flat_sections": True},
+            **kw,
+        )
+        return batch, sampled
+
     # padding slots fetch a random real section; their scores stay -inf so they
     # never contribute (parity: `replace_negative_indices_`, `realm_collate.py:135`)
     flat_idx = replace_negative_indices(sampled.batch.indices, corpus.size, rng_fill)

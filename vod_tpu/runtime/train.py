@@ -45,6 +45,8 @@ class RealmTrainStep:
         max_support_size: typ.Optional[int] = None,
         with_lm: bool = False,
         gradient_clip_val: typ.Optional[float] = None,
+        in_batch_negatives: bool = False,
+        accumulate_grad_batches: int = 1,
     ):
         self.model = model
         self.tx = tx
@@ -55,7 +57,12 @@ class RealmTrainStep:
         self.max_support_size = max_support_size
         self.with_lm = with_lm
         self.gradient_clip_val = gradient_clip_val
+        self.in_batch_negatives = in_batch_negatives
+        self.accumulate_grad_batches = accumulate_grad_batches
         self._step = jax.jit(self._train_step, donate_argnums=(0, 1), static_argnames=("engine_names",))
+        self._step_accum = jax.jit(
+            self._train_step_accum, donate_argnums=(0, 1), static_argnames=("engine_names",)
+        )
         self._eval = jax.jit(self._eval_step, static_argnames=("engine_names",))
 
     # -- collate + forward -------------------------------------------------
@@ -82,6 +89,7 @@ class RealmTrainStep:
             max_support_size=self.max_support_size,
             weights=weights,
             with_lm=self.with_lm,
+            in_batch_negatives=self.in_batch_negatives,
         )
         return batch, sampled
 
@@ -102,6 +110,36 @@ class RealmTrainStep:
         metrics = {"loss": loss, **{k: v for k, v in out.diagnostics.items()}}
         return params, opt_state, metrics, batch.section__relevance, out.retriever_scores
 
+    def _train_step_accum(self, params, opt_state, engines, corpus, queries_stacked, rng, weights_tuple, engine_names):
+        """Gradient accumulation: lax.scan over stacked micro-batches
+        (parity: `loops/train.py:76-86` `no_backward_sync` accumulation)."""
+        n_micro = jax.tree.leaves(queries_stacked)[0].shape[0]
+        rngs = jax.random.split(rng, n_micro)
+
+        def micro(carry, inp):
+            grads_acc, loss_acc = carry
+            q, r = inp
+            batch, _ = self._collate(params, r, engines, corpus, q, weights_tuple, engine_names)
+            (loss, out), grads = jax.value_and_grad(self._loss, has_aux=True)(params, batch)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, loss_acc + loss), (batch.section__relevance, out.retriever_scores)
+
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        (grads, loss_sum), (rels, scores) = jax.lax.scan(
+            micro, (zero_grads, 0.0), (queries_stacked, rngs)
+        )
+        grads = jax.tree.map(lambda g: g / n_micro, grads)
+        if self.gradient_clip_val:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, self.gradient_clip_val / jnp.maximum(gnorm, 1e-9))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss_sum / n_micro}
+        rels = rels.reshape(-1, rels.shape[-1])
+        scores = scores.reshape(-1, scores.shape[-1])
+        return params, opt_state, metrics, rels, scores
+
     def _eval_step(self, params, engines, corpus, queries, rng, weights_tuple, engine_names):
         batch, _ = self._collate(params, rng, engines, corpus, queries, weights_tuple, engine_names)
         loss, out = self._loss(params, batch)
@@ -112,6 +150,15 @@ class RealmTrainStep:
         names = tuple(sorted(weights)) if weights else ()
         wt = tuple(jnp.float32(weights[n]) for n in names)
         return self._step(params, opt_state, engines, corpus, queries, rng, wt, engine_names=names)
+
+    def train_step_accum(self, params, opt_state, engines, corpus, micro_batches, rng, weights: dict[str, float]):
+        """`micro_batches`: list of QueryBatch -> stacked + scanned on device."""
+        names = tuple(sorted(weights)) if weights else ()
+        wt = tuple(jnp.float32(weights[n]) for n in names)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *micro_batches)
+        return self._step_accum(
+            params, opt_state, engines, corpus, stacked, rng, wt, engine_names=names
+        )
 
     def eval_step(self, params, engines, corpus, queries, rng, weights: dict[str, float]):
         names = tuple(sorted(weights)) if weights else ()

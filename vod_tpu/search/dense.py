@@ -168,9 +168,12 @@ def _scan_topk(
         s = score_chunk_fn(start)  # [B, chunk]
         row_ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         s = jnp.where(row_ids < n_real, s, -jnp.inf)
-        ids = jnp.broadcast_to(row_ids, s.shape)
-        all_s = jnp.concatenate([top_s, s], axis=-1)
-        all_i = jnp.concatenate([top_i, ids], axis=-1)
+        # NOTE: measured on v5e, XLA's full-width lax.top_k beats a two-stage
+        # block top-k here (the reshape/relayout costs more than it saves).
+        c_s, c_pos = jax.lax.top_k(s, top_k)
+        c_i = start + c_pos.astype(jnp.int32)
+        all_s = jnp.concatenate([top_s, c_s], axis=-1)
+        all_i = jnp.concatenate([top_i, c_i], axis=-1)
         new_s, pos = jax.lax.top_k(all_s, top_k)
         new_i = jnp.take_along_axis(all_i, pos, axis=-1)
         return (new_s, new_i), None
