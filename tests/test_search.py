@@ -248,3 +248,27 @@ def test_hybrid_search_and_sample_end_to_end() -> None:
         lab_map = {int(x): int(l) for x, l in zip(mi[i], ml[i]) if x >= 0}
         for g in gold[i]:
             assert lab_map.get(int(g), -99) == 1
+
+
+def test_ivf_search_recall() -> None:
+    from vod_tpu.search import build_ivf_index
+    from vod_tpu.search.dense import ivf_search
+
+    rng = np.random.default_rng(8)
+    n, d, b, k = 3000, 32, 6, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    index = build_ivf_index(
+        jax.random.PRNGKey(0), jnp.asarray(corpus), n_clusters=32, nprobe=8, kmeans_iters=5
+    )
+    out = ivf_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+    got = np.asarray(out.indices)
+    recall = np.mean([len(set(got[i]) & set(expected[i])) / k for i in range(b)])
+    assert recall >= 0.6, recall  # nprobe 8/32 cells
+    # full probing ~= exhaustive (bf16 slab storage rounds near-tie scores)
+    index_full = index.replace(nprobe=32)
+    out2 = ivf_search(index_full, SearchQueries(vector=jnp.asarray(q)), top_k=k)
+    got2 = np.asarray(out2.indices)
+    recall_full = np.mean([len(set(got2[i]) & set(expected[i])) / k for i in range(b)])
+    assert recall_full >= 0.9, recall_full

@@ -49,3 +49,45 @@ def compute_embeddings(
 
     out = run(params, ids, mask).reshape(n_chunks * chunk, -1)
     return out[:n]
+
+
+def cached_embeddings(
+    apply_fn: typ.Callable[[typ.Any, jax.Array, jax.Array], jax.Array],
+    params: typ.Any,
+    corpus: DeviceCorpus,
+    *,
+    cache_dir: str,
+    dataset_fingerprint: str,
+    chunk: int = 512,
+) -> jax.Array:
+    """Fingerprint-keyed embedding cache with tensorstore spill.
+
+    Parity: reference `Predict` (`predict/interface.py:27`) — the store is keyed
+    by (dataset, model-weights, collate) fingerprints (`predict/fingerprint.py:12`),
+    reused across restarts, validated by zero-vector probing (`interface.py:191`),
+    and recomputed when invalid.
+    """
+    import numpy as np
+
+    from vod_tpu.types.lazy import TensorStoreFactory
+    from vod_tpu.utils.cache import cached_artifact_path
+    from vod_tpu.utils.fingerprint import fingerprint, fingerprint_params
+
+    probe = apply_fn(params, corpus.input_ids[:1], corpus.attention_mask[:1])
+    dim = int(probe.shape[-1])
+    fp = fingerprint(
+        {"dataset": dataset_fingerprint, "params": fingerprint_params(params), "dim": dim}
+    )
+    path = cached_artifact_path(cache_dir, "vectors", fp)
+    factory = TensorStoreFactory(path, (corpus.size, dim))
+    if factory.exists():
+        store = factory.open()
+        vecs = np.asarray(store.read().result())
+        # zero-vector probe: recompute when holes are found (`interface.py:191-216`)
+        n_zero = int((np.abs(vecs).sum(axis=-1) == 0).sum())
+        if n_zero == 0:
+            return jax.numpy.asarray(vecs)
+    emb = compute_embeddings(apply_fn, params, corpus, chunk=chunk)
+    store = factory.instantiate()
+    store.write(np.asarray(emb, dtype=np.float32)).result()
+    return emb

@@ -2,7 +2,7 @@
 MIPS, Elasticsearch BM25, Qdrant — with device-resident JAX indexes)."""
 
 from .base import SearchQueries, subset_mask
-from .dense import DenseIndex, PQIndex, build_dense_index, build_pq_index
+from .dense import DenseIndex, IVFIndex, PQIndex, build_dense_index, build_ivf_index, build_pq_index
 from .lookup import lookup_search
 from .sharded import ShardedDenseIndex, build_sharded_dense_index, sharded_dense_search
 from .sparse import SparseIndex, build_sparse_index, sparse_search
@@ -10,12 +10,14 @@ from .hybrid import HybridEngines, hybrid_search_and_sample, hybrid_search
 
 __all__ = [
     "DenseIndex",
+    "IVFIndex",
     "HybridEngines",
     "PQIndex",
     "SearchQueries",
     "ShardedDenseIndex",
     "SparseIndex",
     "build_dense_index",
+    "build_ivf_index",
     "build_pq_index",
     "build_sharded_dense_index",
     "build_sparse_index",

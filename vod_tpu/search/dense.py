@@ -273,3 +273,120 @@ def pq_search(
     top_i = jnp.where(jnp.isfinite(top_s), top_i + index.offset, -1)
     top_s = jnp.where(jnp.isfinite(top_s), top_s, -jnp.inf)
     return RetrievalBatch(scores=top_s, indices=top_i)
+
+
+@struct.dataclass
+class IVFIndex:
+    """IVF: k-means cells, cluster-padded slabs, nprobe probing.
+
+    Parity: faiss `IVF{n},Flat` (`faiss_search/build.py`, `_train_ivf`,
+    `build_gpu.py:103`). TPU note: cells are padded to the max cell size so
+    probing is a static-shape gather; on TPU the exhaustive flat scan is
+    usually faster below ~10M rows (MXU streams beat gathers) — IVF pays off
+    when compute, not bandwidth, is the limit (large B, huge N).
+    """
+
+    centroids: jax.Array  # [C, D] f32
+    vectors: jax.Array  # [C, S, D] cluster-padded storage
+    row_ids: jax.Array  # [C, S] int32 original row ids, -1 pad
+    subset_ids: typ.Optional[jax.Array] = None  # [C, S]
+    nprobe: int = struct.field(pytree_node=False, default=8)
+    offset: int = struct.field(pytree_node=False, default=0)
+
+
+def build_ivf_index(
+    rng: jax.Array,
+    vectors: jax.Array,
+    *,
+    n_clusters: typ.Optional[int] = None,
+    nprobe: int = 8,
+    kmeans_iters: int = 10,
+    train_size: typ.Optional[int] = None,
+    dtype: str = "bfloat16",
+    subset_ids: typ.Optional[jax.Array] = None,
+    offset: int = 0,
+) -> IVFIndex:
+    """Build IVF cells (parity: `IVFauto` centroid inference, `support.py:13`)."""
+    import numpy as np
+
+    from vod_tpu.ops.kmeans import infer_n_clusters, kmeans
+
+    n, d = vectors.shape
+    c = n_clusters or infer_n_clusters(n)
+    x = vectors.astype(jnp.float32)
+    train = x if train_size is None or train_size >= n else x[:train_size]
+    centroids, _ = kmeans(rng, train, n_clusters=c, n_iters=kmeans_iters)
+    from vod_tpu.ops.kmeans import _assign_chunked
+
+    assign = np.asarray(_assign_chunked(x, centroids))
+    # host-side bucketing into padded slabs
+    order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[order]
+    counts = np.bincount(sorted_assign, minlength=c)
+    s = int(max(128, ((counts.max() + 127) // 128) * 128))
+    slabs = np.zeros((c, s, d), dtype=np.float32)
+    row_ids = np.full((c, s), -1, dtype=np.int32)
+    subs = np.full((c, s), -1, dtype=np.int32) if subset_ids is not None else None
+    sub_np = None if subset_ids is None else np.asarray(subset_ids)
+    x_np = np.asarray(x)
+    start = 0
+    for ci in range(c):
+        cnt = int(counts[ci])
+        rows = order[start : start + cnt]
+        slabs[ci, :cnt] = x_np[rows]
+        row_ids[ci, :cnt] = rows
+        if subs is not None:
+            subs[ci, :cnt] = sub_np[rows]
+        start += cnt
+    return IVFIndex(
+        centroids=centroids,
+        vectors=jnp.asarray(slabs, dtype=jnp.dtype(dtype)),
+        row_ids=jnp.asarray(row_ids),
+        subset_ids=None if subs is None else jnp.asarray(subs),
+        nprobe=nprobe,
+        offset=offset,
+    )
+
+
+def ivf_search(
+    index: IVFIndex,
+    queries: SearchQueries,
+    top_k: int,
+) -> RetrievalBatch:
+    """Probe the nprobe nearest cells per query, score their slabs, top-k."""
+    q = queries.vector
+    if q is None:
+        raise ValueError("ivf_search requires queries.vector")
+    b, d = q.shape
+    c, s, _ = index.vectors.shape
+    nprobe = min(index.nprobe, c)
+
+    cscores = jnp.dot(q.astype(jnp.float32), index.centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(cscores, nprobe)  # [B, P]
+
+    allowed = queries.subset_ids
+
+    def one_probe(p: jax.Array) -> tuple[jax.Array, jax.Array]:
+        cell = probe[:, p]  # [B]
+        slab = index.vectors[cell]  # [B, S, D] gather
+        ids = index.row_ids[cell]  # [B, S]
+        sc = jnp.einsum(
+            "bd,bsd->bs", q.astype(slab.dtype), slab, preferred_element_type=jnp.float32
+        )
+        sc = jnp.where(ids >= 0, sc, -jnp.inf)
+        if allowed is not None and index.subset_ids is not None:
+            sub = index.subset_ids[cell]
+            ok = jnp.any(sub[:, :, None] == allowed[:, None, :], axis=-1)
+            ok = ok | jnp.all(allowed < 0, axis=-1, keepdims=True)
+            sc = jnp.where(ok, sc, -jnp.inf)
+        ts, tp = jax.lax.top_k(sc, min(top_k, s))
+        return ts, jnp.take_along_axis(ids, tp, axis=-1)
+
+    probe_s, probe_i = jax.lax.map(one_probe, jnp.arange(nprobe))  # [P, B, k']
+    all_s = jnp.moveaxis(probe_s, 0, 1).reshape(b, -1)
+    all_i = jnp.moveaxis(probe_i, 0, 1).reshape(b, -1)
+    top_s, pos = jax.lax.top_k(all_s, top_k)
+    top_i = jnp.take_along_axis(all_i, pos, axis=-1)
+    ok = jnp.isfinite(top_s)
+    top_i = jnp.where(ok, top_i + index.offset, -1)
+    return RetrievalBatch(scores=jnp.where(ok, top_s, -jnp.inf), indices=top_i)

@@ -21,7 +21,7 @@ from vod_tpu.ops.numpy_ops import normalize_scores
 from vod_tpu.ops.sample import PrioritySampledSections, sample_search_results
 from vod_tpu.types.retrieval import RetrievalBatch
 from .base import SearchQueries
-from .dense import DenseIndex, PQIndex, dense_search, pq_search
+from .dense import DenseIndex, IVFIndex, PQIndex, dense_search, ivf_search, pq_search
 from .lookup import lookup_search
 from .sharded import ShardedDenseIndex, sharded_dense_search
 from .sparse import SparseIndex, sparse_search
@@ -31,7 +31,7 @@ from .sparse import SparseIndex, sparse_search
 class HybridEngines:
     """Named engine bundle (parity: `HybridSearchFactoryConfig.engines`)."""
 
-    dense: typ.Optional[typ.Union[DenseIndex, PQIndex, ShardedDenseIndex]] = None
+    dense: typ.Optional[typ.Union[DenseIndex, IVFIndex, PQIndex, ShardedDenseIndex]] = None
     sparse: typ.Optional[SparseIndex] = None
 
 
@@ -40,6 +40,8 @@ def _dense_dispatch(index, queries: SearchQueries, top_k: int) -> RetrievalBatch
         return sharded_dense_search(index, queries, top_k)
     if isinstance(index, PQIndex):
         return pq_search(index, queries, top_k)
+    if isinstance(index, IVFIndex):
+        return ivf_search(index, queries, top_k)
     return dense_search(index, queries, top_k)
 
 
