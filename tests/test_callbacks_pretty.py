@@ -1,0 +1,68 @@
+"""Callbacks, export, pretty printers."""
+import numpy as np
+import jax.numpy as jnp
+
+from vod_tpu.runtime.callbacks import Callback, ExportModule, PprintBatch, call_callbacks, load_export
+from vod_tpu.utils.pretty import pprint_batch, pprint_metrics, pprint_params, pprint_retrieval_batch
+
+
+def test_export_module_roundtrip(tmp_path) -> None:
+    params = {"params": {"encoder": {"w": jnp.ones((2, 2))}, "lm": {"w": jnp.zeros((2,))}}}
+    cb = ExportModule(tmp_path / "export", submodules=["encoder"])
+    cb.on_fit_end(params=params, config={"a": 1})
+    restored = load_export(tmp_path / "export", {"params": {"encoder": {"w": jnp.zeros((2, 2))}}})
+    assert np.allclose(np.asarray(restored["params"]["encoder"]["w"]), 1.0)
+    assert (tmp_path / "export" / "config.json").exists()
+
+
+def test_callback_hooks_and_pprint(capsys) -> None:
+    calls = []
+
+    class Rec(Callback):
+        def on_train_batch_end(self, **kw):
+            calls.append(kw["step"])
+
+    call_callbacks([Rec()], "on_train_batch_end", step=3)
+    assert calls == [3]
+
+    from vod_tpu.types import RealmBatch
+
+    batch = RealmBatch(
+        query__input_ids=jnp.zeros((2, 4), "int32"),
+        query__attention_mask=jnp.ones((2, 4), "int32"),
+        section__input_ids=jnp.zeros((4, 6), "int32"),
+        section__attention_mask=jnp.ones((4, 6), "int32"),
+        section__relevance=jnp.zeros((2, 2)),
+        section__idx=jnp.zeros((2, 2), "int32"),
+        section__score=jnp.zeros((2, 2)),
+        section__sparse=jnp.zeros((2, 2)),
+    )
+    PprintBatch().on_train_batch_start(batch=batch)
+    pprint_metrics({"mrr": 0.5})
+    pprint_params({"encoder": {"w": np.ones((3, 4))}})
+    out = capsys.readouterr().out
+    assert "query__input_ids" in out and "mrr" in out and "12" in out
+
+
+def test_pprint_retrieval_batch(capsys) -> None:
+    from tests.helpers import tiny_tokenizer
+    from vod_tpu.types import RealmBatch
+
+    tok = tiny_tokenizer()
+    enc = tok(["the quick fox", "paris france"], max_length=6, truncation=True,
+              padding="max_length", return_tensors="np")
+    sec = tok(["paris is the capital", "tokyo japan", "berlin germany", "rome italy"],
+              max_length=8, truncation=True, padding="max_length", return_tensors="np")
+    batch = RealmBatch(
+        query__input_ids=jnp.asarray(enc["input_ids"].astype("int32")),
+        query__attention_mask=jnp.asarray(enc["attention_mask"].astype("int32")),
+        section__input_ids=jnp.asarray(sec["input_ids"].astype("int32")),
+        section__attention_mask=jnp.asarray(sec["attention_mask"].astype("int32")),
+        section__relevance=jnp.zeros((2, 2)),
+        section__idx=jnp.zeros((2, 2), "int32"),
+        section__score=jnp.asarray([[1.0, 0.5], [0.2, 0.9]]),
+        section__sparse=jnp.zeros((2, 2)),
+    )
+    pprint_retrieval_batch(batch, tok)
+    out = capsys.readouterr().out
+    assert "query[0]" in out and "#0" in out
