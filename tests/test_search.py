@@ -272,3 +272,31 @@ def test_ivf_search_recall() -> None:
     got2 = np.asarray(out2.indices)
     recall_full = np.mean([len(set(got2[i]) & set(expected[i])) / k for i in range(b)])
     assert recall_full >= 0.9, recall_full
+
+
+def test_opq_improves_pq_recall() -> None:
+    """OPQ rotation should not hurt (and usually helps) PQ recall on
+    correlated data (random gaussian is rotation-invariant, so build a
+    correlated corpus)."""
+    rng = np.random.default_rng(9)
+    n, d, b, k = 2000, 32, 8, 10
+    # correlated: low-rank structure + noise -> unbalanced subspace energies
+    basis = rng.normal(size=(8, d)).astype("float32")
+    corpus = (rng.normal(size=(n, 8)).astype("float32") @ basis
+              + 0.1 * rng.normal(size=(n, d)).astype("float32"))
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    q = corpus[rng.choice(n, b)] + 0.05 * rng.normal(size=(b, d)).astype("float32")
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+
+    def recall(use_opq: bool) -> float:
+        index = build_pq_index(
+            jax.random.PRNGKey(0), jnp.asarray(corpus), n_subquantizers=8,
+            coarse_dim=16, n_candidates=256, kmeans_iters=4, use_opq=use_opq,
+        )
+        out = pq_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k)
+        got = np.asarray(out.indices)
+        return float(np.mean([len(set(got[i]) & set(expected[i])) / k for i in range(b)]))
+
+    r_plain, r_opq = recall(False), recall(True)
+    assert r_opq >= r_plain - 0.05, (r_plain, r_opq)
+    assert r_opq >= 0.5, r_opq

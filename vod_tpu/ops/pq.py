@@ -119,3 +119,43 @@ def quantize_int8(x: jax.Array, axis: int = 0) -> tuple[jax.Array, jax.Array]:
 
 def dequantize_scale(scale: jax.Array) -> jax.Array:
     return scale
+
+
+def train_opq(
+    rng: jax.Array,
+    x: jax.Array,  # [n, d]
+    n_subquantizers: int,
+    n_codes: int = 256,
+    n_iters: int = 5,
+    kmeans_iters: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """OPQ: alternate a learned rotation R with PQ codebooks.
+
+    Parity: faiss's `OPQ{M}_{d}` preprocessor (reference trains it via
+    `build_gpu.py:82`). Alternating minimization of ||XR - Q(XR)||_F:
+    refresh codebooks on the rotated data, then solve the orthogonal
+    Procrustes problem R = U V^T from the SVD of X^T Q(XR).
+    Returns (rotation [d, d] f32, codebooks [M, n_codes, d/M]).
+    """
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    r = jnp.eye(d, dtype=jnp.float32)
+    codebooks = None
+    for it in range(n_iters):
+        xr = x @ r
+        codebooks = train_pq(
+            jax.random.fold_in(rng, it), xr, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
+        )
+        codes = encode_pq(codebooks, xr)
+        recon = decode_pq(codebooks, codes)
+        # Procrustes: R = U V^T of X^T X_hat
+        u, _, vt = jnp.linalg.svd(x.T @ recon, full_matrices=False)
+        r = u @ vt
+    return r, codebooks
+
+
+def decode_pq(codebooks: jax.Array, codes: jax.Array) -> jax.Array:
+    """Reconstruct vectors from PQ codes: [n, M] uint8 -> [n, d] f32."""
+    m, n_codes, dsub = codebooks.shape
+    gathered = codebooks[jnp.arange(m)[None, :], codes.astype(jnp.int32)]  # [n, M, dsub]
+    return gathered.reshape(codes.shape[0], m * dsub)

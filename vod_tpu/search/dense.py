@@ -46,7 +46,8 @@ class PQIndex:
     codes: jax.Array  # [N, M] uint8
     coarse_codes: jax.Array  # [N, dc] int8
     coarse_scale: jax.Array  # [1, dc] f32
-    proj: jax.Array  # [D, dc] f32 (PCA/OPQ-lite rotation)
+    proj: jax.Array  # [D, dc] f32 (PCA projection for the coarse stage)
+    rotation: typ.Optional[jax.Array] = None  # [D, D] OPQ rotation (None = identity)
     subset_ids: typ.Optional[jax.Array] = None  # [N] int32
     n_real: int = struct.field(pytree_node=False, default=0)
     offset: int = struct.field(pytree_node=False, default=0)
@@ -106,6 +107,8 @@ def build_pq_index(
     n_candidates: int = 1024,
     train_size: typ.Optional[int] = None,
     kmeans_iters: int = 10,
+    use_opq: bool = False,
+    opq_iters: int = 4,
     subset_ids: typ.Optional[jax.Array] = None,
     offset: int = 0,
     pad_multiple: typ.Optional[int] = None,
@@ -120,14 +123,25 @@ def build_pq_index(
     x = vectors.astype(jnp.float32)
     train = x if train_size is None or train_size >= n_real else x[:train_size]
 
-    proj, mean = pq_ops.train_projection(train, coarse_dim)
+    rotation = None
+    if use_opq:
+        # OPQ rotation balances subspace energies (faiss OPQ{M}_{d} parity)
+        rotation, codebooks = pq_ops.train_opq(
+            rng, train, n_subquantizers, n_iters=opq_iters, kmeans_iters=max(2, kmeans_iters // 2)
+        )
+        x_rot = x @ rotation
+        train_rot = train @ rotation
+    else:
+        x_rot, train_rot = x, train
+        codebooks = pq_ops.train_pq(rng, train_rot, n_subquantizers, n_iters=kmeans_iters)
+
+    proj, mean = pq_ops.train_projection(train_rot, coarse_dim)
     # Fold the mean into nothing: MIPS is shift-sensitive, so project WITHOUT
     # centering (PCA directions still concentrate energy).
-    coarse = x @ proj  # [n, dc]
+    coarse = x_rot @ proj  # [n, dc]
     coarse_codes, coarse_scale = pq_ops.quantize_int8(coarse, axis=0)
 
-    codebooks = pq_ops.train_pq(rng, train, n_subquantizers, n_iters=kmeans_iters)
-    codes = pq_ops.encode_pq(codebooks, x)
+    codes = pq_ops.encode_pq(codebooks, x_rot)
 
     codes = _pad_rows(codes, pad_multiple)
     coarse_codes = _pad_rows(coarse_codes, pad_multiple)
@@ -139,6 +153,7 @@ def build_pq_index(
         coarse_codes=coarse_codes,
         coarse_scale=coarse_scale,
         proj=proj,
+        rotation=rotation,
         subset_ids=subset_ids,
         n_real=n_real,
         offset=offset,
@@ -245,8 +260,12 @@ def pq_search(
         chunk -= 128
     n_cand = min(index.n_candidates, n)
 
+    q_eff = q.astype(jnp.float32)
+    if index.rotation is not None:  # OPQ: rotate queries into codebook space
+        q_eff = q_eff @ index.rotation
+
     # Stage 1: coarse scores over all rows via the projected int8 corpus.
-    q_proj = (q.astype(jnp.float32) @ index.proj) * index.coarse_scale  # [B, dc]
+    q_proj = (q_eff @ index.proj) * index.coarse_scale  # [B, dc]
     allowed = queries.subset_ids
 
     def score_chunk(start: jax.Array) -> jax.Array:
@@ -264,7 +283,7 @@ def pq_search(
     # Stage 2: ADC rescore of the candidates (tiny gather: B * n_cand * M bytes).
     safe_i = jnp.clip(cand_i, 0, n - 1)
     cand_codes = index.codes[safe_i]  # [B, n_cand, M]
-    lut = pq_ops.adc_lut(index.codebooks, q.astype(jnp.float32))
+    lut = pq_ops.adc_lut(index.codebooks, q_eff)
     adc = pq_ops.adc_score_codes(lut, cand_codes)  # [B, n_cand]
     adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
 
