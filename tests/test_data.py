@@ -247,3 +247,28 @@ def test_sparse_engine_from_analyzer_end_to_end() -> None:
     assert top[0] == 0  # france doc wins
     scores = np.asarray(out.scores)[0]
     assert scores[0] > scores[1] > -np.inf  # japan doc shares 'capital'
+
+
+def test_loggers_and_chrono(tmp_path) -> None:
+    from vod_tpu.runtime.logging import CSVLogger, JSONLLogger, MultiLogger, flatten_metrics
+    from vod_tpu.utils.chrono import BlockTimer, Chrono
+
+    flat = flatten_metrics({"a": 1, "b": {"c": 2.5, "d": {"e": 3}}, "skip": "text"})
+    assert flat == {"a": 1.0, "b/c": 2.5, "b/d/e": 3.0}
+
+    lg = MultiLogger(JSONLLogger(tmp_path / "m.jsonl"), CSVLogger(tmp_path / "m.csv"))
+    lg(1, {"loss": 0.5})
+    lg(2, {"loss": 0.25, "mrr": 0.9})
+    import json
+
+    lines = [json.loads(l) for l in (tmp_path / "m.jsonl").read_text().splitlines()]
+    assert lines[1]["mrr"] == 0.9
+    assert "mrr" in (tmp_path / "m.csv").read_text().splitlines()[0]
+
+    ch = Chrono()
+    diag = {}
+    with BlockTimer("stage_time", diag):
+        ch.start()
+        ch.stop()
+    assert diag["stage_time"] >= 0
+    assert ch.get_avg_lap_time() >= 0
