@@ -196,3 +196,55 @@ def test_monitor_aggregation() -> None:
     assert parse_metric_name("mrr") == ("mrr", 0)
     with pytest.raises(ValueError):
         parse_metric_name("bogus_5")
+
+
+def test_realm_generate_mode() -> None:
+    rng = np.random.default_rng(4)
+    batch = _toy_batch(rng, b=2, d=2, lm_len=6)
+    model = Realm(
+        cfg=_toy_cfg(),
+        lm_cfg=CausalLMConfig(vocab_size=100, hidden_size=32, num_layers=1, num_heads=2,
+                              intermediate_size=64, dtype=jnp.float32),
+        gradients=MarginalLikelihoodGradients(),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch, mode="evaluate")
+    toks = model.apply(params, batch, mode="generate", max_new_tokens=4)
+    assert toks.shape == (4, 4)  # B*D rows, 4 new tokens
+    assert np.all((np.asarray(toks) >= 0) & (np.asarray(toks) < 100))
+
+
+def test_lora_and_remat_encoder() -> None:
+    from vod_tpu.models.encoder import VodEncoder, lora_trainable_mask
+
+    cfg = _toy_cfg().replace(lora_rank=4, remat=True)
+    model = VodEncoder(cfg)
+    ids = jnp.ones((2, 8), dtype="int32")
+    mask = jnp.ones((2, 8), dtype="int32")
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    out = model.apply(params, ids, mask)
+    assert out.shape == (2, 32)
+    # lora params exist; mask marks only adapters (+pooler) trainable
+    m = lora_trainable_mask(params)
+    flat = jax.tree_util.tree_flatten_with_path(m)[0]
+    lora_flags = [v for p, v in flat if "lora" in jax.tree_util.keystr(p)]
+    base_flags = [v for p, v in flat if "base" in jax.tree_util.keystr(p) and "lora" not in jax.tree_util.keystr(p)]
+    assert lora_flags and all(lora_flags)
+    assert base_flags and not any(base_flags)
+    # grads flow through remat path
+    g = jax.grad(lambda p: model.apply(p, ids, mask).sum())(params)
+    assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
+
+
+def test_psum_metric_aggregation() -> None:
+    from vod_tpu.models.monitoring import aggregate_metrics_psum
+    from vod_tpu.parallel import make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh((8,), ("dp",))
+    vals = jnp.arange(8.0)
+
+    def fn(v):
+        return aggregate_metrics_psum({"m": v}, "dp")["m"]
+
+    out = jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=P("dp"), out_specs=P()))(vals)
+    assert np.isclose(float(np.asarray(out)[0] if np.ndim(out) else out), 3.5)

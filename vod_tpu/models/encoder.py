@@ -35,6 +35,11 @@ class TransformerEncoderConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     dtype: typ.Any = jnp.bfloat16
+    remat: bool = False  # jax.checkpoint each layer (TweaksConfig.remat parity:
+    #                      the reference's gradient-checkpointing tweak, `support.py:23`)
+    lora_rank: int = 0  # >0: LoRA adapters on attention/FFN Dense kernels
+    #                     (TweaksConfig peft/LoRA parity)
+    lora_alpha: float = 16.0
     pooler: VodPoolerConfig = struct.field(default_factory=VodPoolerConfig)
 
 
@@ -56,6 +61,39 @@ class _Embeddings(nn.Module):
         return h
 
 
+class LoraDense(nn.Module):
+    """Dense + low-rank adapter: `x W + (alpha/r) (x A) B` (LoRA).
+
+    The base kernel trains as usual unless frozen via `lora_trainable_mask`
+    (parity: the reference's peft/LoRA tweak, `vod_models/support.py:23`).
+    """
+
+    features: int
+    rank: int
+    alpha: float = 16.0
+    dtype: typ.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.Dense(self.features, dtype=self.dtype, name="base")(x)
+        a = self.param("lora_a", nn.initializers.normal(0.02), (x.shape[-1], self.rank))
+        b = self.param("lora_b", nn.initializers.zeros, (self.rank, self.features))
+        scale = self.alpha / self.rank
+        return y + scale * ((x @ a.astype(x.dtype)) @ b.astype(x.dtype))
+
+
+def lora_trainable_mask(params: typ.Any) -> typ.Any:
+    """Pytree mask: True for LoRA adapters + pooler params (use with
+    `optax.masked` to freeze the base weights)."""
+    import jax as _jax
+
+    def rule(path, leaf):
+        key = _jax.tree_util.keystr(path)
+        return ("lora_a" in key) or ("lora_b" in key) or ("vod_pooler" in key)
+
+    return _jax.tree_util.tree_map_with_path(rule, params)
+
+
 class _Layer(nn.Module):
     cfg: TransformerEncoderConfig
 
@@ -69,9 +107,14 @@ class _Layer(nn.Module):
             name="attention",
         )(h, h, mask=mask)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_norm", dtype=cfg.dtype)(h + attn_out)
-        ff = nn.Dense(cfg.intermediate_size, name="intermediate", dtype=cfg.dtype)(h)
-        ff = nn.gelu(ff)
-        ff = nn.Dense(cfg.hidden_size, name="output", dtype=cfg.dtype)(ff)
+        if cfg.lora_rank > 0:
+            ff = LoraDense(cfg.intermediate_size, cfg.lora_rank, cfg.lora_alpha, dtype=cfg.dtype, name="intermediate")(h)
+            ff = nn.gelu(ff)
+            ff = LoraDense(cfg.hidden_size, cfg.lora_rank, cfg.lora_alpha, dtype=cfg.dtype, name="output")(ff)
+        else:
+            ff = nn.Dense(cfg.intermediate_size, name="intermediate", dtype=cfg.dtype)(h)
+            ff = nn.gelu(ff)
+            ff = nn.Dense(cfg.hidden_size, name="output", dtype=cfg.dtype)(ff)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="output_norm", dtype=cfg.dtype)(h + ff)
         return h
 
@@ -92,8 +135,9 @@ class TransformerEncoder(nn.Module):
         h = _Embeddings(cfg, name="embeddings")(input_ids, token_type_ids)
         # boolean attention mask broadcast to [B, 1, 1(=Lq), L]
         mask = (attention_mask[:, None, None, :] > 0)
+        layer_cls = nn.remat(_Layer) if cfg.remat else _Layer
         for i in range(cfg.num_layers):
-            h = _Layer(cfg, name=f"layer_{i}")(h, mask)
+            h = layer_cls(cfg, name=f"layer_{i}")(h, mask)
         return h
 
 

@@ -130,6 +130,20 @@ def retrieval_metrics(
     return out
 
 
+def aggregate_metrics_psum(
+    values: dict[str, jax.Array], axis_name: str
+) -> dict[str, jax.Array]:
+    """NaN-aware distributed mean over a mesh axis (parity: `MeanAggregator`
+    all_reduce sync, `aggregator.py:56-59`). Call inside pmap/shard_map."""
+    out = {}
+    for name, v in values.items():
+        ok = ~jnp.isnan(v)
+        s = jax.lax.psum(jnp.sum(jnp.where(ok, v, 0.0)), axis_name)
+        c = jax.lax.psum(jnp.sum(ok.astype(jnp.float32)), axis_name)
+        out[name] = s / jnp.maximum(c, 1.0)
+    return out
+
+
 class RetrievalMonitor:
     """Streaming NaN-aware mean aggregator over batches.
 

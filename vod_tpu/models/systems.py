@@ -117,9 +117,47 @@ class Realm(nn.Module):
         lm_logits = self._forward_lm(batch)
         return self.gradients(batch=batch, lm_logits=lm_logits, **enc)
 
-    def __call__(self, batch: RealmBatch, mode: str = "evaluate") -> typ.Any:
+    def generate(self, batch: RealmBatch, max_new_tokens: int = 16) -> jax.Array:
+        """Greedy decoding from the reader over [context; question] prompts.
+
+        Parity: `VodSystem` mode="generate" dispatch (`vod_systems/base.py:37-51`).
+        Re-runs the full causal LM per step on a fixed-width buffer (no KV cache
+        yet); returns generated token ids [B*D, max_new_tokens].
+        """
+        ids = batch.lm__input_ids
+        mask = batch.lm__attention_mask
+        flat_ids = ids.reshape(-1, ids.shape[-1])
+        flat_mask = mask.reshape(-1, mask.shape[-1])
+        n, l = flat_ids.shape
+        # fixed-width decode buffer: [prompt | generated]
+        buf = jnp.concatenate(
+            [flat_ids, jnp.zeros((n, max_new_tokens), dtype=flat_ids.dtype)], axis=-1
+        )
+        buf_mask = jnp.concatenate(
+            [flat_mask, jnp.zeros((n, max_new_tokens), dtype=flat_mask.dtype)], axis=-1
+        )
+        prompt_len = jnp.sum(flat_mask, axis=-1)  # [N]
+
+        def step(carry, t):
+            buf, buf_mask = carry
+            logits = self.lm(buf, buf_mask)  # [N, L+T, V]
+            pos = prompt_len + t - 1  # last valid position
+            last = jnp.take_along_axis(logits, pos[:, None, None], axis=1)[:, 0]
+            nxt = jnp.argmax(last, axis=-1).astype(buf.dtype)  # [N]
+            write = prompt_len + t
+            col = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 1) == write[:, None]
+            buf = jnp.where(col, nxt[:, None], buf)
+            buf_mask = jnp.where(col, 1, buf_mask)
+            return (buf, buf_mask), nxt
+
+        (_, _), toks = jax.lax.scan(step, (buf, buf_mask), jnp.arange(max_new_tokens))
+        return jnp.moveaxis(toks, 0, 1)  # [N, T]
+
+    def __call__(self, batch: RealmBatch, mode: str = "evaluate", **kw: typ.Any) -> typ.Any:
         if mode == "encode":
             return self.encode(batch)
         if mode == "evaluate":
             return self.evaluate(batch)
+        if mode == "generate":
+            return self.generate(batch, **kw)
         raise ValueError(f"Unknown mode: {mode}")
