@@ -305,3 +305,21 @@ def test_grad_accumulation_step() -> None:
     )
     assert np.isfinite(float(metrics["loss"]))
     assert rel.shape == (12, 4)  # 3 micro-batches x 4 queries
+
+
+def test_compute_embeddings_dp_sharded() -> None:
+    """Embedding computation shards chunks over the dp mesh axis."""
+    from vod_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(9)
+    corpus, _ = _make_task(rng, n_corpus=96)
+    model, tx, _ = _model_and_step()
+    params = model.init(
+        jax.random.PRNGKey(0), corpus.input_ids[:1], corpus.attention_mask[:1],
+        method=Ranker.encode_field,
+    )
+    encode = lambda p, i, m: model.apply(p, i, m, method=Ranker.encode_field)
+    mesh = make_mesh((8,), ("dp",))
+    emb_sharded = compute_embeddings(encode, params, corpus, chunk=16, mesh=mesh)
+    emb_plain = compute_embeddings(encode, params, corpus, chunk=16)
+    assert np.allclose(np.asarray(emb_sharded), np.asarray(emb_plain), atol=1e-5)

@@ -25,6 +25,8 @@ def compute_embeddings(
     *,
     chunk: int = 512,
     dtype: typ.Any = jnp.float32,
+    mesh: typ.Any = None,
+    dp_axis: str = "dp",
 ) -> jax.Array:
     """Embed every corpus row. Returns [N, H] on device.
 
@@ -33,11 +35,21 @@ def compute_embeddings(
     """
     n = corpus.size
     n_chunks = (n + chunk - 1) // chunk
+    if mesh is not None and dp_axis in mesh.shape:
+        # data-parallel striding (parity: DDP ranks striding the predict
+        # dataset, `predict/compute.py:91-115`): chunks shard over dp.
+        dp = mesh.shape[dp_axis]
+        n_chunks = -(-n_chunks // dp) * dp
     pad = n_chunks * chunk - n
     ids = jnp.pad(corpus.input_ids, ((0, pad), (0, 0)))
     mask = jnp.pad(corpus.attention_mask, ((0, pad), (0, 0)))
     ids = ids.reshape(n_chunks, chunk, -1)
     mask = mask.reshape(n_chunks, chunk, -1)
+    if mesh is not None and dp_axis in mesh.shape:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ids = jax.device_put(ids, NamedSharding(mesh, P(dp_axis)))
+        mask = jax.device_put(mask, NamedSharding(mesh, P(dp_axis)))
 
     @jax.jit
     def run(params, ids, mask):

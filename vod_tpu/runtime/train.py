@@ -186,6 +186,7 @@ def training_loop(
     metrics: typ.Sequence[str] = ("mrr", "ndcg_10", "hitrate_3"),
     on_log: typ.Optional[typ.Callable[[int, dict], None]] = None,
     on_checkpoint: typ.Optional[typ.Callable[[typ.Any, typ.Any, TrainerState], None]] = None,
+    callbacks: typ.Sequence[typ.Any] = (),
     until_step: typ.Optional[int] = None,
 ) -> tuple[typ.Any, typ.Any, TrainerState, dict]:
     """One period of training (parity: `loops/train.py:21-226`).
@@ -193,7 +194,10 @@ def training_loop(
     Runs until `until_step` (default: `state.next_period_start_step`) or the
     query iterator is exhausted. Returns (params, opt_state, state, last_metrics).
     """
+    from .callbacks import call_callbacks
+
     until = until_step if until_step is not None else state.next_period_start_step
+    call_callbacks(callbacks, "on_fit_start", params=params, state=state)
     monitor = RetrievalMonitor(list(metrics))
     last_logged: dict = {}
     t0 = time.time()
@@ -204,10 +208,12 @@ def training_loop(
                 break
             rng, step_rng = jax.random.split(rng)
             weights = state.get_parameters()  # schedules -> traced scalars each step
+            call_callbacks(callbacks, "on_train_batch_start", batch=queries, step=state.step)
             params, opt_state, m, rel, scores = step_fn.train_step(
                 params, opt_state, engines, corpus, queries, step_rng, weights
             )
             monitor.update(relevances=rel, scores=scores)
+            call_callbacks(callbacks, "on_train_batch_end", metrics=m, step=state.step)
             state.step += 1
             state.update_steps += 1
             n_done += 1
@@ -238,6 +244,7 @@ def training_loop(
                     on_checkpoint(params, opt_state, state)
     except KeyboardInterrupt:  # parity: `loops/train.py:211` clean-exit
         pass
+    call_callbacks(callbacks, "on_fit_end", params=params, state=state)
     return params, opt_state, state, last_logged
 
 
