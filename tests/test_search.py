@@ -300,3 +300,32 @@ def test_opq_improves_pq_recall() -> None:
     r_plain, r_opq = recall(False), recall(True)
     assert r_opq >= r_plain - 0.05, (r_plain, r_opq)
     assert r_opq >= 0.5, r_opq
+
+
+def test_factory_build_and_cache(tmp_path) -> None:
+    from vod_tpu.configs.search import HybridSearchFactoryConfig, DenseFactoryConfig, SparseFactoryConfig
+    from vod_tpu.search.factory import build_hybrid_engines
+    from vod_tpu.search.dense import PQIndex, pq_search
+
+    rng = np.random.default_rng(11)
+    corpus = _corpus(rng, 600, 32)
+    cfg = HybridSearchFactoryConfig(
+        dense=DenseFactoryConfig(codec="pq", n_subquantizers=8, coarse_dim=16, n_candidates=128, kmeans_iters=2),
+        sparse=SparseFactoryConfig(max_postings=16),
+    )
+    docs = [[int(t) for t in rng.integers(0, 64, 5)] for _ in range(600)]
+    engines = build_hybrid_engines(
+        cfg, vectors=jnp.asarray(corpus), doc_terms=docs,
+        cache_dir=str(tmp_path), data_fingerprint="fp1",
+    )
+    assert isinstance(engines.dense, PQIndex)
+    assert engines.sparse is not None
+    # second build loads from cache and searches identically
+    engines2 = build_hybrid_engines(
+        cfg, vectors=jnp.asarray(corpus), doc_terms=docs,
+        cache_dir=str(tmp_path), data_fingerprint="fp1",
+    )
+    q = SearchQueries(vector=jnp.asarray(_corpus(rng, 4, 32)))
+    out1 = pq_search(engines.dense, q, top_k=5)
+    out2 = pq_search(engines2.dense, q, top_k=5)
+    assert np.array_equal(np.asarray(out1.indices), np.asarray(out2.indices))

@@ -1,0 +1,141 @@
+"""Engine build orchestration from configs, with fingerprint-keyed caching.
+
+Parity: reference `vod_search/factory.py` — `build_faiss_index:131` fingerprints
+(vectors, config) and caches the index file at `cache_dir/indices/<fp>.faiss`;
+`build_hybrid_search_engine:274` assembles sharded dense + sparse under one
+hybrid master. Here the artifacts are orbax-saved index pytrees; expensive
+builds (PQ/OPQ/IVF training) are reused across periods and restarts when the
+fingerprint matches.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vod_tpu.configs.search import DenseFactoryConfig, HybridSearchFactoryConfig, SparseFactoryConfig
+from .dense import DenseIndex, IVFIndex, PQIndex, build_dense_index, build_ivf_index, build_pq_index
+from .hybrid import HybridEngines
+from .sparse import SparseIndex, build_sparse_index
+
+_INDEX_TYPES = {"DenseIndex": DenseIndex, "PQIndex": PQIndex, "IVFIndex": IVFIndex, "SparseIndex": SparseIndex}
+
+
+def _index_fingerprint(kind: str, cfg: typ.Any, data_fp: str) -> str:
+    from vod_tpu.utils.fingerprint import fingerprint
+
+    return fingerprint({"kind": kind, "cfg": cfg.model_dump(), "data": data_fp})
+
+
+def _save_index(path: pathlib.Path, index: typ.Any) -> None:
+    import json
+
+    import orbax.checkpoint as ocp
+
+    arrays, meta = {}, {}
+    for name, value in index.__dict__.items():
+        if value is None:
+            meta[name] = None
+        elif hasattr(value, "shape"):
+            arrays[name] = value
+        else:
+            meta[name] = value
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path.absolute() / "arrays", arrays, force=True)
+    (path / "meta.json").write_text(json.dumps({"type": type(index).__name__, "meta": meta}))
+
+
+def _load_index(path: pathlib.Path) -> typ.Any:
+    import json
+
+    import orbax.checkpoint as ocp
+
+    spec = json.loads((path / "meta.json").read_text())
+    cls = _INDEX_TYPES[spec["type"]]
+    with ocp.PyTreeCheckpointer() as ckptr:
+        arrays = ckptr.restore(path.absolute() / "arrays")
+    return cls(**arrays, **{k: v for k, v in spec["meta"].items() if v is not None or k in ("scale", "subset_ids", "corpus_shard", "rotation")})
+
+
+def build_dense_from_config(
+    cfg: DenseFactoryConfig,
+    vectors: jax.Array,
+    *,
+    rng: typ.Optional[jax.Array] = None,
+    subset_ids: typ.Optional[jax.Array] = None,
+    cache_dir: typ.Optional[str] = None,
+    data_fingerprint: typ.Optional[str] = None,
+) -> typ.Union[DenseIndex, PQIndex, IVFIndex]:
+    """Build (or load cached) a dense index per config."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    cache_path = None
+    if cache_dir is not None and data_fingerprint is not None:
+        fp = _index_fingerprint("dense", cfg, data_fingerprint)
+        cache_path = pathlib.Path(cache_dir) / "indices" / fp
+        if (cache_path / "meta.json").exists():
+            return _load_index(cache_path)
+
+    if cfg.codec == "flat" or cfg.codec == "int8":
+        dtype = "int8" if cfg.codec == "int8" else cfg.dtype
+        index = build_dense_index(vectors, subset_ids=subset_ids, dtype=dtype)
+    elif cfg.codec == "pq":
+        index = build_pq_index(
+            rng, vectors,
+            n_subquantizers=cfg.n_subquantizers,
+            coarse_dim=cfg.coarse_dim,
+            n_candidates=cfg.n_candidates,
+            train_size=cfg.train_size,
+            kmeans_iters=cfg.kmeans_iters,
+            subset_ids=subset_ids,
+        )
+    else:
+        raise ValueError(f"Unknown dense codec {cfg.codec!r}")
+
+    if cache_path is not None:
+        cache_path.mkdir(parents=True, exist_ok=True)
+        _save_index(cache_path, index)
+    return index
+
+
+def build_sparse_from_config(
+    cfg: SparseFactoryConfig,
+    doc_terms: typ.Sequence[typ.Sequence[int]],
+    *,
+    n_terms: int = 1 << 18,
+    subset_ids: typ.Optional[np.ndarray] = None,
+) -> SparseIndex:
+    return build_sparse_index(
+        doc_terms,
+        n_terms=n_terms,
+        max_postings=cfg.max_postings,
+        k1=cfg.k1,
+        b=cfg.b,
+        subset_ids=subset_ids,
+    )
+
+
+def build_hybrid_engines(
+    config: HybridSearchFactoryConfig,
+    *,
+    vectors: typ.Optional[jax.Array] = None,
+    doc_terms: typ.Optional[typ.Sequence[typ.Sequence[int]]] = None,
+    rng: typ.Optional[jax.Array] = None,
+    subset_ids: typ.Optional[jax.Array] = None,
+    cache_dir: typ.Optional[str] = None,
+    data_fingerprint: typ.Optional[str] = None,
+) -> HybridEngines:
+    """Assemble the hybrid bundle (parity: `build_hybrid_search_engine:274`)."""
+    dense = None
+    if config.dense is not None and vectors is not None:
+        dense = build_dense_from_config(
+            config.dense, vectors, rng=rng, subset_ids=subset_ids,
+            cache_dir=cache_dir, data_fingerprint=data_fingerprint,
+        )
+    sparse = None
+    if config.sparse is not None and doc_terms is not None:
+        sparse = build_sparse_from_config(config.sparse, doc_terms)
+    return HybridEngines(dense=dense, sparse=sparse)
