@@ -77,3 +77,57 @@ def shard_batch(batch: typ.Any, mesh: Mesh, axis: str = "dp") -> typ.Any:
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree.map(rule, batch)
+
+
+def tp_sharding(params: typ.Any, mesh: Mesh, axis: str = "tp", intermediate_size: typ.Optional[int] = None) -> typ.Any:
+    """Tensor-parallel sharding rules for the transformer encoder/reader.
+
+    Megatron-style: FFN up-projection sharded on fan-out, down-projection on
+    fan-in; attention q/k/v sharded on the heads axis, the output projection on
+    fan-in. GSPMD inserts the all-reduces. Params that don't match stay
+    replicated (compose with `fsdp_sharding` by applying this second).
+    """
+    if axis not in mesh.shape or mesh.shape[axis] == 1:
+        return jax.tree.map(lambda x: NamedSharding(mesh, P()), params)
+    size = mesh.shape[axis]
+
+    def rule(path, x) -> NamedSharding:
+        key = jax.tree_util.keystr(path)
+        nd = getattr(x, "ndim", 0)
+        if "attention" in key and nd == 3 and "kernel" in key:
+            # qkv kernels [H, heads, head_dim]: shard heads
+            if "out" in key:
+                return NamedSharding(mesh, P(axis, None, None)) if x.shape[0] % size == 0 else NamedSharding(mesh, P())
+            return NamedSharding(mesh, P(None, axis, None)) if x.shape[1] % size == 0 else NamedSharding(mesh, P())
+        if "attention" in key and nd == 2 and "bias" in key:
+            return NamedSharding(mesh, P(axis, None)) if ("out" not in key and x.shape[0] % size == 0) else NamedSharding(mesh, P())
+        if "intermediate" in key and nd == 2:  # FFN up: [H, I] -> shard I
+            return NamedSharding(mesh, P(None, axis)) if x.shape[1] % size == 0 else NamedSharding(mesh, P())
+        if "intermediate" in key and nd == 1:
+            return NamedSharding(mesh, P(axis)) if x.shape[0] % size == 0 else NamedSharding(mesh, P())
+        if ("output" in key or "fc_out" in key or "wo" in key) and nd == 2:  # FFN down: [I, H] -> shard I
+            return NamedSharding(mesh, P(axis, None)) if x.shape[0] % size == 0 else NamedSharding(mesh, P())
+        if "fc_in" in key and nd == 2:
+            return NamedSharding(mesh, P(None, axis)) if x.shape[1] % size == 0 else NamedSharding(mesh, P())
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params_tp(params: typ.Any, mesh: Mesh, axis: str = "tp") -> typ.Any:
+    return jax.device_put(params, tp_sharding(params, mesh, axis))
+
+
+def combined_sharding(params: typ.Any, mesh: Mesh, *, tp_axis: str = "tp", fsdp_axis: str = "fsdp") -> typ.Any:
+    """TP rules where they match, FSDP for the rest (embeddings etc.)."""
+    tp = tp_sharding(params, mesh, tp_axis)
+    fsdp = fsdp_sharding(params, mesh, fsdp_axis)
+
+    def pick(t: NamedSharding, f: NamedSharding) -> NamedSharding:
+        return t if t.spec != P() else f
+
+    return jax.tree.map(pick, tp, fsdp)
+
+
+def shard_params_combined(params: typ.Any, mesh: Mesh, **kw: typ.Any) -> typ.Any:
+    return jax.device_put(params, combined_sharding(params, mesh, **kw))
