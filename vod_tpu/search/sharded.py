@@ -125,7 +125,7 @@ def sharded_dense_search(
             grow = g_offset + start + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
             return jnp.where(grow < index.n_real, s, -jnp.inf)
 
-        top_s, top_i = _scan_topk(score_chunk, rows, rows, b, top_k, chunk)
+        top_s, top_i = _scan_topk(score_chunk, rows, rows, b, top_k, chunk, approx_recall=0.95)
         top_i = jnp.where(top_i >= 0, top_i + g_offset, -1)
         # gather k results from every shard over ICI: [n_shards, B, k] on each device
         all_s = jax.lax.all_gather(top_s, axis)
