@@ -83,6 +83,14 @@ def native_available() -> bool:
     return _get_lib() is not None
 
 
+def fnv1a_id(token: str, vocab_size: int) -> int:
+    """FNV-1a hash of a token into [0, vocab_size) — the analyzer's id function."""
+    h = _FNV_OFFSET
+    for byte in token.encode("utf-8"):
+        h = ((h ^ byte) * _FNV_PRIME) & _MASK64
+    return h & (vocab_size - 1)
+
+
 def _py_analyze(text: str, vocab_size: int, min_len: int, use_stopwords: bool, max_terms: int) -> list[int]:
     out = []
     for token in _TOKEN_RE.findall(text.lower()):
@@ -106,11 +114,14 @@ def analyze_texts(
     min_len: int = 2,
     use_stopwords: bool = True,
     max_terms: int = 512,
+    language: typ.Optional[str] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Tokenize + hash a batch of texts.
 
     Returns (ids [n, max_terms] int32 padded -1, counts [n] int32). vocab_size
-    must be a power of two (FNV hash mask).
+    must be a power of two (FNV hash mask). `language` filters that language's
+    stopword list post-hoc by hashed id (parity: ES `__auto_stopwords__`
+    language analyzers, `es_body.py:101`); English is filtered in-kernel.
     """
     assert vocab_size & (vocab_size - 1) == 0, "vocab_size must be a power of two"
     n = len(texts)
@@ -129,11 +140,22 @@ def analyze_texts(
         # native writes ids contiguously; pad the tail
         for i in range(n):
             out_ids[i, counts[i]:] = -1
-        return out_ids, counts
-    for i, t in enumerate(texts):
-        ids = _py_analyze(t, vocab_size, min_len, use_stopwords, max_terms)
-        counts[i] = len(ids)
-        out_ids[i, : len(ids)] = ids
+    else:
+        for i, t in enumerate(texts):
+            ids = _py_analyze(t, vocab_size, min_len, use_stopwords, max_terms)
+            counts[i] = len(ids)
+            out_ids[i, : len(ids)] = ids
+
+    if language is not None and language != "english":
+        from .stopwords import stopword_ids
+
+        stop = np.asarray(sorted(stopword_ids(language, vocab_size)), dtype=np.int32)
+        for i in range(n):
+            keep = out_ids[i, : counts[i]]
+            keep = keep[~np.isin(keep, stop)]
+            counts[i] = len(keep)
+            out_ids[i] = -1
+            out_ids[i, : len(keep)] = keep
     return out_ids, counts
 
 
