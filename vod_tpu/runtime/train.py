@@ -187,6 +187,7 @@ def training_loop(
     on_log: typ.Optional[typ.Callable[[int, dict], None]] = None,
     on_checkpoint: typ.Optional[typ.Callable[[typ.Any, typ.Any, TrainerState], None]] = None,
     callbacks: typ.Sequence[typ.Any] = (),
+    prefetch_batches: int = 2,
     until_step: typ.Optional[int] = None,
 ) -> tuple[typ.Any, typ.Any, TrainerState, dict]:
     """One period of training (parity: `loops/train.py:21-226`).
@@ -202,6 +203,12 @@ def training_loop(
     last_logged: dict = {}
     t0 = time.time()
     n_done = 0
+    if prefetch_batches > 0:
+        # host tokenization of batch t+1 overlaps the device step t
+        # (SURVEY §7 hard part #4; replaces the reference's dataloader workers)
+        from vod_tpu.dataloaders.prefetch import prefetch_iterator
+
+        train_queries = prefetch_iterator(iter(train_queries), size=prefetch_batches)
     try:
         for queries in train_queries:
             if state.step >= until or state.completed:
