@@ -6,8 +6,19 @@ torch-CPU brute-force matmul + top-k — the same kernel faiss's IndexFlatIP use
 (BLAS sgemm + heap), measured on this machine.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
-TPU QPS (batch 64, 1M x 768 corpus, bf16 flat index, recall@10 vs exact >= 0.99
-asserted) and vs_baseline = tpu_qps / cpu_qps.
+TPU QPS (1M x 768 corpus, bf16 flat index, recall@10 vs exact reported in the
+metric name) and vs_baseline = tpu_qps / cpu_qps.
+
+Timing methodology for this environment's remote-execution tunnel:
+`block_until_ready` does not reliably wait and identical dispatches are
+deduplicated, so (a) every dispatch gets distinct inputs, (b) completion is
+forced by fetching a result slice to host, and (c) the fixed dispatch+fetch RTT
+(~30 ms) is cancelled by differencing a small and a LARGE dispatch:
+per-query time = (wall(BIG) - wall(SMALL)) / (BIG - SMALL). BIG must be big
+enough that its compute dwarfs relay jitter (after the approx-top-k speedup a
+2048-query dispatch finishes in ~RTT, which once made the difference negative),
+so the big dispatch runs 16k queries as a lax.map over 2048-query blocks inside
+ONE jitted call.
 """
 
 import json
@@ -20,16 +31,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _log(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from vod_tpu.search import SearchQueries, build_dense_index
     from vod_tpu.search.dense import dense_search
-
-    import sys as _sys
-    def _log(msg):
-        print(f"# {msg}", file=_sys.stderr, flush=True)
 
     rng = np.random.default_rng(0)
     n, d, b, k = 1_000_000, 768, 64, 10
@@ -42,10 +53,8 @@ def main() -> None:
     import torch
 
     _log("corpus built; running CPU baseline")
-    tc = torch.from_numpy(corpus)
-    tq = torch.from_numpy(q)
     t0 = time.time()
-    scores_cpu = tq @ tc.T
+    scores_cpu = torch.from_numpy(q) @ torch.from_numpy(corpus).T
     exact_topk = torch.topk(scores_cpu, k, dim=-1).indices.numpy()
     cpu_s = time.time() - t0
     cpu_qps = b / cpu_s
@@ -54,58 +63,67 @@ def main() -> None:
     # --- TPU ---
     index = build_dense_index(jnp.asarray(corpus), dtype="bfloat16")
     del corpus
-    # Timing methodology for this environment's remote-execution tunnel:
-    # `block_until_ready` does not reliably wait and identical dispatches are
-    # deduplicated, so (a) every dispatch gets distinct inputs, (b) completion
-    # is forced by fetching a result slice to host, and (c) the fixed
-    # dispatch+fetch RTT is cancelled by differencing two batch sizes:
-    # per-query time = (wall(B2) - wall(B1)) / (B2 - B1).
-    #
-    # Batching: the exhaustive scan is HBM-bandwidth-bound (the index is read
-    # once per dispatch), so all queries of a dispatch go through ONE
-    # dense_search call — the TPU-native serving layout.
-    sfn = jax.jit(
-        lambda ix, qv: dense_search(ix, SearchQueries(vector=qv), top_k=k),
-        static_argnames=(),
+
+    sfn = jax.jit(lambda ix, qv: dense_search(ix, SearchQueries(vector=qv), top_k=k))
+    sfn_blocks = jax.jit(
+        lambda ix, qblocks: jax.lax.map(
+            lambda qv: (lambda r: (r.scores, r.indices))(
+                dense_search(ix, SearchQueries(vector=qv), top_k=k)
+            ),
+            qblocks,
+        )
     )
 
-    def make_queries(n_q: int) -> "jnp.ndarray":
+    def make_queries(n_q: int) -> jnp.ndarray:
         extra = rng.normal(size=(max(0, n_q - b), d)).astype("float32")
         out = np.concatenate([q, extra], axis=0)[:n_q]
         return jnp.asarray(out / np.linalg.norm(out, axis=-1, keepdims=True))
 
-    def timed(n_q: int, reps: int = 3):
-        pools = [
-            make_queries(n_q) + jnp.float32(1e-4 * i) for i in range(reps)
-        ]
+    def timed_small(n_q: int, reps: int = 3) -> float:
+        pools = [make_queries(n_q) + jnp.float32(1e-4 * i) for i in range(reps)]
         out = sfn(index, pools[0])
         np.asarray(out.scores[0, 0])  # compile + settle
         walls = []
-        last = None
         for p in pools:
             t0 = time.time()
-            last = sfn(index, p)
-            np.asarray(last.scores[-1])  # forces completion
+            out = sfn(index, p)
+            np.asarray(out.scores[-1])  # forces completion
             walls.append(time.time() - t0)
         _log(f"n_q={n_q}: walls={[round(w, 4) for w in walls]}")
-        return min(walls), last
+        return min(walls)
 
-    b1, b2 = 256, 2048
-    w1, _ = timed(b1)
-    w2, out_big = timed(b2)
-    tpu_s_per_q = (w2 - w1) / (b2 - b1)
-    tpu_qps = 1.0 / tpu_s_per_q
+    def timed_big(n_blocks: int, block: int, reps: int = 3) -> float:
+        pools = [
+            jnp.stack([make_queries(block) + jnp.float32(1e-3 * (j + 7 * i)) for j in range(n_blocks)])
+            for i in range(reps)
+        ]
+        out = sfn_blocks(index, pools[0])
+        np.asarray(out[0][0, 0, 0])  # compile + settle
+        walls = []
+        for p in pools:
+            t0 = time.time()
+            out = sfn_blocks(index, p)
+            np.asarray(out[0][-1, -1])
+            walls.append(time.time() - t0)
+        _log(f"n_q={n_blocks * block}: walls={[round(w, 4) for w in walls]}")
+        return min(walls)
 
-    # recall on the ground-truth queries (first b rows; pool 0 had no offset...
-    # re-run once un-perturbed for the recall check)
+    small_q, big_blocks, block = 256, 8, 2048
+    _log("timing small dispatch")
+    w1 = timed_small(small_q)
+    _log("timing big dispatch")
+    w2 = timed_big(big_blocks, block)
+    tpu_s = (w2 - w1) / (big_blocks * block - small_q)
+    assert tpu_s > 0, f"non-positive marginal ({w1=:.4f}, {w2=:.4f}); relay too noisy"
+    tpu_qps = 1.0 / tpu_s
+
+    # recall on the ground-truth queries
     out = sfn(index, make_queries(b))
-    _ = np.asarray(out.scores[0, 0])
-
     got = np.asarray(out.indices)[:b]
     recall = float(np.mean([len(set(got[i]) & set(exact_topk[i])) / k for i in range(b)]))
 
     result = {
-        "metric": f"dense MIPS QPS/chip (1M x 768 bf16 flat, batch {b2}, recall@10={recall:.3f})",
+        "metric": f"dense MIPS QPS/chip (1M x 768 bf16 flat, batch {block}, recall@10={recall:.3f})",
         "value": round(tpu_qps, 1),
         "unit": "QPS",
         "vs_baseline": round(tpu_qps / cpu_qps, 1),

@@ -137,3 +137,11 @@ def test_normalize_scores_min_subtract() -> None:
     assert np.allclose(out[0, :2], [0.0, 2.0])
     assert np.isneginf(out[0, 2])
     assert np.all(np.isneginf(out[1]))
+
+
+def test_retrieval_batch_add_operator() -> None:
+    a = RetrievalBatch(scores=jnp.asarray([[1.0, 2.0]]), indices=jnp.asarray([[5, 7]], dtype="int32"))
+    b = RetrievalBatch(scores=jnp.asarray([[0.5, 3.0]]), indices=jnp.asarray([[7, 9]], dtype="int32"))
+    out = (a + b).to_numpy()
+    got = {int(i): float(s) for i, s in zip(out.indices[0], out.scores[0]) if i >= 0}
+    assert got == {5: 1.0, 7: 2.5, 9: 3.0}

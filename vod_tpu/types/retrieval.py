@@ -52,6 +52,17 @@ class RetrievalBatch:
         scaled = jnp.where(jnp.isfinite(self.scores), self.scores * weight, self.scores)
         return self.replace(scores=scaled)
 
+    def __add__(self, other: "RetrievalBatch") -> "RetrievalBatch":
+        """Union-merge with another batch, summing scores of shared ids.
+
+        Parity: reference `RetrievalBatch.__add__` (`retrieval.py:203`). Thin
+        wrapper over `vod_tpu.ops.merge.merge_search_results`.
+        """
+        from vod_tpu.ops.merge import merge_search_results
+
+        merged, _ = merge_search_results({"a": self, "b": other})
+        return merged
+
     def sorted(self) -> "RetrievalBatch":
         """Sort by descending score (padding last)."""
         order = jnp.argsort(-self.scores, axis=-1, stable=True)
