@@ -248,3 +248,36 @@ def test_psum_metric_aggregation() -> None:
 
     out = jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=P("dp"), out_specs=P()))(vals)
     assert np.isclose(float(np.asarray(out)[0] if np.ndim(out) else out), 3.5)
+
+
+def test_seq2seq_realm_training_step() -> None:
+    """T5 seq2seq reader in a Realm system (BASELINE config #5 shape)."""
+    from vod_tpu.models.seq2seq import Seq2SeqRealm
+    from vod_tpu.models.t5_encoder import T5EncoderConfig
+
+    rng = np.random.default_rng(7)
+    b, d, lm_len = 2, 3, 12
+    batch = _toy_batch(rng, b=b, d=d, lm_len=lm_len)
+    # token_type_ids: first 8 tokens context/question, last 4 answer
+    tt = np.zeros((b, d, lm_len), dtype="int32")
+    tt[..., 8:] = 2
+    batch = batch.replace(lm__token_type_ids=jnp.asarray(tt))
+
+    model = Seq2SeqRealm(
+        cfg=_toy_cfg(),
+        reader_cfg=T5EncoderConfig(
+            vocab_size=100, hidden_size=32, num_layers=1, num_heads=2, head_dim=16,
+            intermediate_size=64, relative_attention_num_buckets=8,
+            relative_attention_max_distance=16, dtype=jnp.float32,
+        ),
+        gradients=VodGradients(alpha=0.5),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch, mode="evaluate")
+    out = model.apply(params, batch, mode="evaluate")
+    assert np.isfinite(float(out.loss))
+    # gradients flow through retriever AND reader
+    g = jax.grad(lambda p: model.apply(p, batch, mode="evaluate").loss)(params)
+    leaves = jax.tree_util.tree_flatten_with_path(g)[0]
+    reader_norm = sum(float(jnp.abs(v).sum()) for k, v in leaves if "reader" in jax.tree_util.keystr(k))
+    enc_norm = sum(float(jnp.abs(v).sum()) for k, v in leaves if "'encoder'" in jax.tree_util.keystr(k))
+    assert reader_norm > 0 and enc_norm > 0
