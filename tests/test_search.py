@@ -329,3 +329,20 @@ def test_factory_build_and_cache(tmp_path) -> None:
     out1 = pq_search(engines.dense, q, top_k=5)
     out2 = pq_search(engines2.dense, q, top_k=5)
     assert np.array_equal(np.asarray(out1.indices), np.asarray(out2.indices))
+
+
+def test_pq_from_host_matches_device_build() -> None:
+    from vod_tpu.search import build_pq_index_from_host
+    rng = np.random.default_rng(12)
+    corpus = _corpus(rng, 1200, 32)
+    q = _corpus(rng, 4, 32)
+    idx = build_pq_index_from_host(
+        jax.random.PRNGKey(0), corpus, n_subquantizers=8, coarse_dim=16,
+        n_candidates=256, train_size=1200, kmeans_iters=3, slab=500,
+    )
+    out = pq_search(idx, SearchQueries(vector=jnp.asarray(q)), top_k=10)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :10]
+    got = np.asarray(out.indices)
+    recall = np.mean([len(set(got[i]) & set(expected[i])) / 10 for i in range(4)])
+    assert recall >= 0.4, recall  # PQ8 on random data; just checks the slab path works
+    assert np.all(got < 1200)

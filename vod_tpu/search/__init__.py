@@ -2,7 +2,15 @@
 MIPS, Elasticsearch BM25, Qdrant — with device-resident JAX indexes)."""
 
 from .base import SearchQueries, subset_mask
-from .dense import DenseIndex, IVFIndex, PQIndex, build_dense_index, build_ivf_index, build_pq_index
+from .dense import (
+    DenseIndex,
+    IVFIndex,
+    PQIndex,
+    build_dense_index,
+    build_ivf_index,
+    build_pq_index,
+    build_pq_index_from_host,
+)
 from .lookup import lookup_search
 from .sharded import ShardedDenseIndex, build_sharded_dense_index, sharded_dense_search
 from .sparse import SparseIndex, build_sparse_index, sparse_search
@@ -19,6 +27,7 @@ __all__ = [
     "build_dense_index",
     "build_ivf_index",
     "build_pq_index",
+    "build_pq_index_from_host",
     "build_sharded_dense_index",
     "build_sparse_index",
     "hybrid_search",

@@ -450,3 +450,77 @@ def ivf_search(
     ok = jnp.isfinite(top_s)
     top_i = jnp.where(ok, top_i + index.offset, -1)
     return RetrievalBatch(scores=jnp.where(ok, top_s, -jnp.inf), indices=top_i)
+
+
+def build_pq_index_from_host(
+    rng: jax.Array,
+    vectors_np,  # numpy [N, D] (host RAM; may exceed HBM)
+    *,
+    n_subquantizers: int = 32,
+    coarse_dim: int = 32,
+    n_candidates: int = 1024,
+    train_size: int = 500_000,
+    kmeans_iters: int = 10,
+    use_opq: bool = False,
+    slab: int = 1_000_000,
+    subset_ids: typ.Optional[jax.Array] = None,
+    offset: int = 0,
+) -> PQIndex:
+    """PQ build for corpora larger than device HBM: train on a sample, then
+    encode host slabs on device one at a time (parity: faiss's chunked
+    train+add, `faiss_search/build.py:51-81`). Only the compressed codes
+    (M + coarse_dim bytes/row) ever accumulate on device."""
+    import numpy as np
+
+    from vod_tpu.ops import pq as pq_ops
+
+    n_real, d = vectors_np.shape
+    train = jnp.asarray(np.ascontiguousarray(vectors_np[:train_size]), dtype=jnp.float32)
+
+    rotation = None
+    if use_opq:
+        rotation, codebooks = pq_ops.train_opq(
+            rng, train, n_subquantizers, n_iters=4, kmeans_iters=max(2, kmeans_iters // 2)
+        )
+        train_rot = train @ rotation
+    else:
+        train_rot = train
+        codebooks = pq_ops.train_pq(rng, train_rot, n_subquantizers, n_iters=kmeans_iters)
+    proj, _mean = pq_ops.train_projection(train_rot, coarse_dim)
+    coarse_sample = train_rot @ proj
+    coarse_absmax = jnp.max(jnp.abs(coarse_sample), axis=0, keepdims=True)
+    coarse_scale = jnp.maximum(coarse_absmax, 1e-8) / 127.0
+    del train, train_rot, coarse_sample
+
+    @jax.jit
+    def encode_slab(x):
+        xr = x @ rotation if rotation is not None else x
+        codes = pq_ops.encode_pq(codebooks, xr)
+        coarse = jnp.clip(jnp.round((xr @ proj) / coarse_scale), -127, 127).astype(jnp.int8)
+        return codes, coarse
+
+    pad_multiple = _auto_pad_multiple(n_real, None)
+    n_pad = -(-n_real // pad_multiple) * pad_multiple
+    codes_np = np.zeros((n_pad, n_subquantizers), np.uint8)
+    coarse_np = np.zeros((n_pad, coarse_dim), np.int8)
+    for s0 in range(0, n_real, slab):
+        x = jnp.asarray(np.ascontiguousarray(vectors_np[s0 : s0 + slab]), dtype=jnp.float32)
+        c, cc = encode_slab(x)
+        codes_np[s0 : s0 + x.shape[0]] = np.asarray(c)
+        coarse_np[s0 : s0 + x.shape[0]] = np.asarray(cc)
+        del x
+
+    if subset_ids is not None:
+        subset_ids = _pad_rows(subset_ids.astype(jnp.int32)[:, None], pad_multiple)[:, 0]
+    return PQIndex(
+        codebooks=codebooks,
+        codes=jax.device_put(codes_np),
+        coarse_codes=jax.device_put(coarse_np),
+        coarse_scale=coarse_scale,
+        proj=proj,
+        rotation=rotation,
+        subset_ids=subset_ids,
+        n_real=n_real,
+        offset=offset,
+        n_candidates=n_candidates,
+    )
