@@ -209,6 +209,50 @@ def _scan_topk(
     return top_s, top_i
 
 
+def _scan_collect_topk(
+    score_chunk_fn: typ.Callable[[jax.Array], jax.Array],
+    n_rows: int,
+    n_real: int,
+    batch: int,
+    top_k: int,
+    chunk: int,
+    per_chunk_k: typ.Optional[int] = None,
+    approx_recall: typ.Optional[float] = 0.95,
+) -> tuple[jax.Array, jax.Array]:
+    """Candidate selection for LARGE k (e.g. the PQ coarse stage's thousands of
+    candidates): a running top-k carry would re-sort a k-wide buffer per chunk
+    (measured 6 s/query-batch at 8.8M with k=8192). Instead: per-chunk keep a
+    PROPORTIONAL share (oversampled ~2x), stack, and do ONE final top-k — the
+    standard distributed-top-k approximation (each global winner is almost
+    surely in its chunk's proportional top share)."""
+    n_chunks = n_rows // chunk
+    if per_chunk_k is None:
+        per_chunk_k = min(chunk, max(128, -(-2 * top_k // n_chunks)))
+
+    def body(_, ci):
+        start = ci * chunk
+        s = score_chunk_fn(start)
+        row_ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        s = jnp.where(row_ids < n_real, s, -jnp.inf)
+        if approx_recall is not None:
+            c_s, c_pos = jax.lax.approx_max_k(s, per_chunk_k, recall_target=approx_recall)
+        else:
+            c_s, c_pos = jax.lax.top_k(s, per_chunk_k)
+        return None, (c_s, start + c_pos.astype(jnp.int32))
+
+    _, (all_s, all_i) = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    all_s = jnp.moveaxis(all_s, 0, 1).reshape(batch, n_chunks * per_chunk_k)
+    all_i = jnp.moveaxis(all_i, 0, 1).reshape(batch, n_chunks * per_chunk_k)
+    k_eff = min(top_k, all_s.shape[-1])
+    top_s, pos = jax.lax.top_k(all_s, k_eff)
+    top_i = jnp.take_along_axis(all_i, pos, axis=-1)
+    if k_eff < top_k:
+        pad = top_k - k_eff
+        top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        top_i = jnp.pad(top_i, ((0, 0), (0, pad)), constant_values=-1)
+    return top_s, jnp.where(jnp.isfinite(top_s), top_i, -1)
+
+
 def dense_search(
     index: DenseIndex,
     queries: SearchQueries,
@@ -319,7 +363,7 @@ def pq_search(
             s = jnp.where(ok, s, -jnp.inf)
         return s
 
-    cand_s, cand_i = _scan_topk(score_chunk, n, index.n_real, b, n_cand, chunk, approx_recall=0.95)
+    cand_s, cand_i = _scan_collect_topk(score_chunk, n, index.n_real, b, n_cand, chunk)
 
     # Stage 2: ADC rescore of the candidates (tiny gather: B * n_cand * M bytes).
     safe_i = jnp.clip(cand_i, 0, n - 1)
