@@ -117,6 +117,13 @@ def build_pq_index(
 
     Memory: M bytes/vector (codes) + coarse_dim bytes/vector (int8 coarse) —
     e.g. M=32, coarse_dim=32 is 64 B/vector vs faiss PQ32x8's 32 B + IVF lists.
+
+    CAUTION: size `coarse_dim` to the data's spectrum. The coarse PCA filter
+    works because real embedding matrices concentrate variance in the top
+    directions; on near-isotropic vectors a small coarse_dim keeps ~coarse_dim/d
+    of the variance and candidate recall collapses (measured: 32/768 on i.i.d.
+    gaussians -> recall@10 0.009 — faiss PQ32 degrades identically there).
+    Rule of thumb: coarse_dim >= the #components covering ~60% variance.
     """
     n_real = int(vectors.shape[0])
     pad_multiple = _auto_pad_multiple(n_real, pad_multiple)
