@@ -281,3 +281,141 @@ def test_seq2seq_realm_training_step() -> None:
     reader_norm = sum(float(jnp.abs(v).sum()) for k, v in leaves if "reader" in jax.tree_util.keystr(k))
     enc_norm = sum(float(jnp.abs(v).sum()) for k, v in leaves if "'encoder'" in jax.tree_util.keystr(k))
     assert reader_norm > 0 and enc_norm > 0
+
+
+def _vod_batch(scores, rel, log_w, lse_pos, lse_neg):
+    """Minimal RealmBatch for direct gradient-estimator calls (token fields unused)."""
+    b, d = scores.shape
+    dummy_q = jnp.ones((b, 4), dtype="int32")
+    dummy_s = jnp.ones((b * d, 4), dtype="int32")
+    return RealmBatch(
+        query__input_ids=dummy_q,
+        query__attention_mask=dummy_q,
+        section__input_ids=dummy_s,
+        section__attention_mask=dummy_s,
+        section__relevance=jnp.asarray(rel),
+        section__idx=jnp.zeros((b, d), dtype="int32"),
+        section__score=jnp.asarray(scores),
+        section__sparse=jnp.full((b, d), jnp.nan, dtype="float32"),
+        section__log_weight=jnp.asarray(log_w),
+        section__lse_pos=jnp.asarray(lse_pos),
+        section__lse_neg=jnp.asarray(lse_neg),
+    )
+
+
+def test_vod_gradients_exact_on_full_support() -> None:
+    """With every candidate sampled, VOD's log Z_hat must equal logsumexp(f) exactly,
+    so the retriever-only loss equals the brute-force softmax CE over the candidates.
+
+    This is the regression test for the per-group proposal normalizers
+    (section__lse_pos/neg): self-normalized group weights alone mis-weight
+    positives vs negatives; adding lse_g makes the estimator exact here.
+    """
+    rng = np.random.default_rng(7)
+    b, d, n_pos = 3, 6, 2
+    s = rng.normal(size=(b, d)).astype("float32")  # proposal scores
+    f = rng.normal(size=(b, d)).astype("float32")  # retriever scores
+    rel = np.zeros((b, d), dtype="float32")
+    rel[:, :n_pos] = 1.0
+
+    # Full-support sampling weights: log_softmax of s within each label group.
+    def lsm(x):
+        return x - np.log(np.sum(np.exp(x)))
+
+    log_w = np.zeros_like(s)
+    for i in range(b):
+        log_w[i, :n_pos] = lsm(s[i, :n_pos])
+        log_w[i, n_pos:] = lsm(s[i, n_pos:])
+    lse_pos = np.log(np.sum(np.exp(s[:, :n_pos]), axis=-1)).astype("float32")
+    lse_neg = np.log(np.sum(np.exp(s[:, n_pos:]), axis=-1)).astype("float32")
+
+    batch = _vod_batch(s, rel, log_w, lse_pos, lse_neg)
+    q = jnp.ones((b, 1), dtype="float32")
+    sec = jnp.asarray(f)[..., None]  # H=1 -> retriever scores == f
+
+    loss = float(VodGradients()(batch=batch, query_encoding=q, section_encoding=sec).loss)
+    log_z = np.log(np.sum(np.exp(f), axis=-1))
+    exact = float(np.mean(-(np.mean(f[:, :n_pos], axis=-1) - log_z)))
+    np.testing.assert_allclose(loss, exact, rtol=2e-5)
+
+    # Without the group normalizers (lse = 0) the estimate must differ.
+    batch0 = _vod_batch(s, rel, log_w, np.zeros(b, "float32"), np.zeros(b, "float32"))
+    loss0 = float(VodGradients()(batch=batch0, query_encoding=q, section_encoding=sec).loss)
+    assert abs(loss0 - exact) > 1e-3
+
+
+def test_vod_logz_consistent_under_subsampling() -> None:
+    """E[Z_hat] over sampling draws approaches the true partition function Z."""
+    from vod_tpu.ops.sample import labeled_priority_sampling
+
+    rng = np.random.default_rng(11)
+    n, k_total, trials = 64, 8, 512
+    s = rng.normal(size=(n,)).astype("float32")
+    f = (s + 0.3 * rng.normal(size=(n,))).astype("float32")
+    labels = np.zeros((n,), dtype=bool)
+    labels[0] = True  # single positive, always drawn into slot 0
+
+    keys = jax.random.split(jax.random.PRNGKey(3), trials)
+    s_b = jnp.broadcast_to(jnp.asarray(s), (trials, n))
+    l_b = jnp.broadcast_to(jnp.asarray(labels), (trials, n))
+    ids, log_w, out_labels, lse = labeled_priority_sampling(
+        jax.random.PRNGKey(3), s_b, l_b, k_positive=1, k_total=k_total
+    )
+    safe = jnp.clip(ids, 0, n - 1)
+    pad = ids < 0
+    s_s = jnp.where(pad, -jnp.inf, jnp.asarray(s)[safe])
+    f_s = jnp.asarray(f)[safe]
+
+    def row_loss(s_row, rel_row, lw_row, lse_row, f_row):
+        batch = _vod_batch(
+            s_row[None], rel_row[None].astype(jnp.float32), lw_row[None],
+            lse_row[0][None], lse_row[1][None],
+        )
+        q = jnp.ones((1, 1), dtype="float32")
+        return VodGradients()(batch=batch, query_encoding=q, section_encoding=f_row[None, :, None]).loss
+
+    losses = jax.vmap(row_loss)(s_s, out_labels, log_w, lse, f_s)
+    # single positive: loss_row = log Z_hat - f_pos
+    log_z_hat = np.asarray(losses) + f[0]
+    z_bar = float(np.mean(np.exp(log_z_hat)))
+    z_true = float(np.sum(np.exp(f)))
+    assert abs(z_bar - z_true) / z_true < 0.15, (z_bar, z_true)
+
+
+def test_in_batch_negatives_cross_query_sections_get_gradient() -> None:
+    """Cross-query pool sections must act as live negatives, not padding."""
+    from vod_tpu.ops.in_batch_negatives import flatten_samples
+    from vod_tpu.ops.sample import PrioritySampledSections
+    from vod_tpu.types.retrieval import RetrievalBatch as RB
+
+    samples = PrioritySampledSections(
+        batch=RB(
+            indices=jnp.asarray([[0, 1], [2, 3]], dtype=jnp.int32),
+            scores=jnp.asarray([[1.0, 0.5], [0.9, 0.4]], dtype=jnp.float32),
+            labels=jnp.asarray([[1, 0], [1, 0]], dtype=jnp.int32),
+        ),
+        log_weights=jnp.log(jnp.asarray([[0.6, 0.4], [0.7, 0.3]], dtype=jnp.float32)),
+        max_sampling_id=jnp.zeros((2,), dtype=jnp.float32),
+        lse_pos=jnp.zeros((2,), dtype=jnp.float32),
+        lse_neg=jnp.zeros((2,), dtype=jnp.float32),
+        raw_scores={},
+    )
+    flat = flatten_samples(samples)
+    # disjoint ids -> a full 4-wide pool; every (query, section) score is finite
+    assert np.isfinite(np.asarray(flat.scores)).all()
+    # absent pairs are filled at row_min - 1, strictly below retrieved scores
+    assert float(flat.scores[0, 2]) == pytest.approx(0.5 - 1.0)
+
+    b, u, h = 2, 4, 4
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(b, h)).astype("float32"))
+    e = jnp.asarray(rng.normal(size=(b, u, h)).astype("float32"))
+    batch = _vod_batch(flat.scores, flat.labels.astype(jnp.float32), flat.log_weights,
+                       flat.lse_pos, flat.lse_neg)
+
+    g = jax.grad(
+        lambda e_: RetrievalGradients()(batch=batch, query_encoding=q, section_encoding=e_).loss
+    )(e)
+    # query 0 never retrieved pool ids 2,3 (positions 2,3) -> they must still get gradient
+    assert float(jnp.abs(g[0, 2:]).sum()) > 0.0
+    assert float(jnp.abs(g[1, :2]).sum()) > 0.0

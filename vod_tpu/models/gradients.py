@@ -202,10 +202,17 @@ class VodGradients(Gradients):
 
     With priority-sampled sections S, self-normalized weights
     `w_i = exp(section__log_weight_i)` (sum to 1 per label group) approximating
-    expectations under the proposal `p_s(z) ∝ exp(s_z)` (s = `section__score`),
-    importance-corrected posterior weights are
+    expectations under the per-group proposal `q_g(z) = exp(s_z) / exp(lse_g)`
+    (s = `section__score`; lse_g = `section__lse_pos/neg`, the group's proposal
+    log-mass), the groups are first recombined with their proposal masses
 
-        v_i = softmax_i(log w_i + f_i - s_i)        (f = retriever scores)
+        log w~_i = log w_i + lse_{g(i)}
+
+    (without this, positives — whose group mass is typically far smaller — would
+    be over-weighted relative to negatives). Importance-corrected posterior
+    weights are then
+
+        v_i = softmax_i(log w~_i + f_i - s_i)       (f = retriever scores)
 
     and the Rényi bound on the marginal likelihood is estimated as
 
@@ -216,13 +223,19 @@ class VodGradients(Gradients):
     `RetrievalGradients`, but with the partition function estimated over the
     sampled support via the same importance correction:
 
-        log Z_hat = logsumexp_i(log w_i + f_i - s_i) + lse_group
+        log Z_hat = logsumexp_i(log w~_i + f_i - s_i)
+                  = logsumexp_g(lse_g + logsumexp_{i in g}(log w_i + f_i - s_i))
 
-    using `section__lse_pos/lse_neg` as the per-group proposal normalizers.
+    which is exact when every candidate is sampled (then log w_i = s_i - lse_g
+    and log Z_hat = logsumexp_i(f_i)).
     """
 
-    def __init__(self, alpha: float = 0.0):
+    def __init__(self, alpha: float = 0.0, proposal_temperature: float = 1.0):
         self.alpha = alpha
+        # The sampler's proposal is q_g(z) ∝ exp(beta * s_z) with beta =
+        # `temperature` in `labeled_priority_sampling`; the correction must
+        # subtract the same beta * s. Keep in sync with the collate config.
+        self.proposal_temperature = proposal_temperature
 
     def __call__(
         self,
@@ -239,8 +252,18 @@ class VodGradients(Gradients):
         s = batch.section__score
         if log_w is None:
             raise ValueError("VodGradients requires section__log_weight (priority sampling)")
-        # importance correction: log w + f - s over the sampled support
-        corr = jnp.where(is_padding, -jnp.inf, log_w + f - jnp.where(is_padding, 0.0, s))
+        # Recombine the per-group self-normalized weights with their proposal
+        # masses (lse_pos/lse_neg): log w~ = log w + lse_{g(i)}. Items never
+        # sampled (log_w = -inf, e.g. cross-query in-batch negatives) stay out.
+        if batch.section__lse_pos is not None and batch.section__lse_neg is not None:
+            is_pos = batch.section__relevance > 0
+            lse_g = jnp.where(
+                is_pos, batch.section__lse_pos[..., None], batch.section__lse_neg[..., None]
+            )
+            log_w = log_w + jnp.where(jnp.isfinite(lse_g), lse_g, 0.0)
+        # importance correction: log w~ + f - beta*s over the sampled support
+        beta = self.proposal_temperature
+        corr = jnp.where(is_padding, -jnp.inf, log_w + f - beta * jnp.where(is_padding, 0.0, s))
 
         if lm_logits is not None:
             b, d = f.shape

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from vod_tpu.types.retrieval import RetrievalBatch
-from .numpy_ops import gather_values_by_indices
+from .numpy_ops import fill_nans_with_min, gather_values_by_indices
 from .sample import PrioritySampledSections
 
 
@@ -24,7 +24,7 @@ class FlatSampledSections:
     """A shared section pool: ids [U]; per-query channels [B, U]."""
 
     pool_ids: jax.Array  # [U] int32, -1 padding
-    scores: jax.Array  # [B, U], -inf where the query did not retrieve the id
+    scores: jax.Array  # [B, U]; absent (query, id) pairs get row_min - 1, -inf only at pool padding
     labels: jax.Array  # [B, U] int32 (0 = negative)
     log_weights: jax.Array  # [B, U], -inf where absent
     raw_scores: dict[str, jax.Array]
@@ -44,8 +44,13 @@ def flatten_samples(samples: PrioritySampledSections) -> FlatSampledSections:
     pool = pool[order]
 
     pool_b = jnp.broadcast_to(pool[None, :], (b, u))
+    # (query, id) pairs the query did not retrieve gather as NaN; fill them with
+    # row_min - 1 (reference `fill_nans_with_min` semantics) so downstream
+    # padding masks (score == -inf) keep them as LIVE in-batch negatives.
+    # Only pool padding (-1 ids) stays -inf.
     scores = gather_values_by_indices(pool_b, indices, samples.batch.scores)
-    scores = jnp.where(jnp.isnan(scores) | (pool_b < 0), -jnp.inf, scores)
+    scores = fill_nans_with_min(scores)
+    scores = jnp.where(pool_b < 0, -jnp.inf, scores)
     labels = gather_values_by_indices(pool_b, indices, samples.batch.labels, fill_value=0)
     labels = jnp.where(pool_b < 0, 0, labels)
     log_w = gather_values_by_indices(pool_b, indices, samples.log_weights)
