@@ -195,7 +195,7 @@ def test_config_diff_algebra_and_faiss_translation() -> None:
     c = DenseFactoryConfig.from_faiss_factory("OPQ32_512,IVFauto,PQ32x8", train_size=1_000_000)
     assert c.codec == "pq" and c.n_subquantizers == 32 and c.train_size == 1_000_000
     assert DenseFactoryConfig.from_faiss_factory("Flat").dtype == "float32"
-    assert DenseFactoryConfig.from_faiss_factory("IVFauto,Flat").codec == "flat"
+    assert DenseFactoryConfig.from_faiss_factory("IVFauto,Flat").codec == "ivf"
 
     c2 = c + {"n_candidates": 4096}
     assert c2.n_candidates == 4096 and c2.codec == "pq"
@@ -272,3 +272,43 @@ def test_loggers_and_chrono(tmp_path) -> None:
         ch.stop()
     assert diag["stage_time"] >= 0
     assert ch.get_avg_lap_time() >= 0
+
+
+def test_analyzer_unicode_lowercase_parity() -> None:
+    """Non-ASCII uppercase text hashes to the same term ids in the native C++
+    and pure-Python analyzers (full-Unicode lowercasing happens host-side)."""
+    from vod_tpu.native import loader
+
+    texts = ["ÉDUCATION Nationale Française", "МОСКВА и Река", "Großstraße ÜBER"]
+    native_ids, native_counts = loader.analyze_texts(texts, use_stopwords=False)
+    lowered = [t.lower() for t in texts]
+    # the pure-python path, forced
+    py_ids = np.full_like(native_ids, -1)
+    py_counts = np.zeros_like(native_counts)
+    for i, t in enumerate(lowered):
+        ids = loader._py_analyze(t, 1 << 18, 2, False, native_ids.shape[1])
+        py_counts[i] = len(ids)
+        py_ids[i, : len(ids)] = ids
+    if loader.native_available():
+        assert np.array_equal(native_counts, py_counts)
+        assert np.array_equal(native_ids, py_ids)
+    else:  # no g++: both paths are the python one — trivially equal
+        assert np.array_equal(native_ids, py_ids)
+
+
+def test_stopwords_33_language_parity() -> None:
+    """Every language in the reference's map (`es_body.py:32`) resolves to a
+    stopword list (ja/zh intentionally empty — segmenting-analyzer de-scope)."""
+    from vod_tpu.native.stopwords import LANGUAGES_MAP, STOPWORDS, normalize_language
+
+    assert len(LANGUAGES_MAP) == 31
+    for code, name in LANGUAGES_MAP.items():
+        assert normalize_language(code) == name
+        assert name in STOPWORDS, name
+    # filtering actually removes a french stopword by hashed id
+    from vod_tpu.native.loader import analyze_texts, fnv1a_id
+
+    ids, counts = analyze_texts(["le chat est sur la table"], language="fr", use_stopwords=False)
+    kept = set(ids[0, : counts[0]].tolist())
+    assert fnv1a_id("le", 1 << 18) not in kept
+    assert fnv1a_id("chat", 1 << 18) in kept

@@ -129,3 +129,80 @@ def test_realm_config_driven_training_with_vod() -> None:
     out = run_experiment(exp, sections=sections, queries=queries, tokenizer=tok)
     assert out["state"].step == 3
     assert np.isfinite(out["history"][0]["train"]["loss"])
+
+
+def test_periodic_training_rebuilds_pq_and_accumulates(monkeypatch) -> None:
+    """The flagship config shape: `codec: pq` + `accumulate_grad_batches: 2`
+    must actually rebuild a PQIndex each period and run accumulated steps
+    (regression: round-1 silently downgraded pq -> flat and never accumulated)."""
+    from vod_tpu.exps import recipes as recipes_mod
+    from vod_tpu.exps.cli import run_experiment
+    from vod_tpu.search.dense import PQIndex
+
+    built_types = []
+    orig = recipes_mod.build_dense_from_config
+
+    def spy(cfg, emb, **kw):
+        idx = orig(cfg, emb, **kw)
+        built_types.append(type(idx))
+        return idx
+
+    monkeypatch.setattr(recipes_mod, "build_dense_from_config", spy)
+
+    tok = tiny_tokenizer()
+    sections, queries = _toy_data(n_sections=24, n_queries=24)
+    exp = Experiment.parse({
+        "model": {
+            "kind": "ranker", "gradients": "retrieval",
+            "vocab_size": tok.vocab_size, "hidden_size": 32, "num_layers": 1,
+            "num_heads": 2, "intermediate_size": 64,
+        },
+        "tokenizer": {"max_length": 16},
+        "collate": {"prefetch_n_sections": 8, "n_sections": 2, "max_pos_sections": 1},
+        "dataloader": {"batch_size": 4},
+        "search_defaults": {
+            "dense": {"codec": "pq", "n_subquantizers": 4, "coarse_dim": 8,
+                      "n_candidates": 24, "kmeans_iters": 2},
+        },
+        "trainer": {"max_steps": 4, "period": 2, "accumulate_grad_batches": 2,
+                    "log_interval": 1},
+    })
+    out = run_experiment(exp, sections=sections, queries=queries, tokenizer=tok)
+    assert out["state"].step == 4
+    assert built_types and all(t is PQIndex for t in built_types)
+    assert len(built_types) == 2  # one rebuild per period
+
+
+def test_cli_resume_from(tmp_path) -> None:
+    """`resume_from` restores params/opt/trainer state and continues training
+    (parity: reference `train.py:38-47`)."""
+    from vod_tpu.exps.cli import main, run_experiment
+
+    tok = tiny_tokenizer()
+    sections, queries = _toy_data(n_sections=16, n_queries=16)
+    raw = {
+        "model": {
+            "kind": "ranker", "gradients": "retrieval",
+            "vocab_size": tok.vocab_size, "hidden_size": 32, "num_layers": 1,
+            "num_heads": 2, "intermediate_size": 64,
+        },
+        "tokenizer": {"max_length": 16},
+        "collate": {"prefetch_n_sections": 8, "n_sections": 2, "max_pos_sections": 1},
+        "dataloader": {"batch_size": 4},
+        "trainer": {"max_steps": 2, "period": 2, "log_interval": 1,
+                    "checkpoint_path": str(tmp_path / "run")},
+    }
+    exp = Experiment.parse(raw)
+    out1 = run_experiment(exp, sections=sections, queries=queries, tokenizer=tok)
+    assert out1["state"].step == 2
+    assert (tmp_path / "run" / "period-0" / "trainer_state.json").exists()
+    assert (tmp_path / "run" / "config.json").exists()
+
+    # resume with a raised step budget: continues from step 2, not from 0
+    raw2 = {**raw, "trainer": {**raw["trainer"], "max_steps": 4}}
+    out2 = run_experiment(
+        Experiment.parse(raw2), sections=sections, queries=queries, tokenizer=tok,
+        resume_from=str(tmp_path / "run"),
+    )
+    assert out2["state"].step == 4
+    assert len(out2["history"]) == 1  # only the remaining period ran

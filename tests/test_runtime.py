@@ -323,3 +323,87 @@ def test_compute_embeddings_dp_sharded() -> None:
     emb_sharded = compute_embeddings(encode, params, corpus, chunk=16, mesh=mesh)
     emb_plain = compute_embeddings(encode, params, corpus, chunk=16)
     assert np.allclose(np.asarray(emb_sharded), np.asarray(emb_plain), atol=1e-5)
+
+
+def test_training_loop_runs_accumulation() -> None:
+    """accumulate_grad_batches > 1 routes the loop through `train_step_accum`:
+    N micro-batches per optimizer step (parity: `loops/train.py:76-86`)."""
+    from vod_tpu.runtime.train import training_loop
+
+    rng = np.random.default_rng(21)
+    corpus, make_queries = _make_task(rng, n_corpus=64)
+    cfg = TransformerEncoderConfig(
+        vocab_size=VOCAB, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+        dtype=jnp.float32,
+        pooler=VodPoolerConfig(agg_method="mean", output_norm="l2", scaler=8.0),
+    )
+    model = Ranker(cfg=cfg, gradients=RetrievalGradients())
+    tx = optax.adam(1e-3)
+    step_fn = make_train_step(
+        model, tx, prefetch=8, n_sections=2, max_pos_sections=1,
+        accumulate_grad_batches=2,
+    )
+    emb = jnp.asarray(np.random.default_rng(1).normal(size=(corpus.size, 32)), dtype=jnp.float32)
+    engines = HybridEngines(dense=build_dense_index(emb, dtype="float32"))
+    q0 = make_queries(4, 0)
+    init_batch, _ = device_collate(
+        jax.random.PRNGKey(0), engines, corpus, q0,
+        query_vectors=jnp.zeros((4, 32)), prefetch=8, n_sections=2, max_pos_sections=1,
+    )
+    params = model.init(jax.random.PRNGKey(0), init_batch, mode="evaluate")
+    opt_state = tx.init(params)
+
+    calls = {"accum": 0, "plain": 0}
+    orig_accum, orig_plain = step_fn.train_step_accum, step_fn.train_step
+
+    def spy_accum(*a, **k):
+        calls["accum"] += 1
+        assert len(a[4]) == 2  # micro_batches
+        return orig_accum(*a, **k)
+
+    def spy_plain(*a, **k):
+        calls["plain"] += 1
+        return orig_plain(*a, **k)
+
+    step_fn.train_step_accum = spy_accum
+    step_fn.train_step = spy_plain
+
+    state = TrainerState(max_steps=3)
+    batches = [make_queries(4, s) for s in range(10)]  # 3 steps consume 6
+    params, opt_state, state, last = training_loop(
+        step_fn=step_fn, params=params, opt_state=opt_state, engines=engines,
+        corpus=corpus, train_queries=iter(batches), state=state,
+        rng=jax.random.PRNGKey(2), log_interval=1, prefetch_batches=0,
+    )
+    assert state.step == 3
+    assert calls["accum"] == 3 and calls["plain"] == 0
+    assert np.isfinite(last["loss"])
+
+
+def test_monitor_device_resident_and_correct() -> None:
+    """RetrievalMonitor accumulates on device (no per-step host floats) and its
+    NaN-aware mean matches a numpy recomputation."""
+    from vod_tpu.models.monitoring import RetrievalMonitor, retrieval_metrics
+
+    mon = RetrievalMonitor(["mrr", "recall_2", "kldiv"])
+    rng = np.random.default_rng(3)
+    all_rel, all_scores = [], []
+    for _ in range(4):
+        rel = (rng.random((5, 6)) < 0.3).astype("float32")
+        sc = rng.normal(size=(5, 6)).astype("float32")
+        all_rel.append(rel)
+        all_scores.append(sc)
+        mon.update(relevances=jnp.asarray(rel), scores=jnp.asarray(sc))
+        # state stays on device between updates
+        for s, c in mon._state.values():
+            assert isinstance(s, jax.Array) and isinstance(c, jax.Array)
+    got = mon.compute()
+    vals = retrieval_metrics(
+        ["mrr", "recall_2", "kldiv"],
+        relevances=jnp.asarray(np.concatenate(all_rel)),
+        scores=jnp.asarray(np.concatenate(all_scores)),
+    )
+    for m, v in vals.items():
+        v = np.asarray(v)
+        expected = float(np.nanmean(v)) if np.any(~np.isnan(v)) else float("nan")
+        assert np.isclose(got[m], expected, atol=1e-5, equal_nan=True), m

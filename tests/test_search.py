@@ -346,3 +346,169 @@ def test_pq_from_host_matches_device_build() -> None:
     recall = np.mean([len(set(got[i]) & set(expected[i])) / 10 for i in range(4)])
     assert recall >= 0.4, recall  # PQ8 on random data; just checks the slab path works
     assert np.all(got < 1200)
+
+
+def test_exact_topk_reachable_from_config() -> None:
+    """approx_recall=None (faiss-Flat exactness parity) flows from the factory
+    config through the index into the scan."""
+    from vod_tpu.configs.search import DenseFactoryConfig
+    from vod_tpu.search.factory import build_dense_from_config
+
+    rng = np.random.default_rng(11)
+    n, d, b, k = 1500, 32, 4, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    cfg = DenseFactoryConfig(codec="flat", dtype="float32", approx_recall=None)
+    index = build_dense_from_config(cfg, jnp.asarray(corpus))
+    assert index.approx_recall is None
+    out = dense_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=256)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+    got = np.asarray(out.indices)
+    for i in range(b):
+        assert set(got[i].tolist()) == set(expected[i].tolist())
+
+
+def test_sharded_int8_matches_unsharded() -> None:
+    """The sharded engine's int8-MXU path returns the same ids as the
+    single-device int8 engine (exact per-shard selection)."""
+    from vod_tpu.parallel import make_mesh
+
+    mesh = make_mesh((8,), ("shard",))
+    rng = np.random.default_rng(12)
+    n, d, b, k = 3000, 32, 4, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    flat = build_dense_index(jnp.asarray(corpus), dtype="int8", approx_recall=None)
+    ref = dense_search(flat, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=256)
+    sharded = build_sharded_dense_index(
+        jnp.asarray(corpus), mesh, dtype="int8", approx_recall=None
+    )
+    out = sharded_dense_search(sharded, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=128)
+    ref_i, got_i = np.asarray(ref.indices), np.asarray(out.indices)
+    for i in range(b):
+        # identical quantization + exact selection -> identical id sets
+        assert set(got_i[i].tolist()) == set(ref_i[i].tolist())
+    assert np.allclose(np.asarray(out.scores), np.asarray(ref.scores), atol=1e-4)
+
+
+def test_sharded_pq_matches_unsharded() -> None:
+    """ShardedPQIndex (codes row-sharded, codebooks replicated) returns the same
+    ids as the unsharded PQ engine when candidates cover all rows."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import shard_pq_index, sharded_pq_search
+
+    mesh = make_mesh((8,), ("shard",))
+    rng = np.random.default_rng(13)
+    n, d, b, k = 3000, 32, 4, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    pq = build_pq_index(
+        jax.random.PRNGKey(0), jnp.asarray(corpus),
+        n_subquantizers=8, coarse_dim=16, n_candidates=n, kmeans_iters=4,
+        approx_recall=None,
+    )
+    ref = pq_search(pq, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=256)
+    spq = shard_pq_index(pq, mesh)
+    out = sharded_pq_search(spq, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=128)
+    ref_i, got_i = np.asarray(ref.indices), np.asarray(out.indices)
+    for i in range(b):
+        # exhaustive candidates + exact selection -> identical ADC top-k id sets
+        assert set(got_i[i].tolist()) == set(ref_i[i].tolist()), i
+    assert np.allclose(np.asarray(out.scores), np.asarray(ref.scores), atol=1e-4)
+
+
+def test_sharded_pq_subset_filtering() -> None:
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import shard_pq_index, sharded_pq_search
+
+    mesh = make_mesh((8,), ("shard",))
+    rng = np.random.default_rng(14)
+    n, d, b, k = 2000, 32, 2, 16
+    corpus = _corpus(rng, n, d)
+    subsets = rng.integers(0, 4, size=n).astype("int32")
+    q = _corpus(rng, b, d)
+    pq = build_pq_index(
+        jax.random.PRNGKey(1), jnp.asarray(corpus),
+        n_subquantizers=8, coarse_dim=16, n_candidates=512, kmeans_iters=3,
+        subset_ids=jnp.asarray(subsets),
+    )
+    spq = shard_pq_index(pq, mesh)
+    allowed = jnp.asarray([[1, -1], [-1, -1]], dtype="int32")
+    out = sharded_pq_search(
+        spq, SearchQueries(vector=jnp.asarray(q), subset_ids=allowed), top_k=k, chunk=128
+    )
+    got = np.asarray(out.indices)
+    for x in got[0]:
+        if x >= 0:
+            assert subsets[x] == 1
+    assert np.all(got[1] >= 0)  # unfiltered row
+
+
+def test_factory_ivf_opq_sharded_reachable() -> None:
+    """Every DenseFactoryConfig codec knob builds the index type it names."""
+    from vod_tpu.configs.search import DenseFactoryConfig
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import ShardedDenseIndex, ShardedPQIndex
+    from vod_tpu.search.dense import IVFIndex, PQIndex
+    from vod_tpu.search.factory import build_dense_from_config
+
+    rng = np.random.default_rng(15)
+    corpus = jnp.asarray(_corpus(rng, 1000, 32))
+
+    ivf = build_dense_from_config(
+        DenseFactoryConfig(codec="ivf", n_clusters=8, nprobe=4, kmeans_iters=3), corpus
+    )
+    assert isinstance(ivf, IVFIndex) and ivf.centroids.shape[0] == 8
+
+    opq = build_dense_from_config(
+        DenseFactoryConfig(codec="pq", n_subquantizers=8, coarse_dim=8, use_opq=True,
+                           kmeans_iters=2, opq_iters=2),
+        corpus,
+    )
+    assert isinstance(opq, PQIndex) and opq.rotation is not None
+
+    mesh = make_mesh((8,), ("shard",))
+    sh = build_dense_from_config(
+        DenseFactoryConfig(codec="int8", sharded=True), corpus, mesh=mesh
+    )
+    assert isinstance(sh, ShardedDenseIndex) and sh.scale is not None
+
+    shpq = build_dense_from_config(
+        DenseFactoryConfig(codec="pq", n_subquantizers=8, coarse_dim=8, sharded=True,
+                           kmeans_iters=2),
+        corpus, mesh=mesh,
+    )
+    assert isinstance(shpq, ShardedPQIndex)
+
+
+def test_factory_faiss_string_ivf_and_opq() -> None:
+    from vod_tpu.configs.search import DenseFactoryConfig
+
+    cfg = DenseFactoryConfig.from_faiss_factory("OPQ32_64,IVFauto,PQ32x8")
+    assert cfg.codec == "pq" and cfg.use_opq and cfg.n_subquantizers == 32
+    cfg2 = DenseFactoryConfig.from_faiss_factory("IVF256,Flat")
+    assert cfg2.codec == "ivf" and cfg2.n_clusters == 256
+    cfg3 = DenseFactoryConfig.from_faiss_factory("IVFauto,Flat")
+    assert cfg3.codec == "ivf" and cfg3.n_clusters is None
+
+
+def test_factory_sparse_subset_ids_passthrough() -> None:
+    """`build_hybrid_engines` must not drop subset filtering for sparse."""
+    from vod_tpu.configs.search import HybridSearchFactoryConfig, SparseFactoryConfig
+    from vod_tpu.search.factory import build_hybrid_engines
+
+    doc_terms = [[1, 2], [1, 3], [2, 3], [1, 2, 3]]
+    subsets = np.asarray([0, 0, 1, 1], dtype=np.int32)
+    engines = build_hybrid_engines(
+        HybridSearchFactoryConfig(sparse=SparseFactoryConfig(max_postings=8)),
+        doc_terms=doc_terms, subset_ids=jnp.asarray(subsets),
+    )
+    queries = SearchQueries(
+        terms=jnp.asarray([[1, 2]], dtype="int32"),
+        subset_ids=jnp.asarray([[1, -1]], dtype="int32"),
+    )
+    out = sparse_search(engines.sparse, queries, top_k=4)
+    got = np.asarray(out.indices)[0]
+    for x in got:
+        if x >= 0:
+            assert subsets[x] == 1, got

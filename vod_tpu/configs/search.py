@@ -20,12 +20,21 @@ import pydantic
 
 from .base import StrictModel, apply_diff
 
-DenseCodec = typ.Literal["flat", "int8", "pq"]
+DenseCodec = typ.Literal["flat", "int8", "pq", "ivf"]
 DenseDtype = typ.Literal["float32", "bfloat16", "int8"]
 
 
 class DenseFactoryConfig(StrictModel):
-    """Dense index factory (replaces faiss factory strings + qdrant config)."""
+    """Dense index factory (replaces faiss factory strings + qdrant config).
+
+    Every knob the builders expose is reachable from here (parity: the full
+    faiss factory-string surface, reference `vod_configs/search.py:124` +
+    `faiss_search/support.py:44`): `use_opq` = the `OPQ{M}_{d},...` prefix,
+    codec `ivf` = `IVF{n},Flat` with `nprobe`, `sharded` row-shards the index
+    over a mesh axis (reference `sharded_search.py` semantics on ICI), and
+    `approx_recall` selects the hardware `approx_max_k` recall target
+    (None = exact `lax.top_k`, faiss-`Flat` exactness parity).
+    """
 
     codec: DenseCodec = "flat"
     dtype: DenseDtype = "bfloat16"  # flat-codec storage dtype
@@ -35,16 +44,26 @@ class DenseFactoryConfig(StrictModel):
     n_candidates: int = 1024
     train_size: typ.Optional[int] = None
     kmeans_iters: int = 10
+    use_opq: bool = False
+    opq_iters: int = 4
+    # ivf codec
+    n_clusters: typ.Optional[int] = None  # None = IVFauto inference
+    nprobe: int = 8
+    # sharding over a device mesh (index sharding, SURVEY §2.10)
+    sharded: bool = False
+    shard_axis: str = "shard"
     # scan
     chunk: int = 131072
+    approx_recall: typ.Optional[float] = 0.95  # None = exact top-k
 
     @classmethod
     def from_faiss_factory(cls, factory: str, train_size: typ.Optional[int] = None) -> "DenseFactoryConfig":
         """Translate a faiss factory string (parity: `support.py:44` parser).
 
-        `Flat` -> flat/f32; `IVF*,Flat` -> flat/bf16 (exhaustive scan replaces
-        cell probing); `...PQ{M}x8...` -> pq codec with M subquantizers;
-        `OPQ{M}_{d},...` feeds the coarse projection dim.
+        `Flat` -> flat/f32; `IVF{n},Flat`/`IVFauto,Flat` -> ivf codec (n_clusters
+        inferred for `auto`, `support.py:13`); `...PQ{M}x8...` -> pq codec with M
+        subquantizers; an `OPQ{M}_{d},` prefix enables the OPQ rotation and feeds
+        the coarse projection dim.
         """
         m_pq = re.search(r"PQ(\d+)x8", factory)
         if m_pq:
@@ -53,10 +72,15 @@ class DenseFactoryConfig(StrictModel):
                 codec="pq",
                 n_subquantizers=int(m_pq.group(1)),
                 coarse_dim=min(64, int(m_opq.group(1)) if m_opq else 32),
+                use_opq=m_opq is not None,
                 train_size=train_size,
             )
         if "Flat" in factory and factory.strip() == "Flat":
             return cls(codec="flat", dtype="float32")
+        m_ivf = re.search(r"IVF(\d+|auto)", factory)
+        if m_ivf:
+            n_c = None if m_ivf.group(1) == "auto" else int(m_ivf.group(1))
+            return cls(codec="ivf", n_clusters=n_c, train_size=train_size)
         return cls(codec="flat", dtype="bfloat16", train_size=train_size)
 
     def __add__(self, diff: typ.Optional[typ.Mapping | pydantic.BaseModel]) -> "DenseFactoryConfig":

@@ -75,11 +75,14 @@ def run_experiment(
     val_queries: typ.Optional[typ.Sequence[typ.Mapping]] = None,
     tokenizer: typ.Optional[typ.Any] = None,
     on_log: typ.Optional[typ.Callable[[int, dict], None]] = None,
+    resume_from: typ.Optional[str] = None,
 ) -> dict[str, typ.Any]:
     """Run the full periodic-training recipe.
 
     Datasets/tokenizer may be passed directly (tests, notebooks) or are loaded
-    from the config (HF hub paths).
+    from the config (HF hub paths). `resume_from` restores params / optimizer /
+    trainer state from a run dir or one of its `period-*` checkpoints (parity:
+    reference `vod_exps/train.py:38-47`).
     """
     rng = jax.random.PRNGKey(exp.sys.seed)
     tokenizer = tokenizer if tokenizer is not None else exp.tokenizer.instantiate()
@@ -176,6 +179,26 @@ def run_experiment(
         parameters={k: s.instantiate() for k, s in exp.trainer.parameters.items()},
     )
 
+    if resume_from is not None:
+        from vod_tpu.runtime.checkpoint import load_checkpoint
+
+        ckpt = _latest_checkpoint_dir(resume_from)
+        params, opt_state, loaded = load_checkpoint(
+            ckpt, params_like=params, opt_state_like=opt_state
+        )
+        # progress counters come from the checkpoint; the step budget,
+        # period length and schedules come from the (possibly updated) config
+        state.step = loaded.step
+        state.epoch = loaded.epoch
+        state.update_steps = loaded.update_steps
+
+    if exp.trainer.checkpoint_path:
+        # persist the config alongside checkpoints so `--resume_from <dir>`
+        # can reload it (parity: reference resume-from-dir config reload)
+        cfg_dir = pathlib.Path(exp.trainer.checkpoint_path)
+        cfg_dir.mkdir(parents=True, exist_ok=True)
+        (cfg_dir / "config.json").write_text(exp.model_dump_json(indent=2))
+
     def train_queries_fn(pidx: int):
         return train_dl.forever(seed=exp.sys.seed + 7919 * pidx)
 
@@ -192,8 +215,7 @@ def run_experiment(
         sparse_engine=sparse_engine,
         val_queries=val_dl_batches,
         config=PeriodicTrainingConfig(
-            index_dtype=exp.search_defaults.dense.dtype
-            if exp.search_defaults.dense.codec == "flat" else "bfloat16",
+            dense=exp.search_defaults.dense,  # full codec config (pq/ivf/opq/...)
             checkpoint_dir=exp.trainer.checkpoint_path,
             log_interval=exp.trainer.log_interval,
             val_check_interval=exp.trainer.val_check_interval,
@@ -204,20 +226,46 @@ def run_experiment(
     return {"params": params, "opt_state": opt_state, "state": state, "history": history, "model": model}
 
 
+def _latest_checkpoint_dir(resume_from: str) -> pathlib.Path:
+    """Resolve a run dir to its newest `period-*` checkpoint (or itself)."""
+    root = pathlib.Path(resume_from)
+    if (root / "trainer_state.json").exists():
+        return root
+    periods = sorted(
+        (p for p in root.glob("period-*") if (p / "trainer_state.json").exists()),
+        key=lambda p: int(p.name.split("-")[1]),
+    )
+    if not periods:
+        raise FileNotFoundError(f"no checkpoint under {resume_from!r}")
+    return periods[-1]
+
+
 def main(argv: typ.Optional[list[str]] = None) -> None:
-    """CLI: `python -m vod_tpu.exps.cli --config exp.yaml [--max_steps N]`."""
+    """CLI: `python -m vod_tpu.exps.cli --config exp.yaml [--max_steps N]
+    [--resume_from RUN_DIR]` (parity: reference `train.py:30` + resume `:38-47`)."""
     import argparse
 
     parser = argparse.ArgumentParser(description="vod-tpu training")
-    parser.add_argument("--config", required=True)
+    parser.add_argument("--config", default=None)
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument(
+        "--resume_from", default=None,
+        help="run/checkpoint dir; reloads its config.json unless --config overrides",
+    )
     args = parser.parse_args(argv)
-    exp = Experiment.from_file(args.config)
+    if args.config is not None:
+        exp = Experiment.from_file(args.config)
+    elif args.resume_from and (pathlib.Path(args.resume_from) / "config.json").exists():
+        exp = Experiment.from_file(str(pathlib.Path(args.resume_from) / "config.json"))
+    else:
+        parser.error("--config is required (no config.json found to resume from)")
     if args.max_steps is not None:
         exp = Experiment.model_validate(
             {**json.loads(exp.model_dump_json()), "trainer": {**exp.trainer.model_dump(), "max_steps": args.max_steps}}
         )
-    result = run_experiment(exp, on_log=lambda s, m: print(f"[{s}] {m}"))
+    result = run_experiment(
+        exp, on_log=lambda s, m: print(f"[{s}] {m}"), resume_from=args.resume_from
+    )
     print(f"done: {result['state'].step} steps")
 
 

@@ -24,15 +24,20 @@ from vod_tpu.runtime.checkpoint import save_checkpoint
 from vod_tpu.runtime.collate import DeviceCorpus, QueryBatch
 from vod_tpu.runtime.predict import compute_embeddings
 from vod_tpu.runtime.state import TrainerState
+from vod_tpu.configs.search import DenseFactoryConfig
 from vod_tpu.runtime.train import RealmTrainStep, training_loop
-from vod_tpu.search.dense import build_dense_index
+from vod_tpu.search.factory import build_dense_from_config
 from vod_tpu.search.hybrid import HybridEngines
 
 
 @dataclasses.dataclass
 class PeriodicTrainingConfig:
     embed_chunk: int = 512
-    index_dtype: str = "bfloat16"
+    # Full dense-index factory config — the periodic rebuild honors EVERY codec
+    # (flat/int8/pq/ivf, OPQ, sharded), not just flat (parity: the reference
+    # rebuilds whatever faiss factory string the config names, `factory.py:131`).
+    dense: DenseFactoryConfig = dataclasses.field(default_factory=DenseFactoryConfig)
+    mesh: typ.Any = None  # device mesh for `dense.sharded` rebuilds
     checkpoint_dir: typ.Optional[str] = None
     benchmark_on_init: bool = False
     benchmark_between_periods: bool = False
@@ -71,10 +76,15 @@ def periodic_training(
         t0 = time.time()
 
         # 1. re-embed the corpus with the CURRENT encoder + rebuild the index
-        #    (parity: `_compute_all_vectors` + `build_hybrid_search_engine`)
+        #    (parity: `_compute_all_vectors` + `build_hybrid_search_engine`) —
+        #    through the factory, so PQ/OPQ/IVF/sharded configs actually train
+        #    against the index codec they name.
         emb = compute_embeddings(encode, params, corpus, chunk=cfg.embed_chunk)
+        rng, build_rng = jax.random.split(rng)
         engines = HybridEngines(
-            dense=build_dense_index(emb, subset_ids=corpus.subset_ids, dtype=cfg.index_dtype),
+            dense=build_dense_from_config(
+                cfg.dense, emb, rng=build_rng, subset_ids=corpus.subset_ids, mesh=cfg.mesh,
+            ),
             sparse=sparse_engine,
         )
         embed_s = time.time() - t0
@@ -89,8 +99,7 @@ def periodic_training(
                 encode(params, qb.input_ids, qb.attention_mask) for qb in benchmark_queries
             ]
             summary["benchmark"] = benchmark_retrieval(
-                engines, benchmark_queries, query_vectors=q_vecs,
-                metrics=cfg.metrics if all("_" in m or m in ("mrr",) for m in cfg.metrics) else cfg.metrics,
+                engines, benchmark_queries, query_vectors=q_vecs, metrics=cfg.metrics,
             )
 
         # 3. train for one period with live retrieval

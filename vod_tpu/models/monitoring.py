@@ -148,29 +148,46 @@ class RetrievalMonitor:
     """Streaming NaN-aware mean aggregator over batches.
 
     Parity: `RetrievalMonitor` + `MeanAggregator` (`monitor.py:73`,
-    `aggregator.py`). `update` accumulates on device; `compute(axis_name=...)`
-    inside pmap/shard_map psums across ranks.
+    `aggregator.py`). State lives ON DEVICE — `update` enqueues one jitted
+    accumulation (no host sync, unlike the reference's per-step `.item()`
+    pulls); only `compute()` transfers, so the train loop's dispatch is never
+    blocked between log intervals.
     """
 
     def __init__(self, metrics: typ.Sequence[str]):
         self.metrics = list(metrics)
         for m in self.metrics:
             parse_metric_name(m)
+        self._update_jit = jax.jit(self._update_fn, donate_argnums=(0,))
         self.reset()
 
     def reset(self) -> None:
-        self._sums = {m: 0.0 for m in self.metrics}
-        self._counts = {m: 0.0 for m in self.metrics}
+        self._state: typ.Optional[dict[str, tuple[jax.Array, jax.Array]]] = None
 
-    def update(self, *, relevances: jax.Array, scores: jax.Array) -> None:
+    def _update_fn(self, state, relevances, scores):
         vals = retrieval_metrics(self.metrics, relevances=relevances, scores=scores)
+        out = {}
         for m, v in vals.items():
             ok = ~jnp.isnan(v)
-            self._sums[m] += float(jnp.sum(jnp.where(ok, v, 0.0)))
-            self._counts[m] += float(jnp.sum(ok))
+            s = jnp.sum(jnp.where(ok, v, 0.0))
+            c = jnp.sum(ok.astype(jnp.float32))
+            prev_s, prev_c = state[m]
+            out[m] = (prev_s + s, prev_c + c)
+        return out
+
+    def update(self, *, relevances: jax.Array, scores: jax.Array) -> None:
+        if self._state is None:
+            self._state = {
+                m: (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+                for m in self.metrics
+            }
+        self._state = self._update_jit(self._state, relevances, scores)
 
     def compute(self) -> dict[str, float]:
+        if self._state is None:
+            return {m: float("nan") for m in self.metrics}
+        host = jax.device_get(self._state)  # the ONLY host sync
         return {
-            m: (self._sums[m] / self._counts[m]) if self._counts[m] > 0 else float("nan")
-            for m in self.metrics
+            m: (float(s) / float(c)) if c > 0 else float("nan")
+            for m, (s, c) in host.items()
         }

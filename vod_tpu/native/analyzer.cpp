@@ -51,14 +51,18 @@ const std::unordered_set<std::string>& stopwords() {
 extern "C" {
 
 // Tokenize one UTF-8 text: lowercase ASCII letters/digits, split on everything
-// else, drop tokens shorter than min_len and (optionally) stopwords, hash each
-// token into [0, vocab_size) with FNV-1a (vocab_size must be a power of two).
+// else, drop tokens shorter than min_len CODEPOINTS (not bytes — parity with
+// the Python fallback's len(str)) and (optionally) stopwords, hash each token
+// into [0, vocab_size) with FNV-1a (vocab_size must be a power of two).
+// Callers must pre-lowercase non-ASCII text host-side (loader.py does) so
+// native and fallback paths hash identical ids.
 // Writes up to max_terms ids into out_ids; returns the number written.
 int analyze_text(const char* text, int32_t* out_ids, int max_terms,
                  int vocab_size, int min_len, int use_stopwords) {
   if (text == nullptr || max_terms <= 0) return 0;
   const uint64_t mask = static_cast<uint64_t>(vocab_size - 1);
   int count = 0;
+  int token_cp = 0;  // codepoints in the current token
   std::string token;
   token.reserve(32);
   for (const char* p = text;; ++p) {
@@ -67,14 +71,17 @@ int analyze_text(const char* text, int32_t* out_ids, int max_terms,
                        (c >= '0' && c <= '9') ||
                        static_cast<unsigned char>(c) >= 0x80;  // keep utf8 bytes
     if (alnum) {
+      // UTF-8 continuation bytes (10xxxxxx) don't start a codepoint
+      if ((static_cast<unsigned char>(c) & 0xC0) != 0x80) ++token_cp;
       token.push_back((c >= 'A' && c <= 'Z') ? static_cast<char>(c + 32) : c);
     } else {
-      if (static_cast<int>(token.size()) >= min_len &&
+      if (token_cp >= min_len &&
           (!use_stopwords || stopwords().count(token) == 0)) {
         out_ids[count++] = static_cast<int32_t>(fnv1a(token.data(), token.size()) & mask);
         if (count >= max_terms) return count;
       }
       token.clear();
+      token_cp = 0;
       if (c == '\0') break;
     }
     if (c == '\0') break;

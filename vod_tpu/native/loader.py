@@ -38,13 +38,26 @@ _TOKEN_RE = re.compile(r"[0-9a-z\u0080-\U0010FFFF]+")
 def _compile() -> typ.Optional[ctypes.CDLL]:
     src = _HERE / "analyzer.cpp"
     _SO_PATH.parent.mkdir(exist_ok=True)
-    if not _SO_PATH.exists() or _SO_PATH.stat().st_mtime < src.stat().st_mtime:
+    # Rebuild keyed on the SOURCE CONTENT hash, not mtimes: a fresh checkout
+    # gives source and artifact identical mtimes, which would silently keep a
+    # stale binary. The build dir is gitignored — the .so is never committed.
+    import hashlib
+
+    src_hash = hashlib.sha256(src.read_bytes()).hexdigest()
+    hash_path = _SO_PATH.with_suffix(".sha256")
+    stale = (
+        not _SO_PATH.exists()
+        or not hash_path.exists()
+        or hash_path.read_text().strip() != src_hash
+    )
+    if stale:
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
             str(src), "-o", str(_SO_PATH),
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            hash_path.write_text(src_hash)
         except Exception:
             return None
     try:
@@ -129,7 +142,10 @@ def analyze_texts(
     out_ids = np.full((n, max_terms), -1, dtype=np.int32)
     counts = np.zeros((n,), dtype=np.int32)
     if lib is not None:
-        blobs = [t.encode("utf-8", errors="ignore") for t in texts]
+        # Full-Unicode lowercasing happens HERE so native and fallback paths
+        # hash identical term ids (the C++ kernel only lowercases ASCII; raw
+        # "Éducation" would otherwise hash differently per environment).
+        blobs = [t.lower().encode("utf-8", errors="ignore") for t in texts]
         offsets = np.zeros((n + 1,), dtype=np.int64)
         for i, blob in enumerate(blobs):
             offsets[i + 1] = offsets[i] + len(blob) + 1
@@ -146,10 +162,15 @@ def analyze_texts(
             counts[i] = len(ids)
             out_ids[i, : len(ids)] = ids
 
-    if language is not None and language != "english":
-        from .stopwords import stopword_ids
+    if language is not None:
+        from .stopwords import normalize_language, stopword_ids
 
-        stop = np.asarray(sorted(stopword_ids(language, vocab_size)), dtype=np.int32)
+        language = normalize_language(language)
+    if language is not None and language != "english":
+        stop_set = stopword_ids(language, vocab_size)
+        if not stop_set:
+            return out_ids, counts
+        stop = np.asarray(sorted(stop_set), dtype=np.int32)
         for i in range(n):
             keep = out_ids[i, : counts[i]]
             keep = keep[~np.isin(keep, stop)]

@@ -52,7 +52,9 @@ def kmeans(
     """
     n, d = x.shape
     x = x.astype(jnp.float32)
-    init_idx = jax.random.choice(rng, n, shape=(n_clusters,), replace=False)
+    # with-replacement fallback when n < k (faiss proceeds with a warning
+    # there too; duplicate centroids get re-seeded by the empty-cluster rule)
+    init_idx = jax.random.choice(rng, n, shape=(n_clusters,), replace=n < n_clusters)
     centroids = x[init_idx]
 
     def step(carry, rng_i):

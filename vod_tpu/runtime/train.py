@@ -189,13 +189,30 @@ def training_loop(
     callbacks: typ.Sequence[typ.Any] = (),
     prefetch_batches: int = 2,
     until_step: typ.Optional[int] = None,
+    mesh: typ.Any = None,
+    dp_axis: str = "dp",
 ) -> tuple[typ.Any, typ.Any, TrainerState, dict]:
     """One period of training (parity: `loops/train.py:21-226`).
 
     Runs until `until_step` (default: `state.next_period_start_step`) or the
     query iterator is exhausted. Returns (params, opt_state, state, last_metrics).
+
+    Mesh-aware (parity: the reference's whole-training DDP/FSDP runs,
+    `vod_exps/init.py:40,55`): pass `mesh` to dp-shard every incoming
+    QueryBatch over `dp_axis` — with fsdp/tp-sharded params the jitted step
+    then runs fully SPMD, XLA inserting the gradient psums the reference gets
+    from `fabric.backward`. Monitor state stays device-resident; its reductions
+    over the dp-sharded metric arrays are the psum aggregation
+    (`aggregate_metrics_psum` is the shard_map-level equivalent).
     """
     from .callbacks import call_callbacks
+
+    if mesh is not None:
+        from vod_tpu.parallel import shard_batch
+
+        _shard = lambda q: shard_batch(q, mesh, axis=dp_axis)
+    else:
+        _shard = lambda q: q
 
     until = until_step if until_step is not None else state.next_period_start_step
     call_callbacks(callbacks, "on_fit_start", params=params, state=state)
@@ -209,16 +226,31 @@ def training_loop(
         from vod_tpu.dataloaders.prefetch import prefetch_iterator
 
         train_queries = prefetch_iterator(iter(train_queries), size=prefetch_batches)
+    accum = max(1, int(getattr(step_fn, "accumulate_grad_batches", 1)))
+    train_iter = iter(train_queries)
     try:
-        for queries in train_queries:
+        for queries in train_iter:
             if state.step >= until or state.completed:
                 break
             rng, step_rng = jax.random.split(rng)
             weights = state.get_parameters()  # schedules -> traced scalars each step
             call_callbacks(callbacks, "on_train_batch_start", batch=queries, step=state.step)
-            params, opt_state, m, rel, scores = step_fn.train_step(
-                params, opt_state, engines, corpus, queries, step_rng, weights
-            )
+            if accum > 1:
+                # grad accumulation (parity: `loops/train.py:76-86` `no_backward_sync`):
+                # gather `accum` micro-batches and scan them in ONE optimizer step.
+                micro = [_shard(queries)]
+                for _ in range(accum - 1):
+                    nxt = next(train_iter, None)
+                    if nxt is None:
+                        break
+                    micro.append(_shard(nxt))
+                params, opt_state, m, rel, scores = step_fn.train_step_accum(
+                    params, opt_state, engines, corpus, micro, step_rng, weights
+                )
+            else:
+                params, opt_state, m, rel, scores = step_fn.train_step(
+                    params, opt_state, engines, corpus, _shard(queries), step_rng, weights
+                )
             monitor.update(relevances=rel, scores=scores)
             call_callbacks(callbacks, "on_train_batch_end", metrics=m, step=state.step)
             state.step += 1
@@ -243,7 +275,7 @@ def training_loop(
                 val_metrics = validation_loop(
                     step_fn=step_fn, params=params, engines=engines, corpus=corpus,
                     val_queries=val_queries, rng=val_rng, weights=state.get_parameters(),
-                    metrics=metrics,
+                    metrics=metrics, mesh=mesh, dp_axis=dp_axis,
                 )
                 if on_log:
                     on_log(state.step, {f"val/{k}": v for k, v in val_metrics.items()})
@@ -265,12 +297,18 @@ def validation_loop(
     rng: jax.Array,
     weights: dict[str, float],
     metrics: typ.Sequence[str] = ("mrr", "ndcg_10", "hitrate_3"),
+    mesh: typ.Any = None,
+    dp_axis: str = "dp",
 ) -> dict[str, float]:
     """No-grad eval over the validation queries (parity: `loops/val.py:14`)."""
+    if mesh is not None:
+        from vod_tpu.parallel import shard_batch
     monitor = RetrievalMonitor(list(metrics))
     losses = []
     for queries in val_queries:
         rng, r = jax.random.split(rng)
+        if mesh is not None:
+            queries = shard_batch(queries, mesh, axis=dp_axis)
         m, rel, scores = step_fn.eval_step(params, engines, corpus, queries, r, weights)
         monitor.update(relevances=rel, scores=scores)
         losses.append(float(m["loss"]))

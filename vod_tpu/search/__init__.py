@@ -12,7 +12,14 @@ from .dense import (
     build_pq_index_from_host,
 )
 from .lookup import lookup_search
-from .sharded import ShardedDenseIndex, build_sharded_dense_index, sharded_dense_search
+from .sharded import (
+    ShardedDenseIndex,
+    ShardedPQIndex,
+    build_sharded_dense_index,
+    shard_pq_index,
+    sharded_dense_search,
+    sharded_pq_search,
+)
 from .sparse import SparseIndex, build_sparse_index, sparse_search
 from .hybrid import HybridEngines, hybrid_search_and_sample, hybrid_search
 
@@ -23,6 +30,7 @@ __all__ = [
     "PQIndex",
     "SearchQueries",
     "ShardedDenseIndex",
+    "ShardedPQIndex",
     "SparseIndex",
     "build_dense_index",
     "build_ivf_index",
@@ -33,7 +41,9 @@ __all__ = [
     "hybrid_search",
     "hybrid_search_and_sample",
     "lookup_search",
+    "shard_pq_index",
     "sharded_dense_search",
+    "sharded_pq_search",
     "sparse_search",
     "subset_mask",
 ]

@@ -36,6 +36,8 @@ class DenseIndex:
     subset_ids: typ.Optional[jax.Array] = None  # [N] int32
     n_real: int = struct.field(pytree_node=False, default=0)  # rows before padding
     offset: int = struct.field(pytree_node=False, default=0)  # global-id offset
+    # approx_max_k recall target; None = exact lax.top_k (faiss-Flat parity).
+    approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
 
 
 @struct.dataclass
@@ -52,6 +54,7 @@ class PQIndex:
     n_real: int = struct.field(pytree_node=False, default=0)
     offset: int = struct.field(pytree_node=False, default=0)
     n_candidates: int = struct.field(pytree_node=False, default=1024)
+    approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
 
 
 def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:
@@ -78,6 +81,7 @@ def build_dense_index(
     dtype: str = "bfloat16",
     offset: int = 0,
     pad_multiple: typ.Optional[int] = None,
+    approx_recall: typ.Optional[float] = 0.95,
 ) -> DenseIndex:
     """Build a flat index (parity: faiss `Flat` / `build.py:12`).
 
@@ -95,7 +99,10 @@ def build_dense_index(
         vectors = codes
     else:
         vectors = vectors.astype(jnp.dtype(dtype))
-    return DenseIndex(vectors=vectors, scale=scale, subset_ids=subset_ids, n_real=n_real, offset=offset)
+    return DenseIndex(
+        vectors=vectors, scale=scale, subset_ids=subset_ids, n_real=n_real,
+        offset=offset, approx_recall=approx_recall,
+    )
 
 
 def build_pq_index(
@@ -112,6 +119,7 @@ def build_pq_index(
     subset_ids: typ.Optional[jax.Array] = None,
     offset: int = 0,
     pad_multiple: typ.Optional[int] = None,
+    approx_recall: typ.Optional[float] = 0.95,
 ) -> PQIndex:
     """Build a PQ index (parity: faiss `OPQ{M}_{d},IVFauto,PQ{M}x8`).
 
@@ -165,6 +173,7 @@ def build_pq_index(
         n_real=n_real,
         offset=offset,
         n_candidates=n_candidates,
+        approx_recall=approx_recall,
     )
 
 
@@ -260,19 +269,24 @@ def _scan_collect_topk(
     return top_s, jnp.where(jnp.isfinite(top_s), top_i, -1)
 
 
+_FROM_INDEX = "from_index"  # sentinel: take approx_recall from the index config
+
+
 def dense_search(
     index: DenseIndex,
     queries: SearchQueries,
     top_k: int,
     *,
     chunk: int = 131072,
-    approx_recall: typ.Optional[float] = 0.95,
+    approx_recall: typ.Any = _FROM_INDEX,
 ) -> RetrievalBatch:
     """Exhaustive MIPS over a flat index with optional subset filtering.
 
     Parity: faiss `/fast-search` (`faiss_search/server.py:77`) + ES-style subset
     `terms` filtering — one fused XLA program, no HTTP, no host round-trip.
     """
+    if approx_recall is _FROM_INDEX:
+        approx_recall = index.approx_recall
     q = queries.vector
     if q is None:
         raise ValueError("dense_search requires queries.vector")
@@ -340,8 +354,11 @@ def pq_search(
     top_k: int,
     *,
     chunk: int = 131072,
+    approx_recall: typ.Any = _FROM_INDEX,
 ) -> RetrievalBatch:
     """Two-stage PQ search: int8 coarse scan -> ADC rescore of top candidates."""
+    if approx_recall is _FROM_INDEX:
+        approx_recall = index.approx_recall
     q = queries.vector
     if q is None:
         raise ValueError("pq_search requires queries.vector")
@@ -370,7 +387,9 @@ def pq_search(
             s = jnp.where(ok, s, -jnp.inf)
         return s
 
-    cand_s, cand_i = _scan_collect_topk(score_chunk, n, index.n_real, b, n_cand, chunk)
+    cand_s, cand_i = _scan_collect_topk(
+        score_chunk, n, index.n_real, b, n_cand, chunk, approx_recall=approx_recall
+    )
 
     # Stage 2: ADC rescore of the candidates (tiny gather: B * n_cand * M bytes).
     safe_i = jnp.clip(cand_i, 0, n - 1)
@@ -516,6 +535,7 @@ def build_pq_index_from_host(
     slab: int = 1_000_000,
     subset_ids: typ.Optional[jax.Array] = None,
     offset: int = 0,
+    approx_recall: typ.Optional[float] = 0.95,
 ) -> PQIndex:
     """PQ build for corpora larger than device HBM: train on a sample, then
     encode host slabs on device one at a time (parity: faiss's chunked
@@ -574,4 +594,5 @@ def build_pq_index_from_host(
         n_real=n_real,
         offset=offset,
         n_candidates=n_candidates,
+        approx_recall=approx_recall,
     )

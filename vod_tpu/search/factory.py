@@ -20,6 +20,7 @@ import numpy as np
 from vod_tpu.configs.search import DenseFactoryConfig, HybridSearchFactoryConfig, SparseFactoryConfig
 from .dense import DenseIndex, IVFIndex, PQIndex, build_dense_index, build_ivf_index, build_pq_index
 from .hybrid import HybridEngines
+from .sharded import build_sharded_dense_index, shard_pq_index
 from .sparse import SparseIndex, build_sparse_index
 
 _INDEX_TYPES = {"DenseIndex": DenseIndex, "PQIndex": PQIndex, "IVFIndex": IVFIndex, "SparseIndex": SparseIndex}
@@ -58,7 +59,7 @@ def _load_index(path: pathlib.Path) -> typ.Any:
     cls = _INDEX_TYPES[spec["type"]]
     with ocp.PyTreeCheckpointer() as ckptr:
         arrays = ckptr.restore(path.absolute() / "arrays")
-    return cls(**arrays, **{k: v for k, v in spec["meta"].items() if v is not None or k in ("scale", "subset_ids", "corpus_shard", "rotation")})
+    return cls(**arrays, **{k: v for k, v in spec["meta"].items() if v is not None or k in ("scale", "subset_ids", "corpus_shard", "rotation", "approx_recall")})
 
 
 def build_dense_from_config(
@@ -69,19 +70,40 @@ def build_dense_from_config(
     subset_ids: typ.Optional[jax.Array] = None,
     cache_dir: typ.Optional[str] = None,
     data_fingerprint: typ.Optional[str] = None,
-) -> typ.Union[DenseIndex, PQIndex, IVFIndex]:
-    """Build (or load cached) a dense index per config."""
+    mesh: typ.Any = None,
+) -> typ.Any:
+    """Build (or load cached) a dense index per config.
+
+    Every `DenseFactoryConfig` knob is honored here (parity: the faiss
+    factory-string surface, reference `vod_configs/search.py:124`): codecs
+    flat/int8/pq/ivf, `use_opq`, `approx_recall`, and — when `cfg.sharded` and
+    a `mesh` is given — row-sharding over `cfg.shard_axis`.
+    """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     cache_path = None
     if cache_dir is not None and data_fingerprint is not None:
         fp = _index_fingerprint("dense", cfg, data_fingerprint)
         cache_path = pathlib.Path(cache_dir) / "indices" / fp
         if (cache_path / "meta.json").exists():
-            return _load_index(cache_path)
+            index = _load_index(cache_path)
+            if cfg.sharded and mesh is not None:
+                return _shard_from_config(cfg, index, vectors, subset_ids, mesh)
+            return index
+
+    if cfg.sharded and mesh is not None and cfg.codec in ("flat", "int8"):
+        # sharded flat/int8 builds directly into the mesh layout (no cache —
+        # quantization + device_put is cheap relative to PQ/IVF training)
+        return build_sharded_dense_index(
+            vectors, mesh, axis=cfg.shard_axis,
+            dtype="int8" if cfg.codec == "int8" else cfg.dtype,
+            subset_ids=subset_ids, approx_recall=cfg.approx_recall,
+        )
 
     if cfg.codec == "flat" or cfg.codec == "int8":
         dtype = "int8" if cfg.codec == "int8" else cfg.dtype
-        index = build_dense_index(vectors, subset_ids=subset_ids, dtype=dtype)
+        index = build_dense_index(
+            vectors, subset_ids=subset_ids, dtype=dtype, approx_recall=cfg.approx_recall
+        )
     elif cfg.codec == "pq":
         index = build_pq_index(
             rng, vectors,
@@ -90,6 +112,19 @@ def build_dense_from_config(
             n_candidates=cfg.n_candidates,
             train_size=cfg.train_size,
             kmeans_iters=cfg.kmeans_iters,
+            use_opq=cfg.use_opq,
+            opq_iters=cfg.opq_iters,
+            subset_ids=subset_ids,
+            approx_recall=cfg.approx_recall,
+        )
+    elif cfg.codec == "ivf":
+        index = build_ivf_index(
+            rng, vectors,
+            n_clusters=cfg.n_clusters,
+            nprobe=cfg.nprobe,
+            kmeans_iters=cfg.kmeans_iters,
+            train_size=cfg.train_size,
+            dtype=cfg.dtype,
             subset_ids=subset_ids,
         )
     else:
@@ -98,7 +133,22 @@ def build_dense_from_config(
     if cache_path is not None:
         cache_path.mkdir(parents=True, exist_ok=True)
         _save_index(cache_path, index)
+    if cfg.sharded and mesh is not None:
+        return _shard_from_config(cfg, index, vectors, subset_ids, mesh)
     return index
+
+
+def _shard_from_config(cfg: DenseFactoryConfig, index, vectors, subset_ids, mesh):
+    if isinstance(index, PQIndex):
+        return shard_pq_index(index, mesh, axis=cfg.shard_axis)
+    if isinstance(index, DenseIndex):
+        # loaded-from-cache flat index: re-shard the raw vectors
+        return build_sharded_dense_index(
+            vectors, mesh, axis=cfg.shard_axis,
+            dtype="int8" if cfg.codec == "int8" else cfg.dtype,
+            subset_ids=subset_ids, approx_recall=cfg.approx_recall,
+        )
+    raise ValueError(f"codec {cfg.codec!r} does not support sharding (flat/int8/pq do)")
 
 
 def build_sparse_from_config(
@@ -114,7 +164,7 @@ def build_sparse_from_config(
         max_postings=cfg.max_postings,
         k1=cfg.k1,
         b=cfg.b,
-        subset_ids=subset_ids,
+        subset_ids=None if subset_ids is None else np.asarray(subset_ids),
     )
 
 
@@ -127,15 +177,18 @@ def build_hybrid_engines(
     subset_ids: typ.Optional[jax.Array] = None,
     cache_dir: typ.Optional[str] = None,
     data_fingerprint: typ.Optional[str] = None,
+    mesh: typ.Any = None,
 ) -> HybridEngines:
     """Assemble the hybrid bundle (parity: `build_hybrid_search_engine:274`)."""
     dense = None
     if config.dense is not None and vectors is not None:
         dense = build_dense_from_config(
             config.dense, vectors, rng=rng, subset_ids=subset_ids,
-            cache_dir=cache_dir, data_fingerprint=data_fingerprint,
+            cache_dir=cache_dir, data_fingerprint=data_fingerprint, mesh=mesh,
         )
     sparse = None
     if config.sparse is not None and doc_terms is not None:
-        sparse = build_sparse_from_config(config.sparse, doc_terms)
+        # subset filtering must survive factory builds (the direct
+        # `build_sparse_index` path always accepted it)
+        sparse = build_sparse_from_config(config.sparse, doc_terms, subset_ids=subset_ids)
     return HybridEngines(dense=dense, sparse=sparse)

@@ -23,7 +23,7 @@ from vod_tpu.types.retrieval import RetrievalBatch
 from .base import SearchQueries
 from .dense import DenseIndex, IVFIndex, PQIndex, dense_search, ivf_search, pq_search
 from .lookup import lookup_search
-from .sharded import ShardedDenseIndex, sharded_dense_search
+from .sharded import ShardedDenseIndex, ShardedPQIndex, sharded_dense_search, sharded_pq_search
 from .sparse import SparseIndex, sparse_search
 
 
@@ -31,13 +31,19 @@ from .sparse import SparseIndex, sparse_search
 class HybridEngines:
     """Named engine bundle (parity: `HybridSearchFactoryConfig.engines`)."""
 
-    dense: typ.Optional[typ.Union[DenseIndex, IVFIndex, PQIndex, ShardedDenseIndex]] = None
+    dense: typ.Optional[
+        typ.Union[DenseIndex, IVFIndex, PQIndex, ShardedDenseIndex, ShardedPQIndex]
+    ] = None
     sparse: typ.Optional[SparseIndex] = None
 
 
 def _dense_dispatch(index, queries: SearchQueries, top_k: int) -> RetrievalBatch:
+    # Every engine honors its index's `approx_recall` (None = exact top-k), so
+    # exactness is reachable from config on the training and serving paths.
     if isinstance(index, ShardedDenseIndex):
         return sharded_dense_search(index, queries, top_k)
+    if isinstance(index, ShardedPQIndex):
+        return sharded_pq_search(index, queries, top_k)
     if isinstance(index, PQIndex):
         return pq_search(index, queries, top_k)
     if isinstance(index, IVFIndex):

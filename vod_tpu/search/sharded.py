@@ -39,6 +39,8 @@ class ShardedDenseIndex:
     rows_per_shard: int = struct.field(pytree_node=False, default=0)
     axis: str = struct.field(pytree_node=False, default="shard")
     mesh: typ.Any = struct.field(pytree_node=False, default=None)
+    # approx_max_k recall target; None = exact per-shard selection.
+    approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
 
 
 def build_sharded_dense_index(
@@ -49,6 +51,7 @@ def build_sharded_dense_index(
     dtype: str = "bfloat16",
     subset_ids: typ.Optional[jax.Array] = None,
     corpus_shard: typ.Optional[jax.Array] = None,
+    approx_recall: typ.Optional[float] = 0.95,
 ) -> ShardedDenseIndex:
     """Shard a corpus matrix row-wise across the mesh axis."""
     n_shards = mesh.shape[axis]
@@ -79,6 +82,7 @@ def build_sharded_dense_index(
         rows_per_shard=vectors.shape[0] // n_shards,
         axis=axis,
         mesh=mesh,
+        approx_recall=approx_recall,
     )
 
 
@@ -105,13 +109,26 @@ def sharded_dense_search(
         my = jax.lax.axis_index(axis)
         g_offset = my * rows
         if index.scale is not None:
-            q_eff = qv.astype(jnp.float32) * index.scale
+            # int8 codec: same int8-MXU path as the single-device engine
+            # (`dense.py` int8 branch) — fold the corpus scale into the query,
+            # quantize per row, run the matmul in int8 with an int32 accumulator
+            # (2x the bf16 MXU rate), factor the row scale back out.
+            q_f = qv.astype(jnp.float32) * index.scale  # [B, D]
+            q_absmax = jnp.max(jnp.abs(q_f), axis=-1, keepdims=True)
+            q_row_scale = jnp.maximum(q_absmax, 1e-8) / 127.0
+            q_i8 = jnp.clip(jnp.round(q_f / q_row_scale), -127, 127).astype(jnp.int8)
         else:
             q_eff = qv.astype(vec.dtype)
 
         def score_chunk(start):
             v = jax.lax.dynamic_slice_in_dim(vec, start, chunk, axis=0)
-            s = jnp.dot(q_eff, v.T.astype(q_eff.dtype), preferred_element_type=jnp.float32)
+            if index.scale is not None:
+                acc = jax.lax.dot_general(
+                    q_i8, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+                )
+                s = acc.astype(jnp.float32) * q_row_scale
+            else:
+                s = jnp.dot(q_eff, v.T.astype(q_eff.dtype), preferred_element_type=jnp.float32)
             if allow is not None and sub is not None:
                 sb = jax.lax.dynamic_slice_in_dim(sub, start, chunk, axis=0)
                 ok = jnp.any(sb[None, None, :] == allow[:, :, None], axis=1)
@@ -125,7 +142,9 @@ def sharded_dense_search(
             grow = g_offset + start + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
             return jnp.where(grow < index.n_real, s, -jnp.inf)
 
-        top_s, top_i = _scan_topk(score_chunk, rows, rows, b, top_k, chunk, approx_recall=0.95)
+        top_s, top_i = _scan_topk(
+            score_chunk, rows, rows, b, top_k, chunk, approx_recall=index.approx_recall
+        )
         top_i = jnp.where(top_i >= 0, top_i + g_offset, -1)
         # gather k results from every shard over ICI: [n_shards, B, k] on each device
         all_s = jax.lax.all_gather(top_s, axis)
@@ -149,4 +168,171 @@ def sharded_dense_search(
         local_fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()), check_vma=False
     )
     out_s, out_i = fn(index.vectors, index.subset_ids, index.corpus_shard, q, allowed, route)
+    return RetrievalBatch(scores=out_s, indices=out_i.astype(jnp.int32))
+
+
+@struct.dataclass
+class ShardedPQIndex:
+    """PQ index row-sharded over a mesh axis: codes + coarse codes live in each
+    device's HBM slice, codebooks/projection are replicated.
+
+    Parity: `sharded_search.py:103` global-id-offset semantics at PQ scale —
+    each shard runs the two-stage (coarse int8 scan -> ADC rescore) search on
+    its rows, then one `all_gather` of k (score, global-id) pairs per shard
+    feeds the global top-k over ICI. MSMARCO-scale multi-chip (BASELINE #3+#4):
+    8.8M x (32+32) B ≈ 0.56 GB of codes split across the mesh.
+    """
+
+    codebooks: jax.Array  # [M, 256, dsub] replicated
+    codes: jax.Array  # [N_pad, M] uint8, row-sharded
+    coarse_codes: jax.Array  # [N_pad, dc] int8, row-sharded
+    coarse_scale: jax.Array  # [1, dc] replicated
+    proj: jax.Array  # [D, dc] replicated
+    rotation: typ.Optional[jax.Array] = None  # [D, D] replicated (OPQ)
+    subset_ids: typ.Optional[jax.Array] = None  # [N_pad] row-sharded
+    corpus_shard: typ.Optional[jax.Array] = None  # [N_pad] row-sharded (routing)
+    n_real: int = struct.field(pytree_node=False, default=0)
+    rows_per_shard: int = struct.field(pytree_node=False, default=0)
+    axis: str = struct.field(pytree_node=False, default="shard")
+    mesh: typ.Any = struct.field(pytree_node=False, default=None)
+    n_candidates: int = struct.field(pytree_node=False, default=1024)
+    approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
+
+
+def shard_pq_index(
+    index: "PQIndex",
+    mesh: Mesh,
+    *,
+    axis: str = "shard",
+    corpus_shard: typ.Optional[jax.Array] = None,
+) -> ShardedPQIndex:
+    """Shard an (already-built) PQIndex row-wise across the mesh axis."""
+    from .dense import PQIndex  # local import to avoid cycle at module load
+
+    n_shards = mesh.shape[axis]
+    mult = n_shards * 128
+
+    def repad2(x: jax.Array) -> jax.Array:
+        # builder already padded to 128s; re-pad so rows divide the shard count
+        return _pad_rows(x[: index.n_real] if x.shape[0] >= index.n_real else x, mult)
+
+    codes = jax.device_put(repad2(index.codes), NamedSharding(mesh, P(axis, None)))
+    coarse = jax.device_put(repad2(index.coarse_codes), NamedSharding(mesh, P(axis, None)))
+    rep = NamedSharding(mesh, P())
+
+    def shard_1d(x: typ.Optional[jax.Array]) -> typ.Optional[jax.Array]:
+        if x is None:
+            return None
+        x = _pad_rows(x[: index.n_real].astype(jnp.int32)[:, None], mult)[:, 0]
+        return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+    return ShardedPQIndex(
+        codebooks=jax.device_put(index.codebooks, rep),
+        codes=codes,
+        coarse_codes=coarse,
+        coarse_scale=jax.device_put(index.coarse_scale, rep),
+        proj=jax.device_put(index.proj, rep),
+        rotation=None if index.rotation is None else jax.device_put(index.rotation, rep),
+        subset_ids=shard_1d(index.subset_ids),
+        corpus_shard=shard_1d(corpus_shard),
+        n_real=index.n_real,
+        rows_per_shard=codes.shape[0] // n_shards,
+        axis=axis,
+        mesh=mesh,
+        n_candidates=index.n_candidates,
+        approx_recall=index.approx_recall,
+    )
+
+
+def sharded_pq_search(
+    index: ShardedPQIndex,
+    queries: SearchQueries,
+    top_k: int,
+    *,
+    chunk: int = 131072,
+) -> RetrievalBatch:
+    """SPMD two-stage PQ search: per shard coarse-scan + ADC-rescore its rows,
+    then all_gather(k) + global top-k (same merge shape as the flat engine)."""
+    from .dense import _scan_collect_topk
+
+    mesh, axis = index.mesh, index.axis
+    n_shards = mesh.shape[axis]
+    rows = index.rows_per_shard
+    chunk = min(chunk, rows)
+    while rows % chunk != 0:
+        chunk -= 128
+    q = queries.vector
+    b = q.shape[0]
+    # proportional share of the candidate budget per shard (each global coarse
+    # winner is almost surely in its shard's proportional top share)
+    n_cand = min(rows, max(128, -(-index.n_candidates // n_shards)))
+    k_local = min(top_k, n_cand)
+    allowed = queries.subset_ids
+    route = queries.shard
+
+    def local_fn(codes, coarse, sub, cshard, qv, allow, rt):
+        my = jax.lax.axis_index(axis)
+        g_offset = my * rows
+        q_eff = qv.astype(jnp.float32)
+        if index.rotation is not None:
+            q_eff = q_eff @ index.rotation
+        q_proj = (q_eff @ index.proj) * index.coarse_scale  # [B, dc]
+
+        def score_chunk(start):
+            v = jax.lax.dynamic_slice_in_dim(coarse, start, chunk, axis=0)
+            s = jnp.dot(q_proj, v.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+            if allow is not None and sub is not None:
+                sb = jax.lax.dynamic_slice_in_dim(sub, start, chunk, axis=0)
+                ok = jnp.any(sb[None, None, :] == allow[:, :, None], axis=1)
+                ok = ok | jnp.all(allow < 0, axis=-1, keepdims=True)
+                s = jnp.where(ok, s, -jnp.inf)
+            if rt is not None and cshard is not None:
+                cs = jax.lax.dynamic_slice_in_dim(cshard, start, chunk, axis=0)
+                s = jnp.where((rt[:, None] < 0) | (cs[None, :] == rt[:, None]), s, -jnp.inf)
+            grow = g_offset + start + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            return jnp.where(grow < index.n_real, s, -jnp.inf)
+
+        cand_s, cand_i = _scan_collect_topk(
+            score_chunk, rows, rows, b, n_cand, chunk, approx_recall=index.approx_recall
+        )
+        # ADC rescore of the local candidates against the local codes
+        safe_i = jnp.clip(cand_i, 0, rows - 1)
+        cand_codes = codes[safe_i]  # [B, n_cand, M]
+        lut = pq_ops.adc_lut(index.codebooks, q_eff)
+        adc = pq_ops.adc_score_codes(lut, cand_codes)
+        adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
+        loc_s, pos = jax.lax.top_k(adc, k_local)
+        loc_i = jnp.take_along_axis(cand_i, pos, axis=-1)
+        loc_i = jnp.where(jnp.isfinite(loc_s), loc_i + g_offset, -1)
+        # cross-shard merge over ICI: k pairs per shard, never the score matrix
+        all_s = jax.lax.all_gather(loc_s, axis)
+        all_i = jax.lax.all_gather(loc_i, axis)
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_shards * k_local)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_shards * k_local)
+        k_eff = min(top_k, all_s.shape[-1])
+        out_s, pos = jax.lax.top_k(all_s, k_eff)
+        out_i = jnp.take_along_axis(all_i, pos, axis=-1)
+        if k_eff < top_k:
+            pad = top_k - k_eff
+            out_s = jnp.pad(out_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            out_i = jnp.pad(out_i, ((0, 0), (0, pad)), constant_values=-1)
+        out_i = jnp.where(jnp.isfinite(out_s), out_i, -1)
+        return jnp.where(jnp.isfinite(out_s), out_s, -jnp.inf), out_i
+
+    in_specs = (
+        P(axis, None),
+        P(axis, None),
+        P(axis) if index.subset_ids is not None else None,
+        P(axis) if index.corpus_shard is not None else None,
+        P(),
+        P() if allowed is not None else None,
+        P() if route is not None else None,
+    )
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()), check_vma=False
+    )
+    out_s, out_i = fn(
+        index.codes, index.coarse_codes, index.subset_ids, index.corpus_shard,
+        q, allowed, route,
+    )
     return RetrievalBatch(scores=out_s, indices=out_i.astype(jnp.int32))
