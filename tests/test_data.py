@@ -312,3 +312,40 @@ def test_stopwords_33_language_parity() -> None:
     kept = set(ids[0, : counts[0]].tolist())
     assert fnv1a_id("le", 1 << 18) not in kept
     assert fnv1a_id("chat", 1 << 18) in kept
+
+
+def test_beir_loader_local_directory() -> None:
+    """The BeIR loader's qrels -> retrieval_ids logic, proven offline on a
+    vendored BeIR-format fixture (parity: reference `loaders/beir.py:233`)."""
+    import pathlib
+
+    from vod_tpu.data.loaders.beir import BeirDatasetLoader
+
+    root = str(pathlib.Path(__file__).parent / "fixtures" / "beir_tiny")
+    sections = BeirDatasetLoader("sections")(subsets=[root])
+    assert [s["id"] for s in sections] == ["d1", "d2", "d3", "d4", "d5"]
+    assert sections[0]["title"] == "France"
+    assert sections[3]["title"] is None  # empty title -> None
+
+    queries = BeirDatasetLoader("queries")(subsets=[root], split="test")
+    by_id = {q["id"]: q for q in queries}
+    assert set(by_id) == {"q1", "q2", "q3"}  # q4 has no qrels -> dropped
+    assert by_id["q1"]["retrieval_ids"] == ["d1", "d5"]
+    assert by_id["q3"]["retrieval_scores"] == [2.0]
+
+    # and the rows flow through the rosetta/query pipeline end-to-end
+    from vod_tpu.data.interface import load_queries, load_sections
+    from vod_tpu.configs.datasets import QueriesDatasetConfig, SectionsDatasetConfig
+
+    qcfg = QueriesDatasetConfig(
+        identifier="beir-tiny", name_or_path=BeirDatasetLoader("queries"),
+        subsets=[root], split="test", link="beir-tiny-sections",
+    )
+    scfg = SectionsDatasetConfig(
+        identifier="beir-tiny-sections", name_or_path=BeirDatasetLoader("sections"),
+        subsets=[root],
+    )
+    qs = load_queries(qcfg)
+    ss = load_sections(scfg)
+    assert len(qs) == 3 and len(ss) == 5
+    assert qs[0]["retrieval_ids"] == ["d1", "d5"]

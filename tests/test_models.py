@@ -419,3 +419,67 @@ def test_in_batch_negatives_cross_query_sections_get_gradient() -> None:
     # query 0 never retrieved pool ids 2,3 (positions 2,3) -> they must still get gradient
     assert float(jnp.abs(g[0, 2:]).sum()) > 0.0
     assert float(jnp.abs(g[1, :2]).sum()) > 0.0
+
+
+def test_kbit_qlora_training() -> None:
+    """kbit tweak (parity: `prepare_for_kbit_training`, reference
+    `vod_models/support.py:30`): base kernels stored int8, only LoRA/pooler
+    params receive gradients, and the loss still goes down."""
+    import optax
+
+    from vod_tpu.models.encoder import lora_trainable_mask
+    from vod_tpu.models.kbit import (
+        QuantizedLeaf,
+        kbit_materialize,
+        kbit_memory_bytes,
+        kbit_prepare,
+    )
+
+    cfg = TransformerEncoderConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, dtype=jnp.float32, lora_rank=4,
+        pooler=VodPoolerConfig(agg_method="mean", output_norm="l2", scaler=8.0),
+    )
+    model = Ranker(cfg=cfg, gradients=RetrievalGradients())
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 64, (8, 10)), dtype="int32")
+    mask = jnp.ones((8, 10), "int32")
+    params = model.init(jax.random.PRNGKey(0), ids, mask, method=Ranker.encode_field)
+
+    kb = kbit_prepare(params, lora_trainable_mask(params))
+    # the attention/FFN base kernels must actually be int8-quantized
+    q_leaves = [v for v in kb.frozen.values() if isinstance(v, QuantizedLeaf)]
+    assert q_leaves and all(v.codes.dtype == jnp.int8 for v in q_leaves)
+    mem = kbit_memory_bytes(kb)
+    full_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    assert mem["frozen"] + mem["trainable"] < 0.55 * full_bytes  # ~4x on kernels
+
+    # materialized tree has the original structure and close values
+    full = kbit_materialize(kb.trainable, kb.frozen, kb.treedef, kb.paths)
+    assert jax.tree_util.tree_structure(full) == jax.tree_util.tree_structure(params)
+    ref_out = model.apply(params, ids, mask, method=Ranker.encode_field)
+    q_out = model.apply(full, ids, mask, method=Ranker.encode_field)
+    assert np.allclose(np.asarray(ref_out), np.asarray(q_out), atol=0.1)
+
+    # a contrastive toy objective through the quantized base: loss decreases
+    target = jax.nn.one_hot(np.arange(8) % 4, 32)
+
+    def loss_fn(trainable, frozen):
+        p = kbit_materialize(trainable, frozen, kb.treedef, kb.paths)
+        enc = model.apply(p, ids, mask, method=Ranker.encode_field)
+        return jnp.mean((enc - target) ** 2)
+
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(kb.trainable)
+    trainable = kb.trainable
+    losses = []
+
+    @jax.jit
+    def step(trainable, opt_state):
+        l, g = jax.value_and_grad(loss_fn)(trainable, kb.frozen)
+        updates, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(trainable, updates), opt_state, l
+
+    for _ in range(20):
+        trainable, opt_state, l = step(trainable, opt_state)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]

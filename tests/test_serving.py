@@ -27,3 +27,66 @@ def test_search_server_roundtrip() -> None:
         assert out.indices.shape == (2, 5)
         assert out.indices[0, 0] == 0 and out.indices[1, 0] == 1  # self-retrieval
         assert "dense" in out.meta
+
+
+def test_search_server_hybrid_lookup_subset_and_errors() -> None:
+    """Deeper serving coverage: hybrid dense+sparse over HTTP, lookup payloads
+    (gold section_ids -> labels), subset filtering, concurrent clients, and
+    server-side error propagation."""
+    import concurrent.futures
+    import urllib.error
+
+    import pytest
+
+    from vod_tpu.search import build_sparse_index
+
+    rng = np.random.default_rng(2)
+    n, d = 300, 16
+    corpus = rng.normal(size=(n, d)).astype("float32")
+    subsets = (np.arange(n) % 3).astype("int32")
+    doc_terms = [[int(t) for t in rng.integers(0, 32, size=5)] for i in range(n)]
+    engines = HybridEngines(
+        dense=build_dense_index(
+            jnp.asarray(corpus), subset_ids=jnp.asarray(subsets), dtype="float32"
+        ),
+        sparse=build_sparse_index(doc_terms, n_terms=64, max_postings=32),
+    )
+    with SearchServer(engines, weights={"dense": 1.0, "sparse": 0.5}) as server:
+        client = SearchHttpClient(server.url)
+
+        # hybrid: both engines contribute raw scores aligned to merged ids
+        q = corpus[:2] + 0.01
+        terms = np.asarray([doc_terms[0][:4], doc_terms[1][:4]], dtype=np.int32)
+        out = client.search(vector=q, terms=terms, top_k=8)
+        assert set(out.meta) == {"dense", "sparse"}
+        assert out.meta["dense"].shape == out.scores.shape
+
+        # lookup payload: gold ids surface with labels > 0 even if low-scoring
+        gold = np.asarray([[42], [7]], dtype=np.int32)
+        out = client.search(vector=q, section_ids=gold, top_k=8)
+        assert out.labels is not None
+        for i, g in enumerate([42, 7]):
+            row = out.indices[i].tolist()
+            assert g in row
+            assert out.labels[i][row.index(g)] > 0
+
+        # subset filtering over the wire
+        allowed = np.asarray([[1, -1], [-1, -1]], dtype=np.int32)
+        out = client.search(vector=q, subset_ids=allowed, top_k=8)
+        for x in out.indices[0]:
+            if x >= 0:
+                assert subsets[x] == 1
+        assert np.all(out.indices[1] >= 0)
+
+        # concurrent clients against the ThreadingHTTPServer
+        def one(i: int):
+            qq = corpus[i : i + 2] + 0.01
+            return client.search(vector=qq, top_k=5).indices[0, 0]
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            firsts = list(ex.map(one, range(8)))
+        assert firsts == list(range(8))  # self-retrieval per query
+
+        # malformed payload -> structured 500, client raises
+        with pytest.raises((RuntimeError, urllib.error.HTTPError)):
+            client.search(top_k=5)  # no engine matches an empty query

@@ -53,9 +53,11 @@ class Adapter:
 
     @classmethod
     def translate(cls, data: typ.Any, map_kwargs: typ.Optional[dict] = None) -> typ.Any:
-        """Translate a row dict or a HF dataset."""
+        """Translate a row dict, a list of rows, or a HF dataset."""
         if isinstance(data, dict):
             return cls.translate_row(data).model_dump()
+        if isinstance(data, list):  # e.g. local BeIR directories, test fixtures
+            return [cls.translate_row(row).model_dump() for row in data]
         import datasets as hf_datasets
 
         if isinstance(data, hf_datasets.Dataset):

@@ -6,6 +6,7 @@ from .encoder import TransformerEncoder, TransformerEncoderConfig, VodEncoder, D
 from .lm import CausalLM, CausalLMConfig
 from .systems import Ranker, Realm
 from .gradients import Gradients, MarginalLikelihoodGradients, RetrievalGradients, VodGradients
+from .kbit import KbitParams, kbit_materialize, kbit_memory_bytes, kbit_prepare
 from .monitoring import RetrievalMonitor, retrieval_metrics
 
 __all__ = [
@@ -13,6 +14,10 @@ __all__ = [
     "CausalLMConfig",
     "DebugEncoder",
     "Gradients",
+    "KbitParams",
+    "kbit_materialize",
+    "kbit_memory_bytes",
+    "kbit_prepare",
     "MarginalLikelihoodGradients",
     "Ranker",
     "Realm",
