@@ -78,3 +78,86 @@ def test_t5_encoder_port_output_parity() -> None:
     valid = mask.astype(bool)
     diff = np.abs(got - ref)[valid]
     assert diff.max() < 2e-4, diff.max()
+
+
+def test_t5_seq2seq_port_and_generation() -> None:
+    """Full T5ForConditionalGeneration port: teacher-forced logits match torch
+    (incl. tied-lm-head d_model**-0.5 scaling + causal relative bucketing), and
+    KV-cached greedy generation matches both a naive full-recompute decode and
+    HF's own `generate`."""
+    import torch
+    import transformers
+
+    hf_cfg = transformers.T5Config(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4,
+        relative_attention_num_buckets=8, relative_attention_max_distance=32,
+        dropout_rate=0.0, feed_forward_proj="relu", decoder_start_token_id=0,
+    )
+    torch_model = transformers.T5ForConditionalGeneration(hf_cfg).eval()
+
+    from vod_tpu.models.seq2seq import Seq2SeqLM, generate, port_t5_seq2seq_weights
+    from vod_tpu.models.t5_encoder import t5_config_from_hf
+
+    cfg = t5_config_from_hf(hf_cfg)
+    params = {"params": port_t5_seq2seq_weights(torch_model.state_dict(), cfg)}
+    model = Seq2SeqLM(cfg)
+
+    rng = np.random.default_rng(3)
+    b, le, ld = 2, 12, 7
+    enc_ids = rng.integers(2, 64, size=(b, le)).astype("int64")
+    enc_mask = np.ones((b, le), dtype="int64")
+    enc_mask[1, 9:] = 0
+    dec_ids = np.concatenate(
+        [np.zeros((b, 1), dtype="int64"), rng.integers(2, 64, size=(b, ld - 1))], axis=-1
+    )
+    dec_mask = np.ones((b, ld), dtype="int64")
+
+    with torch.no_grad():
+        ref = torch_model(
+            input_ids=torch.from_numpy(enc_ids),
+            attention_mask=torch.from_numpy(enc_mask),
+            decoder_input_ids=torch.from_numpy(dec_ids),
+            decoder_attention_mask=torch.from_numpy(dec_mask),
+        ).logits.numpy()
+
+    as32 = lambda x: jnp.asarray(x.astype("int32"))
+    got = np.asarray(
+        model.apply(params, as32(enc_ids), as32(enc_mask), as32(dec_ids), as32(dec_mask)),
+        dtype="float32",
+    )
+    assert np.abs(got - ref).max() < 2e-4, np.abs(got - ref).max()
+
+    # --- generation: cached scan == naive recompute == HF greedy ------------
+    t = 8
+    toks = np.asarray(generate(model, params, as32(enc_ids), as32(enc_mask), max_new_tokens=t))
+
+    cur = np.zeros((b, 1), dtype="int64")  # naive: re-run full decoder each step
+    for _ in range(t):
+        logits = np.asarray(
+            model.apply(
+                params, as32(enc_ids), as32(enc_mask),
+                as32(cur), jnp.ones(cur.shape, jnp.int32),
+            ),
+            dtype="float32",
+        )
+        cur = np.concatenate([cur, logits[:, -1:].argmax(-1)], axis=-1)
+    naive = cur[:, 1:]
+    # apply the post-EOS padding convention before comparing
+    for r in range(b):
+        eos = np.where(naive[r] == 1)[0]
+        if eos.size:
+            naive[r, eos[0] + 1:] = 0
+    assert np.array_equal(toks, naive), (toks, naive)
+
+    with torch.no_grad():
+        hf_out = torch_model.generate(
+            input_ids=torch.from_numpy(enc_ids),
+            attention_mask=torch.from_numpy(enc_mask),
+            max_new_tokens=t, do_sample=False, num_beams=1,
+        ).numpy()[:, 1:]  # strip decoder_start
+    for r in range(b):
+        n = min(hf_out.shape[1], t)
+        hf_row = hf_out[r, :n]
+        stop = np.where(hf_row == 1)[0]
+        n_cmp = (stop[0] + 1) if stop.size else n
+        assert np.array_equal(toks[r, :n_cmp], hf_row[:n_cmp]), (toks[r], hf_row)

@@ -483,3 +483,36 @@ def test_kbit_qlora_training() -> None:
         trainable, opt_state, l = step(trainable, opt_state)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+
+
+def test_seq2seq_realm_generate() -> None:
+    """KV-cached answer generation from a Realm batch: static shapes, finished
+    rows pad with 0 after EOS, tokens stay in-vocab."""
+    from vod_tpu.models.seq2seq import Seq2SeqRealm, realm_generate
+    from vod_tpu.models.t5_encoder import T5EncoderConfig
+
+    rng = np.random.default_rng(11)
+    b, d, lm_len, t = 2, 3, 12, 5
+    batch = _toy_batch(rng, b=b, d=d, lm_len=lm_len)
+    tt = np.zeros((b, d, lm_len), dtype="int32")
+    tt[..., 8:] = 2
+    batch = batch.replace(lm__token_type_ids=jnp.asarray(tt))
+
+    model = Seq2SeqRealm(
+        cfg=_toy_cfg(),
+        reader_cfg=T5EncoderConfig(
+            vocab_size=100, hidden_size=32, num_layers=2, num_heads=2, head_dim=16,
+            intermediate_size=64, relative_attention_num_buckets=8,
+            relative_attention_max_distance=16, dtype=jnp.float32,
+        ),
+        gradients=VodGradients(alpha=0.5),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch, mode="evaluate")
+    toks = np.asarray(realm_generate(model, params, batch, max_new_tokens=t))
+    assert toks.shape == (b * d, t)
+    assert toks.min() >= 0 and toks.max() < 100
+    # post-EOS positions are padded with 0
+    for row in toks:
+        eos = np.where(row == 1)[0]
+        if eos.size:
+            assert (row[eos[0] + 1 :] == 0).all()

@@ -8,6 +8,7 @@ from .systems import Ranker, Realm
 from .gradients import Gradients, MarginalLikelihoodGradients, RetrievalGradients, VodGradients
 from .kbit import KbitParams, kbit_materialize, kbit_memory_bytes, kbit_prepare
 from .monitoring import RetrievalMonitor, retrieval_metrics
+from .seq2seq import Seq2SeqLM, Seq2SeqRealm, generate, port_t5_seq2seq_weights, realm_generate
 
 __all__ = [
     "CausalLM",
@@ -23,6 +24,11 @@ __all__ = [
     "Realm",
     "RetrievalGradients",
     "RetrievalMonitor",
+    "Seq2SeqLM",
+    "Seq2SeqRealm",
+    "generate",
+    "port_t5_seq2seq_weights",
+    "realm_generate",
     "TransformerEncoder",
     "TransformerEncoderConfig",
     "VodEncoder",
