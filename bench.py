@@ -61,8 +61,10 @@ def main() -> None:
 
     _log(f"CPU baseline: {cpu_qps:.1f} QPS; building TPU index")
     # --- TPU ---
-    index = build_dense_index(jnp.asarray(corpus), dtype="bfloat16")
-    del corpus
+    corpus_dev = jnp.asarray(corpus)
+    index = build_dense_index(corpus_dev, dtype="bfloat16")
+    index_fused = build_dense_index(corpus_dev, dtype="bfloat16", kernel="fused")
+    del corpus, corpus_dev
 
     sfn = jax.jit(lambda ix, qv: dense_search(ix, SearchQueries(vector=qv), top_k=k))
     sfn_blocks = jax.jit(
@@ -79,51 +81,71 @@ def main() -> None:
         out = np.concatenate([q, extra], axis=0)[:n_q]
         return jnp.asarray(out / np.linalg.norm(out, axis=-1, keepdims=True))
 
-    def timed_small(n_q: int, reps: int = 3) -> float:
+    def timed_small(n_q: int, reps: int = 3, *, ix) -> float:
         pools = [make_queries(n_q) + jnp.float32(1e-4 * i) for i in range(reps)]
-        out = sfn(index, pools[0])
-        np.asarray(out.scores[0, 0])  # compile + settle
+        out = sfn(ix, pools[0])
+        np.asarray(out.scores[0, 0])  # compile + settle (uploads done here too)
         walls = []
         for p in pools:
             t0 = time.time()
-            out = sfn(index, p)
+            out = sfn(ix, p)
             np.asarray(out.scores[-1])  # forces completion
             walls.append(time.time() - t0)
         _log(f"n_q={n_q}: walls={[round(w, 4) for w in walls]}")
         return min(walls)
 
-    def timed_big(n_blocks: int, block: int, reps: int = 3) -> float:
+    def timed_big(n_blocks: int, block: int, reps: int = 3, *, ix) -> float:
         pools = [
             jnp.stack([make_queries(block) + jnp.float32(1e-3 * (j + 7 * i)) for j in range(n_blocks)])
             for i in range(reps)
         ]
-        out = sfn_blocks(index, pools[0])
+        out = sfn_blocks(ix, pools[0])
         np.asarray(out[0][0, 0, 0])  # compile + settle
         walls = []
         for p in pools:
             t0 = time.time()
-            out = sfn_blocks(index, p)
+            out = sfn_blocks(ix, p)
             np.asarray(out[0][-1, -1])
             walls.append(time.time() - t0)
         _log(f"n_q={n_blocks * block}: walls={[round(w, 4) for w in walls]}")
         return min(walls)
 
     small_q, big_blocks, block = 256, 8, 2048
-    _log("timing small dispatch")
-    w1 = timed_small(small_q)
-    _log("timing big dispatch")
-    w2 = timed_big(big_blocks, block)
-    tpu_s = (w2 - w1) / (big_blocks * block - small_q)
-    assert tpu_s > 0, f"non-positive marginal ({w1=:.4f}, {w2=:.4f}); relay too noisy"
-    tpu_qps = 1.0 / tpu_s
 
-    # recall on the ground-truth queries
-    out = sfn(index, make_queries(b))
-    got = np.asarray(out.indices)[:b]
-    recall = float(np.mean([len(set(got[i]) & set(exact_topk[i])) / k for i in range(b)]))
+    def qps_of(ix, label: str) -> float:
+        _log(f"[{label}] timing small dispatch")
+        w1 = timed_small(small_q, ix=ix)
+        _log(f"[{label}] timing big dispatch")
+        w2 = timed_big(big_blocks, block, ix=ix)
+        tpu_s = (w2 - w1) / (big_blocks * block - small_q)
+        assert tpu_s > 0, f"non-positive marginal ({w1=:.4f}, {w2=:.4f}); relay too noisy"
+        return 1.0 / tpu_s
+
+    def recall_of(ix) -> float:
+        out = sfn(ix, make_queries(b))
+        got = np.asarray(out.indices)[:b]
+        return float(np.mean([len(set(got[i]) & set(exact_topk[i])) / k for i in range(b)]))
+
+    scan_qps = qps_of(index, "scan")
+    scan_recall = recall_of(index)
+    try:
+        fused_qps = qps_of(index_fused, "fused")
+        fused_recall = recall_of(index_fused)
+    except Exception as exc:  # noqa: BLE001 - report the scan path if the kernel regresses
+        _log(f"fused kernel path failed ({exc}); reporting scan only")
+        fused_qps, fused_recall = 0.0, 0.0
+    _log(f"scan {scan_qps:,.0f} QPS @ {scan_recall:.3f}; fused {fused_qps:,.0f} QPS @ {fused_recall:.3f}")
+
+    if fused_qps > scan_qps:
+        tpu_qps, recall, path = fused_qps, fused_recall, "pallas-fused"
+    else:
+        tpu_qps, recall, path = scan_qps, scan_recall, "scan+approx_max_k"
 
     result = {
-        "metric": f"dense MIPS QPS/chip (1M x 768 bf16 flat, batch {block}, recall@10={recall:.3f})",
+        "metric": (
+            f"dense MIPS QPS/chip (1M x 768 bf16 flat, batch {block}, {path}, "
+            f"recall@10={recall:.3f}; scan={scan_qps:,.0f} fused={fused_qps:,.0f})"
+        ),
         "value": round(tpu_qps, 1),
         "unit": "QPS",
         "vs_baseline": round(tpu_qps / cpu_qps, 1),

@@ -39,3 +39,58 @@ def test_fused_mips_pallas_interpret() -> None:
     # padding rows masked out
     s2, i2 = fused_mips_topk(v, q, k=k, tile=256, qblock=8, n_real=50, interpret=True)
     assert np.asarray(i2).max() < 50
+
+
+def test_fused_mips_binned_interpret() -> None:
+    """Binned fused MIPS (the fast path): matches the brute-force top-k up to
+    bin collisions; with bins >= n it is exact (every row has its own bin)."""
+    from vod_tpu.ops.mips_pallas import fused_mips_binned
+
+    rng = np.random.default_rng(2)
+    n, d, b, k = 1024, 64, 16, 7
+    v = jnp.asarray(rng.normal(size=(n, d)).astype("float32"))
+    q = jnp.asarray(rng.normal(size=(b, d)).astype("float32"))
+    es, ei = jax.lax.top_k(q @ v.T, k)
+
+    # exact regime: tile == bins -> one row per bin per tile... bins=256 with
+    # tile=256 means bin(j)=j; still approximate across tiles. Check recall.
+    s, i = fused_mips_binned(v, q, k=k, tile=256, qblock=8, bins=256, interpret=True)
+    got, exp = np.asarray(i), np.asarray(ei)
+    recall = np.mean([len(set(got[r]) & set(exp[r])) / k for r in range(b)])
+    assert recall >= 1 - (k - 1) / 256, recall  # expected collision bound
+
+    # scores of returned ids must equal their true inner products
+    true = np.asarray(q @ v.T)
+    fetched = np.take_along_axis(true, got, axis=-1)
+    assert np.allclose(np.asarray(s), fetched, atol=1e-4)
+
+    # the global argmax is NEVER lost (it always wins its bin)
+    assert np.array_equal(got[:, 0], exp[:, 0])
+
+    # padding rows masked out
+    _, i2 = fused_mips_binned(v, q, k=k, tile=256, qblock=8, bins=256, n_real=50, interpret=True)
+    assert np.asarray(i2).max() < 50
+
+
+def test_dense_search_fused_kernel_path() -> None:
+    """`kernel='fused'` on a flat index routes through the Pallas kernel
+    (interpret-mode on CPU) and agrees with brute force up to bin collisions;
+    padded rows and the id offset are honored."""
+    from vod_tpu.search import SearchQueries, build_dense_index
+    from vod_tpu.search.dense import dense_search
+
+    rng = np.random.default_rng(5)
+    n, d, b, k = 700, 32, 5, 5  # n pads to 1024, b pads to 16
+    v = jnp.asarray(rng.normal(size=(n, d)).astype("float32"))
+    q = jnp.asarray(rng.normal(size=(b, d)).astype("float32"))
+    ix = build_dense_index(v, dtype="float32", kernel="fused", offset=100)
+    out = dense_search(ix, SearchQueries(vector=q), top_k=k)
+    assert out.indices.shape == (b, k)
+    got = np.asarray(out.indices) - 100
+    assert got.min() >= 0 and got.max() < n
+    exact = np.asarray(jax.lax.top_k(q @ v.T, k)[1])
+    # the top-1 always survives binning; scores are true inner products
+    assert np.array_equal(got[:, 0], exact[:, 0])
+    true = np.asarray(q @ v.T)
+    fetched = np.take_along_axis(true, got, axis=-1)
+    assert np.allclose(np.asarray(out.scores), fetched, atol=1e-4)

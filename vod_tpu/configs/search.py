@@ -55,6 +55,9 @@ class DenseFactoryConfig(StrictModel):
     # scan
     chunk: int = 131072
     approx_recall: typ.Optional[float] = 0.95  # None = exact top-k
+    # flat-codec scoring path: "scan" (lax.scan + approx_max_k) or "fused"
+    # (Pallas matmul+binned-top-k kernel; 118k vs 109k QPS at 1M x 768)
+    kernel: typ.Literal["scan", "fused"] = "scan"
 
     @classmethod
     def from_faiss_factory(cls, factory: str, train_size: typ.Optional[int] = None) -> "DenseFactoryConfig":

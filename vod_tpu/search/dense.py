@@ -38,6 +38,10 @@ class DenseIndex:
     offset: int = struct.field(pytree_node=False, default=0)  # global-id offset
     # approx_max_k recall target; None = exact lax.top_k (faiss-Flat parity).
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
+    # "scan" = lax.scan chunks + approx_max_k; "fused" = the Pallas
+    # matmul+binned-top-k kernel (ops/mips_pallas.py) — measured 118k vs 109k
+    # QPS at the 1M x 768 headline shape, recall@10 0.985 vs 0.998.
+    kernel: str = struct.field(pytree_node=False, default="scan")
 
 
 @struct.dataclass
@@ -82,13 +86,20 @@ def build_dense_index(
     offset: int = 0,
     pad_multiple: typ.Optional[int] = None,
     approx_recall: typ.Optional[float] = 0.95,
+    kernel: str = "scan",
 ) -> DenseIndex:
     """Build a flat index (parity: faiss `Flat` / `build.py:12`).
 
     dtype: 'float32' | 'bfloat16' | 'int8'. Rows are padded to a multiple of 128
     so chunked scans tile cleanly on the MXU; padded rows score -inf via n_real.
+    kernel='fused' selects the Pallas fused matmul+top-k path (flat bf16/f32
+    only; rows padded to the kernel's 1024-row tile).
     """
     n_real = int(vectors.shape[0])
+    if kernel == "fused":
+        if dtype == "int8":
+            raise ValueError("kernel='fused' supports flat bf16/f32 (int8 uses the scan)")
+        pad_multiple = max(pad_multiple or 0, 1024)
     pad_multiple = _auto_pad_multiple(n_real, pad_multiple)
     vectors = _pad_rows(vectors, pad_multiple)
     if subset_ids is not None:
@@ -101,7 +112,7 @@ def build_dense_index(
         vectors = vectors.astype(jnp.dtype(dtype))
     return DenseIndex(
         vectors=vectors, scale=scale, subset_ids=subset_ids, n_real=n_real,
-        offset=offset, approx_recall=approx_recall,
+        offset=offset, approx_recall=approx_recall, kernel=kernel,
     )
 
 
@@ -330,6 +341,21 @@ def dense_search(
         return RetrievalBatch(scores=top_s, indices=top_i)
 
     q_eff = q.astype(index.vectors.dtype)
+
+    if index.kernel == "fused" and allowed is None:
+        # Pallas fused matmul + binned streaming top-k (ops/mips_pallas.py):
+        # scores never leave VMEM. Subset filtering stays on the scan path.
+        from vod_tpu.ops.mips_pallas import fused_mips_binned
+
+        b_pad = (-b) % 16  # sublane-align the query block
+        q_k = jnp.pad(q_eff, ((0, b_pad), (0, 0))) if b_pad else q_eff
+        top_s, top_i = fused_mips_binned(
+            index.vectors, q_k, k=top_k, n_real=index.n_real,
+            interpret=jax.default_backend() == "cpu",
+        )
+        top_s, top_i = top_s[:b], top_i[:b]
+        top_i = jnp.where(top_i >= 0, top_i + index.offset, top_i)
+        return RetrievalBatch(scores=top_s, indices=top_i)
 
     def score_chunk(start: jax.Array) -> jax.Array:
         v = jax.lax.dynamic_slice_in_dim(index.vectors, start, chunk, axis=0)

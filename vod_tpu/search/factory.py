@@ -102,7 +102,8 @@ def build_dense_from_config(
     if cfg.codec == "flat" or cfg.codec == "int8":
         dtype = "int8" if cfg.codec == "int8" else cfg.dtype
         index = build_dense_index(
-            vectors, subset_ids=subset_ids, dtype=dtype, approx_recall=cfg.approx_recall
+            vectors, subset_ids=subset_ids, dtype=dtype, approx_recall=cfg.approx_recall,
+            kernel=cfg.kernel,
         )
     elif cfg.codec == "pq":
         index = build_pq_index(
