@@ -206,3 +206,89 @@ def test_cli_resume_from(tmp_path) -> None:
     )
     assert out2["state"].step == 4
     assert len(out2["history"]) == 1  # only the remaining period ran
+
+
+def test_preset_extends_composition(tmp_path) -> None:
+    """`extends` deep-merges preset fragments in order; own keys win; cycles
+    raise (parity: the reference's hydra `defaults:` lists)."""
+    from vod_tpu.exps.structconf import Experiment, load_raw_config
+
+    # repo presets compose into a full experiment
+    exp = Experiment.from_file("configs/scifact_debug.yaml")
+    assert exp.model.debug_encoder and exp.trainer.max_steps == 20
+    assert exp.datasets.queries[0].link == "scifact-corpus"
+
+    # later fragments + own keys override earlier ones
+    a = tmp_path / "a.yaml"; b = tmp_path / "b.yaml"; top = tmp_path / "top.yaml"
+    a.write_text("model: {hidden_size: 32, num_layers: 2}\n")
+    b.write_text("model: {hidden_size: 64}\n")
+    top.write_text(f"extends: ['{a}', '{b}']\nmodel: {{num_heads: 8}}\n")
+    raw = load_raw_config(str(top))
+    assert raw["model"] == {"hidden_size": 64, "num_layers": 2, "num_heads": 8}
+
+    # cycle detection
+    c = tmp_path / "c.yaml"; d = tmp_path / "d.yaml"
+    c.write_text(f"extends: ['{d}']\n")
+    d.write_text(f"extends: ['{c}']\n")
+    with pytest.raises(ValueError, match="cycle"):
+        load_raw_config(str(c))
+
+    # unknown preset name
+    e = tmp_path / "e.yaml"
+    e.write_text("extends: [no/such/preset]\n")
+    with pytest.raises(FileNotFoundError):
+        load_raw_config(str(e))
+
+
+def test_optimizer_and_lr_schedule_from_config() -> None:
+    """Optimizer kinds + LR schedules are reachable from TrainerConfig
+    (parity: hydra `model/optimizer/` + `model/scheduler/` groups)."""
+    import numpy as np
+    from vod_tpu.configs.trainer import LRScheduleConfig, TrainerConfig
+
+    t = TrainerConfig(optimizer="adafactor", lr_schedule={"kind": "cosine", "warmup_steps": 10})
+    assert t.lr_schedule.kind == "cosine"
+
+    lin = LRScheduleConfig(kind="linear", warmup_steps=10, end_factor=0.0).instantiate(1e-3, 100)
+    assert np.isclose(float(lin(0)), 0.0)
+    assert np.isclose(float(lin(10)), 1e-3)
+    assert float(lin(100)) < 1e-4
+    cos = LRScheduleConfig(kind="cosine", warmup_steps=0, end_factor=0.1).instantiate(1e-3, 100)
+    assert float(cos(0)) <= 1e-3 * 1.001 and np.isclose(float(cos(100)), 1e-4)
+    const = LRScheduleConfig(kind="constant").instantiate(5e-4, 100)
+    assert const == 5e-4
+
+
+def test_seq2seq_realm_reachable_from_config() -> None:
+    """`model.reader: seq2seq` builds a Seq2SeqRealm with T5 dims derived from
+    the model config (parity: hydra `model/lm/` group)."""
+    from vod_tpu.exps.cli import build_model
+    from vod_tpu.exps.structconf import ModelConfig
+    from vod_tpu.models.seq2seq import Seq2SeqRealm
+
+    m = build_model(ModelConfig(kind="realm", reader="seq2seq", lm_hidden_size=64, num_heads=4))
+    assert isinstance(m, Seq2SeqRealm)
+    assert m.reader_cfg.head_dim * m.reader_cfg.num_heads == 64
+
+    # tweaks flow into the encoder config
+    m2 = build_model(ModelConfig(remat=True, lora_rank=4))
+    assert m2.cfg.remat and m2.cfg.lora_rank == 4
+
+
+def test_hf_port_fallback_random() -> None:
+    """With no HF cache, `hf_fallback: random` keeps the fresh init and warns;
+    `error` raises."""
+    import warnings
+    from vod_tpu.exps.cli import _maybe_port_hf_encoder
+    from vod_tpu.exps.structconf import ModelConfig
+
+    params = {"params": {"encoder": {"backbone": {"x": 1}}}}
+    cfg = ModelConfig(name_or_path="definitely/not-cached-anywhere", hf_fallback="random")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = _maybe_port_hf_encoder(params, cfg)
+    assert out["params"]["encoder"]["backbone"] == {"x": 1}
+    assert any("random init" in str(x.message) for x in w)
+
+    with pytest.raises(Exception):
+        _maybe_port_hf_encoder(params, cfg.model_copy(update={"hf_fallback": "error"}))

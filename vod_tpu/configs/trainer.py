@@ -50,6 +50,38 @@ class BatchSizeConfig(StrictModel):
         return max(1, -(-self.effective // (n_devices * self.per_device)))
 
 
+class LRScheduleConfig(StrictModel):
+    """Learning-rate schedule (parity: reference hydra `model/scheduler/`:
+    `linear.yaml` = warmup+linear decay, `cycle.yaml` = one-cycle/cosine)."""
+
+    kind: typ.Literal["constant", "linear", "cosine"] = "linear"
+    warmup_steps: int = 0
+    decay_steps: typ.Optional[int] = None  # default: trainer.max_steps
+    end_factor: float = 0.0  # final lr = end_factor * learning_rate
+
+    def instantiate(self, learning_rate: float, max_steps: int):
+        import optax
+
+        decay = self.decay_steps if self.decay_steps is not None else max_steps
+        if self.kind == "constant":
+            if self.warmup_steps:
+                return optax.linear_schedule(0.0, learning_rate, self.warmup_steps)
+            return learning_rate
+        if self.kind == "linear":
+            return optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, learning_rate, max(1, self.warmup_steps)),
+                    optax.linear_schedule(
+                        learning_rate, learning_rate * self.end_factor, max(1, decay - self.warmup_steps)
+                    ),
+                ],
+                [self.warmup_steps],
+            )
+        return optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, self.warmup_steps, decay, learning_rate * self.end_factor
+        )
+
+
 class TrainerConfig(StrictModel):
     max_steps: int = 1_000
     period: typ.Optional[int] = None
@@ -59,6 +91,8 @@ class TrainerConfig(StrictModel):
     gradient_clip_val: typ.Optional[float] = None
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
+    optimizer: typ.Literal["adamw", "adafactor", "sgd"] = "adamw"
+    lr_schedule: typ.Optional[LRScheduleConfig] = None
     parameters: dict[str, ScheduleConfig] = pydantic.Field(default_factory=dict)
     metrics: list[str] = pydantic.Field(default_factory=lambda: ["mrr", "ndcg_10", "hitrate_3"])
     checkpoint_path: typ.Optional[str] = None

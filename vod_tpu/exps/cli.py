@@ -43,6 +43,9 @@ def build_model(cfg: ModelConfig) -> typ.Any:
         num_layers=cfg.num_layers,
         num_heads=cfg.num_heads,
         intermediate_size=cfg.intermediate_size,
+        remat=cfg.remat,
+        lora_rank=cfg.lora_rank,
+        lora_alpha=cfg.lora_alpha,
         pooler=VodPoolerConfig(
             agg_method=cfg.agg_method,
             output_norm=cfg.output_norm,
@@ -56,6 +59,22 @@ def build_model(cfg: ModelConfig) -> typ.Any:
         "vod": lambda: VodGradients(alpha=cfg.vod_alpha),
     }[cfg.gradients]()
     if cfg.kind == "realm":
+        if cfg.reader == "seq2seq":
+            from vod_tpu.models.seq2seq import Seq2SeqRealm
+            from vod_tpu.models.t5_encoder import T5EncoderConfig
+
+            reader_cfg = T5EncoderConfig(
+                vocab_size=cfg.vocab_size,
+                hidden_size=cfg.lm_hidden_size,
+                num_layers=cfg.lm_num_layers,
+                num_heads=cfg.num_heads,
+                head_dim=cfg.lm_hidden_size // cfg.num_heads,
+                intermediate_size=cfg.intermediate_size,
+            )
+            return Seq2SeqRealm(
+                cfg=enc_cfg, reader_cfg=reader_cfg, gradients=gradients,
+                debug_encoder=cfg.debug_encoder,
+            )
         lm_cfg = CausalLMConfig(
             vocab_size=cfg.vocab_size,
             hidden_size=cfg.lm_hidden_size,
@@ -65,6 +84,34 @@ def build_model(cfg: ModelConfig) -> typ.Any:
         )
         return Realm(cfg=enc_cfg, lm_cfg=lm_cfg, gradients=gradients, debug_encoder=cfg.debug_encoder)
     return Ranker(cfg=enc_cfg, gradients=gradients, debug_encoder=cfg.debug_encoder)
+
+
+def _maybe_port_hf_encoder(params: dict, cfg: ModelConfig) -> dict:
+    """Graft a ported HF BERT-family backbone into freshly-initialized params
+    (parity: reference hydra `model/encoder/<hub-name>.yaml` instantiates hub
+    checkpoints directly). Zero-egress environments need a local HF cache;
+    `hf_fallback: random` keeps the random init instead of failing."""
+    if cfg.name_or_path is None or cfg.debug_encoder:
+        return params
+    try:
+        from vod_tpu.models.hf_import import load_hf_encoder
+
+        hf_cfg, backbone = load_hf_encoder(cfg.name_or_path)
+    except Exception as exc:  # noqa: BLE001 - hub/cache errors surface here
+        if cfg.hf_fallback == "random":
+            import warnings
+
+            warnings.warn(f"HF port of {cfg.name_or_path!r} unavailable ({exc}); random init")
+            return params
+        raise
+    if (hf_cfg.hidden_size, hf_cfg.num_layers) != (cfg.hidden_size, cfg.num_layers):
+        raise ValueError(
+            f"config mismatch vs checkpoint {cfg.name_or_path!r}: "
+            f"hidden={hf_cfg.hidden_size} layers={hf_cfg.num_layers}"
+        )
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow-safe copy
+    params["params"]["encoder"]["backbone"] = backbone
+    return params
 
 
 def run_experiment(
@@ -141,7 +188,14 @@ def run_experiment(
 
     # --- model + optimizer ----------------------------------------------------
     model = build_model(exp.model)
-    tx = optax.adamw(exp.trainer.learning_rate, weight_decay=exp.trainer.weight_decay)
+    lr: typ.Any = exp.trainer.learning_rate
+    if exp.trainer.lr_schedule is not None:
+        lr = exp.trainer.lr_schedule.instantiate(exp.trainer.learning_rate, exp.trainer.max_steps)
+    tx = {
+        "adamw": lambda: optax.adamw(lr, weight_decay=exp.trainer.weight_decay),
+        "adafactor": lambda: optax.adafactor(lr),
+        "sgd": lambda: optax.sgd(lr),
+    }[exp.trainer.optimizer]()
     step_fn = make_train_step(
         model, tx,
         prefetch=exp.collate.prefetch_n_sections,
@@ -170,6 +224,7 @@ def run_experiment(
         in_batch_negatives=exp.collate.in_batch_negatives,
     )
     params = model.init(jax.random.PRNGKey(exp.sys.seed), init_batch, mode="evaluate")
+    params = _maybe_port_hf_encoder(params, exp.model)
     opt_state = tx.init(params)
 
     state = TrainerState(

@@ -82,6 +82,17 @@ class ModelConfig(StrictModel):
     lm_hidden_size: int = 256
     lm_num_layers: int = 4
     debug_encoder: bool = False  # embedding-only encoder (parity: model/encoder=debug)
+    # HF checkpoint porting (parity: hydra `model/encoder/e5-small.yaml` etc. —
+    # the reference instantiates hub checkpoints; here the tensors are ported
+    # into the native flax encoder at init)
+    name_or_path: typ.Optional[str] = None
+    hf_fallback: typ.Literal["error", "random"] = "error"  # cache miss behavior
+    # reader family for `kind: realm` (parity: hydra `model/lm/` group)
+    reader: typ.Literal["causal", "seq2seq"] = "causal"
+    # tweaks (parity: hydra `model/tweaks/` — checkpointing.yaml / qlora.yaml)
+    remat: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
 
 class DatasetsConfig(StrictModel):
@@ -127,14 +138,75 @@ class Experiment(StrictModel):
 
     @classmethod
     def from_file(cls, path: str) -> "Experiment":
-        import json
-        import pathlib
+        return cls.parse(load_raw_config(path))
 
-        text = pathlib.Path(path).read_text()
-        if path.endswith((".yaml", ".yml")):
-            import yaml
 
-            raw = yaml.safe_load(text)
+def deep_merge(dst: dict, src: typ.Mapping) -> dict:
+    """Recursive dict merge, `src` wins (the preset composition operator)."""
+    for k, v in src.items():
+        if isinstance(v, typ.Mapping) and isinstance(dst.get(k), dict):
+            deep_merge(dst[k], v)
         else:
-            raw = json.loads(text)
-        return cls.parse(raw)
+            dst[k] = copy.deepcopy(v)
+    return dst
+
+
+def _read_raw(path: "pathlib.Path") -> dict:
+    import json
+
+    text = path.read_text()
+    if path.suffix in (".yaml", ".yml"):
+        import yaml
+
+        return yaml.safe_load(text) or {}
+    return json.loads(text)
+
+
+def preset_root() -> "pathlib.Path":
+    import pathlib
+
+    return pathlib.Path(__file__).resolve().parents[2] / "configs" / "presets"
+
+
+def load_raw_config(path: str, _seen: typ.Optional[frozenset] = None) -> dict:
+    """Load a YAML/JSON config, resolving its `extends` preset composition.
+
+    Parity: the reference's hydra `defaults:` group lists (88 yaml groups under
+    `vod_exps/hydra/`). Here `extends` names fragments that deep-merge in
+    order, the document's own keys winning last:
+
+        extends: [model/realm, encoder/e5-small, search/pq, datasets/msmarco]
+
+    Each name resolves to (1) a path relative to the current file, (2) an
+    absolute path, or (3) `configs/presets/<name>.yaml`. Fragments may extend
+    further fragments; cycles are an error.
+    """
+    import pathlib
+
+    p = pathlib.Path(path).resolve()
+    seen = _seen or frozenset()
+    if str(p) in seen:
+        raise ValueError(f"extends cycle through {p}")
+    seen = seen | {str(p)}
+
+    raw = _read_raw(p)
+    bases = raw.pop("extends", [])
+    if isinstance(bases, str):
+        bases = [bases]
+    merged: dict = {}
+    for name in bases:
+        candidates = [
+            p.parent / name,
+            p.parent / f"{name}.yaml",
+            pathlib.Path(name),
+            preset_root() / f"{name}.yaml",
+            preset_root() / name,
+        ]
+        frag_path = next((c for c in candidates if c.is_file()), None)
+        if frag_path is None:
+            raise FileNotFoundError(
+                f"extends fragment {name!r} (from {p}) not found; looked in {p.parent} and {preset_root()}"
+            )
+        deep_merge(merged, load_raw_config(str(frag_path), seen))
+    deep_merge(merged, raw)
+    return merged
