@@ -292,3 +292,23 @@ def test_hf_port_fallback_random() -> None:
 
     with pytest.raises(Exception):
         _maybe_port_hf_encoder(params, cfg.model_copy(update={"hf_fallback": "error"}))
+
+
+def test_weight_decay_mask() -> None:
+    """Biases and norm scales are excluded from AdamW weight decay (parity:
+    the reference's HF-style parameter grouping)."""
+    import jax.numpy as jnp
+    from vod_tpu.exps.cli import _decay_mask
+
+    params = {
+        "encoder": {
+            "dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+            "LayerNorm": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+            "embed": {"embedding": jnp.ones((10, 4))},
+        }
+    }
+    m = _decay_mask(params)
+    assert m["encoder"]["dense"]["kernel"] is True
+    assert m["encoder"]["dense"]["bias"] is False
+    assert m["encoder"]["LayerNorm"]["scale"] is False
+    assert m["encoder"]["embed"]["embedding"] is True

@@ -94,3 +94,34 @@ def test_dense_search_fused_kernel_path() -> None:
     true = np.asarray(q @ v.T)
     fetched = np.take_along_axis(true, got, axis=-1)
     assert np.allclose(np.asarray(out.scores), fetched, atol=1e-4)
+
+
+def test_dense_search_fused_int8_path() -> None:
+    """int8 codec + kernel='fused': int32 in-kernel accumulation, per-row query
+    scale applied post-kernel; agrees with the int8 scan path on the same index
+    data (both score the same quantized corpus)."""
+    from vod_tpu.search import SearchQueries, build_dense_index
+    from vod_tpu.search.dense import dense_search
+
+    rng = np.random.default_rng(9)
+    n, d, b, k = 600, 64, 8, 5
+    v = rng.normal(size=(n, d)).astype("float32")
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    q = jnp.asarray(v[rng.integers(0, n, b)] + 0.03 * rng.normal(size=(b, d)).astype("float32"))
+
+    fused = build_dense_index(jnp.asarray(v), dtype="int8", kernel="fused")
+    scan = build_dense_index(jnp.asarray(v), dtype="int8")
+    out_f = dense_search(fused, SearchQueries(vector=q), top_k=k)
+    out_s = dense_search(scan, SearchQueries(vector=q), top_k=k)
+    # top-1 must agree exactly (always survives binning); scores must match
+    # where ids agree (same int8 codes -> same quantized scores)
+    got_f, got_s = np.asarray(out_f.indices), np.asarray(out_s.indices)
+    assert np.array_equal(got_f[:, 0], got_s[:, 0])
+    overlap = np.mean([len(set(got_f[i]) & set(got_s[i])) / k for i in range(b)])
+    assert overlap >= 0.8, overlap
+    for i in range(b):
+        common = set(got_f[i]) & set(got_s[i])
+        sf = {int(ix): float(s) for ix, s in zip(got_f[i], np.asarray(out_f.scores)[i])}
+        ss = {int(ix): float(s) for ix, s in zip(got_s[i], np.asarray(out_s.scores)[i])}
+        for ix in common:
+            assert abs(sf[ix] - ss[ix]) < 1e-3, (ix, sf[ix], ss[ix])

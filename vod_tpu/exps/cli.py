@@ -114,6 +114,20 @@ def _maybe_port_hf_encoder(params: dict, cfg: ModelConfig) -> dict:
     return params
 
 
+def _decay_mask(params: typ.Any) -> typ.Any:
+    """HF-style weight-decay grouping (parity: reference `get_optimizer:88-113`):
+    biases and norm scales are excluded from decay; only matrix kernels and
+    embeddings decay."""
+
+    def keep(path: tuple, leaf: typ.Any) -> bool:
+        name = jax.tree_util.keystr(path).lower()
+        if any(t in name for t in ("bias", "norm", "scale", "ln_", "'ln", "layernorm")):
+            return False
+        return getattr(leaf, "ndim", 0) >= 2
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
 def run_experiment(
     exp: Experiment,
     *,
@@ -192,7 +206,9 @@ def run_experiment(
     if exp.trainer.lr_schedule is not None:
         lr = exp.trainer.lr_schedule.instantiate(exp.trainer.learning_rate, exp.trainer.max_steps)
     tx = {
-        "adamw": lambda: optax.adamw(lr, weight_decay=exp.trainer.weight_decay),
+        "adamw": lambda: optax.adamw(
+            lr, weight_decay=exp.trainer.weight_decay, mask=_decay_mask
+        ),
         "adafactor": lambda: optax.adafactor(lr),
         "sgd": lambda: optax.sgd(lr),
     }[exp.trainer.optimizer]()

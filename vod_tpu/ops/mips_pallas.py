@@ -141,18 +141,22 @@ def fused_mips_topk(
     return out_s[:, :k], out_i[:, :k]
 
 
-def _binned_kernel(q_ref, v_ref, out_s_ref, out_i_ref, *, tile, qblock, bins, n_real):
+_INT32_MIN = -(2**31) + 1
+
+
+def _binned_kernel(q_ref, v_ref, out_s_ref, out_i_ref, *, tile, qblock, bins, n_real, acc_dtype):
     ti = pl.program_id(1)  # corpus tile (innermost)
+    neg = _INT32_MIN if acc_dtype == jnp.int32 else -jnp.inf
 
     @pl.when(ti == 0)
     def _init():
-        out_s_ref[:] = jnp.full((qblock, bins), -jnp.inf, dtype=jnp.float32)
+        out_s_ref[:] = jnp.full((qblock, bins), neg, dtype=acc_dtype)
         out_i_ref[:] = jnp.full((qblock, bins), -1, dtype=jnp.int32)
 
     q = q_ref[:]  # [QB, D]
     v = v_ref[:]  # [TILE, D]
     s = jax.lax.dot_general(
-        q, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=acc_dtype
     )  # [QB, TILE]
 
     # strided bin-max: bin(j) = j mod bins; static unrolled slices stay
@@ -166,7 +170,7 @@ def _binned_kernel(q_ref, v_ref, out_s_ref, out_i_ref, *, tile, qblock, bins, n_
     for r in range(tile // bins):
         chunk = s[:, r * bins : (r + 1) * bins]
         ci = ti * tile + r * bins + lane
-        chunk = jnp.where(ci < n_real, chunk, -jnp.inf)
+        chunk = jnp.where(ci < n_real, chunk, neg)
         if m is None:
             m, mi = chunk, ci
         else:
@@ -204,7 +208,14 @@ def fused_mips_binned(
     16MB. Batches larger than `qblock` are processed as an outer `lax.map`
     over qblock-sized chunks — one kernel call per chunk keeps the out-window
     single-buffered (multi-query-block grids double-buffer the out windows and
-    blow scoped VMEM)."""
+    blow scoped VMEM).
+
+    int8 path: when `vectors` is int8, `queries` must be int8 too (per-row
+    quantized, see `dense_search`); accumulation runs end-to-end in int32 on
+    the int8-MXU path (2x the bf16 rate). A positive per-row query scale
+    preserves within-row ordering, so the caller applies it to the returned
+    scores AFTER the kernel — the kernel never sees floats. Masked/padded
+    cells then hold INT32_MIN instead of -inf."""
     n, d = vectors.shape
     b = queries.shape[0]
     if n_real < 0:
@@ -225,10 +236,19 @@ def fused_mips_binned(
     assert n % tile == 0, (n, tile)
     assert tile % bins == 0, (tile, bins)
     assert k <= bins
-    q = queries.astype(vectors.dtype)
+    int8_path = vectors.dtype == jnp.int8
+    acc_dtype = jnp.int32 if int8_path else jnp.float32
+    if int8_path:
+        assert queries.dtype == jnp.int8, "int8 corpus requires int8-quantized queries"
+        q = queries
+    else:
+        q = queries.astype(vectors.dtype)
 
     bin_s, bin_i = pl.pallas_call(
-        functools.partial(_binned_kernel, tile=tile, qblock=qblock, bins=bins, n_real=n_real),
+        functools.partial(
+            _binned_kernel, tile=tile, qblock=qblock, bins=bins, n_real=n_real,
+            acc_dtype=acc_dtype,
+        ),
         grid=(b // qblock, n // tile),
         in_specs=[
             pl.BlockSpec((qblock, d), lambda qi, ti: (qi, 0), memory_space=pltpu.VMEM),
@@ -239,7 +259,7 @@ def fused_mips_binned(
             pl.BlockSpec((qblock, bins), lambda qi, ti: (qi, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, bins), jnp.float32),
+            jax.ShapeDtypeStruct((b, bins), acc_dtype),
             jax.ShapeDtypeStruct((b, bins), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -251,4 +271,6 @@ def fused_mips_binned(
     )(q, vectors)
     top_s, pos = jax.lax.top_k(bin_s, k)  # tiny: [B, bins] -> [B, k]
     top_i = jnp.take_along_axis(bin_i, pos, axis=-1)
+    if int8_path:
+        return top_s, jnp.where(top_s > _INT32_MIN, top_i, -1)
     return top_s, jnp.where(jnp.isfinite(top_s), top_i, -1)

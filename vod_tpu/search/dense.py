@@ -97,8 +97,6 @@ def build_dense_index(
     """
     n_real = int(vectors.shape[0])
     if kernel == "fused":
-        if dtype == "int8":
-            raise ValueError("kernel='fused' supports flat bf16/f32 (int8 uses the scan)")
         pad_multiple = max(pad_multiple or 0, 1024)
     pad_multiple = _auto_pad_multiple(n_real, pad_multiple)
     vectors = _pad_rows(vectors, pad_multiple)
@@ -320,6 +318,23 @@ def dense_search(
         q_absmax = jnp.max(jnp.abs(q_f), axis=-1, keepdims=True)
         q_row_scale = jnp.maximum(q_absmax, 1e-8) / 127.0
         q_i8 = jnp.clip(jnp.round(q_f / q_row_scale), -127, 127).astype(jnp.int8)
+
+        if index.kernel == "fused" and allowed is None:
+            # int8 fused kernel: int32 accumulation end-to-end; the positive
+            # per-row query scale preserves ordering, applied post-kernel.
+            from vod_tpu.ops.mips_pallas import fused_mips_binned
+
+            b_pad = (-b) % 16
+            q_k = jnp.pad(q_i8, ((0, b_pad), (0, 0))) if b_pad else q_i8
+            top_s, top_i = fused_mips_binned(
+                index.vectors, q_k, k=top_k, n_real=index.n_real,
+                interpret=jax.default_backend() == "cpu",
+            )
+            top_s = top_s[:b].astype(jnp.float32) * q_row_scale
+            top_i = top_i[:b]
+            top_s = jnp.where(top_i >= 0, top_s, -jnp.inf)
+            top_i = jnp.where(top_i >= 0, top_i + index.offset, top_i)
+            return RetrievalBatch(scores=top_s, indices=top_i)
 
         def score_chunk(start: jax.Array) -> jax.Array:
             v = jax.lax.dynamic_slice_in_dim(index.vectors, start, chunk, axis=0)
