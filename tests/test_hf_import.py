@@ -161,3 +161,43 @@ def test_t5_seq2seq_port_and_generation() -> None:
         stop = np.where(hf_row == 1)[0]
         n_cmp = (stop[0] + 1) if stop.size else n
         assert np.array_equal(toks[r, :n_cmp], hf_row[:n_cmp]), (toks[r], hf_row)
+
+
+def test_roberta_port_output_parity() -> None:
+    """RoBERTa/XLM-R layout port: position-offset slicing + single token-type
+    row; outputs must match torch on valid positions."""
+    import torch
+    import transformers
+
+    hf_cfg = transformers.RobertaConfig(
+        vocab_size=200, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=66, type_vocab_size=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0, pad_token_id=1,
+    )
+    torch_model = transformers.RobertaModel(hf_cfg).eval()
+
+    from vod_tpu.models.encoder import TransformerEncoder
+    from vod_tpu.models.hf_import import config_from_hf, port_roberta_weights
+
+    cfg = config_from_hf(hf_cfg, position_offset=2)
+    params = port_roberta_weights(torch_model.state_dict(), cfg)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(2, 200, size=(2, 12)).astype("int64")
+    mask = np.ones((2, 12), dtype="int64")
+    mask[1, 9:] = 0
+    ids[1, 9:] = hf_cfg.pad_token_id  # HF derives positions from non-pad tokens
+
+    with torch.no_grad():
+        ref = torch_model(
+            input_ids=torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.numpy()
+
+    got = np.asarray(
+        TransformerEncoder(cfg).apply(
+            {"params": params}, jnp.asarray(ids.astype("int32")), jnp.asarray(mask.astype("int32"))
+        ),
+        dtype="float32",
+    )
+    diff = np.abs(got - ref)[mask.astype(bool)]
+    assert diff.max() < 2e-4, diff.max()

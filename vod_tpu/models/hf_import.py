@@ -23,14 +23,21 @@ from .encoder import TransformerEncoderConfig
 from .pooler import VodPoolerConfig
 
 
-def config_from_hf(hf_config: typ.Any, pooler: typ.Optional[VodPoolerConfig] = None, dtype=jnp.float32) -> TransformerEncoderConfig:
+def config_from_hf(
+    hf_config: typ.Any,
+    pooler: typ.Optional[VodPoolerConfig] = None,
+    dtype=jnp.float32,
+    position_offset: int = 0,
+) -> TransformerEncoderConfig:
+    """`position_offset=2` for RoBERTa/XLM-R (their position table has two
+    unused leading rows; the ported table is sliced to match arange positions)."""
     return TransformerEncoderConfig(
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
         num_layers=hf_config.num_hidden_layers,
         num_heads=hf_config.num_attention_heads,
         intermediate_size=hf_config.intermediate_size,
-        max_position_embeddings=hf_config.max_position_embeddings,
+        max_position_embeddings=hf_config.max_position_embeddings - position_offset,
         type_vocab_size=getattr(hf_config, "type_vocab_size", 2),
         layer_norm_eps=getattr(hf_config, "layer_norm_eps", 1e-12),
         dtype=dtype,
@@ -110,15 +117,46 @@ def port_bert_weights(
     return params
 
 
+def port_roberta_weights(
+    state_dict: typ.Mapping[str, typ.Any],
+    cfg: TransformerEncoderConfig,
+    *,
+    position_offset: int = 2,
+) -> dict:
+    """torch RoBERTa/XLM-R state_dict -> flax `TransformerEncoder` params.
+
+    Parity: reference `VodRobertaEncoder`/`VodXLMRobertaEncoder`
+    (`vod_encoder/modeling.py:285,297`). The layer layout is identical to
+    BERT; the differences are (a) position embeddings start at
+    `padding_idx + 1 = 2` (HF's `create_position_ids_from_input_ids`), folded
+    in here by slicing the table so arange-positions line up, and (b)
+    `type_vocab_size == 1` (a single token-type row, which the ported model
+    keeps at index 0).
+    """
+    sd = dict(state_dict)
+    for prefix in ("roberta.", "xlm_roberta."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+            break
+    pos = _t(sd["embeddings.position_embeddings.weight"])
+    sd["embeddings.position_embeddings.weight"] = pos[position_offset:]
+    return port_bert_weights(sd, cfg)
+
+
 def load_hf_encoder(
     name_or_path: str,
     pooler: typ.Optional[VodPoolerConfig] = None,
     dtype=jnp.float32,
 ) -> tuple[TransformerEncoderConfig, dict]:
-    """Load a hub/local BERT checkpoint and port it (requires HF cache offline)."""
+    """Load a hub/local BERT-family checkpoint and port it (requires HF cache
+    offline). Dispatches BERT vs RoBERTa/XLM-R layouts by `model_type`."""
     import transformers
 
     hf = transformers.AutoModel.from_pretrained(name_or_path)
-    cfg = config_from_hf(hf.config, pooler=pooler, dtype=dtype)
-    params = port_bert_weights(hf.state_dict(), cfg)
+    if getattr(hf.config, "model_type", "bert") in ("roberta", "xlm-roberta", "camembert"):
+        cfg = config_from_hf(hf.config, pooler=pooler, dtype=dtype, position_offset=2)
+        params = port_roberta_weights(hf.state_dict(), cfg)
+    else:
+        cfg = config_from_hf(hf.config, pooler=pooler, dtype=dtype)
+        params = port_bert_weights(hf.state_dict(), cfg)
     return cfg, params
