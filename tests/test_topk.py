@@ -125,3 +125,39 @@ def test_dense_search_fused_int8_path() -> None:
         ss = {int(ix): float(s) for ix, s in zip(got_s[i], np.asarray(out_s.scores)[i])}
         for ix in common:
             assert abs(sf[ix] - ss[ix]) < 1e-3, (ix, sf[ix], ss[ix])
+
+
+def test_sharded_fused_kernel_matches_unsharded(eight_cpu_devices=None) -> None:
+    """`kernel='fused'` on the sharded engine (8-device CPU mesh): the Pallas
+    kernel runs per shard with a TRACED per-shard validity bound, the
+    all_gather(k) merge assembles global ids; agrees with the unsharded fused
+    engine on top-1 and returns true global scores."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import SearchQueries, build_dense_index
+    from vod_tpu.search.dense import dense_search
+    from vod_tpu.search.sharded import build_sharded_dense_index, sharded_dense_search
+
+    rng = np.random.default_rng(13)
+    n, d, b, k = 3000, 32, 6, 5  # pads to 8 shards x 1024 rows
+    v = rng.normal(size=(n, d)).astype("float32")
+    q = jnp.asarray(rng.normal(size=(b, d)).astype("float32"))
+
+    mesh = make_mesh((8,), ("shard",))
+    for dtype in ("float32", "int8"):
+        sharded = build_sharded_dense_index(
+            jnp.asarray(v), mesh, dtype=dtype, kernel="fused")
+        out = sharded_dense_search(sharded, SearchQueries(vector=q), top_k=k)
+        ids = np.asarray(out.indices)
+        assert ids.shape == (b, k) and ids.max() < n
+        exact = np.asarray(jax.lax.top_k(q @ v.T, k)[1]) if dtype == "float32" else None
+        if exact is not None:
+            # top-1 wins its bin on its shard and the cross-shard merge
+            assert np.array_equal(ids[:, 0], exact[:, 0])
+            true = np.asarray(q @ v.T)
+            fetched = np.take_along_axis(true, ids, axis=-1)
+            assert np.allclose(np.asarray(out.scores), fetched, atol=2e-2)
+        else:
+            # int8: compare against the unsharded int8 fused engine's top-1
+            single = build_dense_index(jnp.asarray(v), dtype="int8", kernel="fused")
+            ref = dense_search(single, SearchQueries(vector=q), top_k=k)
+            assert np.array_equal(ids[:, 0], np.asarray(ref.indices)[:, 0])

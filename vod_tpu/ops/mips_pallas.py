@@ -41,6 +41,7 @@ Two selection strategies:
 from __future__ import annotations
 
 import functools
+import typing as typ
 
 import jax
 import jax.numpy as jnp
@@ -144,9 +145,10 @@ def fused_mips_topk(
 _INT32_MIN = -(2**31) + 1
 
 
-def _binned_kernel(q_ref, v_ref, out_s_ref, out_i_ref, *, tile, qblock, bins, n_real, acc_dtype):
+def _binned_kernel(n_real_ref, q_ref, v_ref, out_s_ref, out_i_ref, *, tile, qblock, bins, acc_dtype):
     ti = pl.program_id(1)  # corpus tile (innermost)
     neg = _INT32_MIN if acc_dtype == jnp.int32 else -jnp.inf
+    n_real = n_real_ref[0]  # scalar-prefetched: dynamic row-validity bound
 
     @pl.when(ti == 0)
     def _init():
@@ -185,7 +187,7 @@ def _binned_kernel(q_ref, v_ref, out_s_ref, out_i_ref, *, tile, qblock, bins, n_
     out_i_ref[:] = jnp.where(improved, mi, cur_i)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "qblock", "bins", "n_real", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "qblock", "bins", "interpret"))
 def fused_mips_binned(
     vectors: jax.Array,  # [N, D] (N multiple of tile)
     queries: jax.Array,  # [B, D] (B multiple of qblock, or > qblock and chunked)
@@ -194,7 +196,7 @@ def fused_mips_binned(
     tile: int = 1024,
     qblock: int = 2048,
     bins: int = 512,
-    n_real: int = -1,
+    n_real: typ.Union[int, jax.Array] = -1,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Approximate top-k by inner product (PartialReduce-style binning fused
@@ -215,10 +217,14 @@ def fused_mips_binned(
     the int8-MXU path (2x the bf16 rate). A positive per-row query scale
     preserves within-row ordering, so the caller applies it to the returned
     scores AFTER the kernel — the kernel never sees floats. Masked/padded
-    cells then hold INT32_MIN instead of -inf."""
+    cells then hold INT32_MIN instead of -inf.
+
+    `n_real` may be a TRACED scalar (it is scalar-prefetched into SMEM): the
+    sharded engine passes a per-shard row-validity bound computed from
+    `axis_index` inside `shard_map`."""
     n, d = vectors.shape
     b = queries.shape[0]
-    if n_real < 0:
+    if isinstance(n_real, int) and n_real < 0:
         n_real = n
     if b > qblock:
         assert b % qblock == 0, (b, qblock)
@@ -246,18 +252,20 @@ def fused_mips_binned(
 
     bin_s, bin_i = pl.pallas_call(
         functools.partial(
-            _binned_kernel, tile=tile, qblock=qblock, bins=bins, n_real=n_real,
-            acc_dtype=acc_dtype,
+            _binned_kernel, tile=tile, qblock=qblock, bins=bins, acc_dtype=acc_dtype,
         ),
-        grid=(b // qblock, n // tile),
-        in_specs=[
-            pl.BlockSpec((qblock, d), lambda qi, ti: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda qi, ti: (ti, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((qblock, bins), lambda qi, ti: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qblock, bins), lambda qi, ti: (qi, 0), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # n_real rides in SMEM (may be traced)
+            grid=(b // qblock, n // tile),
+            in_specs=[
+                pl.BlockSpec((qblock, d), lambda qi, ti, nr: (qi, 0)),
+                pl.BlockSpec((tile, d), lambda qi, ti, nr: (ti, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((qblock, bins), lambda qi, ti, nr: (qi, 0)),
+                pl.BlockSpec((qblock, bins), lambda qi, ti, nr: (qi, 0)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((b, bins), acc_dtype),
             jax.ShapeDtypeStruct((b, bins), jnp.int32),
@@ -268,7 +276,7 @@ def fused_mips_binned(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, vectors)
+    )(jnp.asarray(n_real, jnp.int32).reshape(1), q, vectors)
     top_s, pos = jax.lax.top_k(bin_s, k)  # tiny: [B, bins] -> [B, k]
     top_i = jnp.take_along_axis(bin_i, pos, axis=-1)
     if int8_path:

@@ -96,7 +96,7 @@ def build_dense_from_config(
         return build_sharded_dense_index(
             vectors, mesh, axis=cfg.shard_axis,
             dtype="int8" if cfg.codec == "int8" else cfg.dtype,
-            subset_ids=subset_ids, approx_recall=cfg.approx_recall,
+            subset_ids=subset_ids, approx_recall=cfg.approx_recall, kernel=cfg.kernel,
         )
 
     if cfg.codec == "flat" or cfg.codec == "int8":
@@ -147,7 +147,7 @@ def _shard_from_config(cfg: DenseFactoryConfig, index, vectors, subset_ids, mesh
         return build_sharded_dense_index(
             vectors, mesh, axis=cfg.shard_axis,
             dtype="int8" if cfg.codec == "int8" else cfg.dtype,
-            subset_ids=subset_ids, approx_recall=cfg.approx_recall,
+            subset_ids=subset_ids, approx_recall=cfg.approx_recall, kernel=cfg.kernel,
         )
     raise ValueError(f"codec {cfg.codec!r} does not support sharding (flat/int8/pq do)")
 

@@ -41,6 +41,8 @@ class ShardedDenseIndex:
     mesh: typ.Any = struct.field(pytree_node=False, default=None)
     # approx_max_k recall target; None = exact per-shard selection.
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
+    # "scan" or "fused" (the Pallas binned kernel per shard; see dense.py).
+    kernel: str = struct.field(pytree_node=False, default="scan")
 
 
 def build_sharded_dense_index(
@@ -52,11 +54,13 @@ def build_sharded_dense_index(
     subset_ids: typ.Optional[jax.Array] = None,
     corpus_shard: typ.Optional[jax.Array] = None,
     approx_recall: typ.Optional[float] = 0.95,
+    kernel: str = "scan",
 ) -> ShardedDenseIndex:
     """Shard a corpus matrix row-wise across the mesh axis."""
     n_shards = mesh.shape[axis]
     n_real = int(vectors.shape[0])
-    mult = n_shards * 128
+    # fused kernel: every shard's row count must be a multiple of its tile
+    mult = n_shards * (1024 if kernel == "fused" else 128)
     vectors = _pad_rows(vectors, mult)
     scale = None
     if dtype == "int8":
@@ -83,7 +87,20 @@ def build_sharded_dense_index(
         axis=axis,
         mesh=mesh,
         approx_recall=approx_recall,
+        kernel=kernel,
     )
+
+
+def _merge_across_shards(top_s, top_i, axis, n_shards, b, top_k):
+    """Gather k (score, global-id) pairs from every shard over ICI and take the
+    global top-k — the cross-shard merge never moves score matrices."""
+    all_s = jax.lax.all_gather(top_s, axis)  # [n_shards, B, k] on each device
+    all_i = jax.lax.all_gather(top_i, axis)
+    all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_shards * top_k)
+    all_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_shards * top_k)
+    out_s, pos = jax.lax.top_k(all_s, top_k)
+    out_i = jnp.take_along_axis(all_i, pos, axis=-1)
+    return out_s, jnp.where(jnp.isfinite(out_s), out_i, -1)
 
 
 def sharded_dense_search(
@@ -120,6 +137,28 @@ def sharded_dense_search(
         else:
             q_eff = qv.astype(vec.dtype)
 
+        if index.kernel == "fused" and allow is None and rt is None:
+            # per-shard fused Pallas kernel: the shard's row-validity bound is
+            # TRACED (depends on axis_index) and rides into the kernel via
+            # scalar prefetch; then the same all_gather(k) cross-shard merge.
+            from vod_tpu.ops.mips_pallas import fused_mips_binned
+
+            local_real = jnp.clip(index.n_real - g_offset, 0, rows)
+            b_pad = (-b) % 16
+            qk = q_i8 if index.scale is not None else q_eff
+            if b_pad:
+                qk = jnp.pad(qk, ((0, b_pad), (0, 0)))
+            top_s, top_i = fused_mips_binned(
+                vec, qk, k=top_k, n_real=local_real,
+                interpret=jax.default_backend() == "cpu",
+            )
+            top_s, top_i = top_s[:b], top_i[:b]
+            if index.scale is not None:
+                valid = top_i >= 0
+                top_s = jnp.where(valid, top_s.astype(jnp.float32) * q_row_scale, -jnp.inf)
+            top_i = jnp.where(top_i >= 0, top_i + g_offset, -1)
+            return _merge_across_shards(top_s, top_i, axis, n_shards, b, top_k)
+
         def score_chunk(start):
             v = jax.lax.dynamic_slice_in_dim(vec, start, chunk, axis=0)
             if index.scale is not None:
@@ -146,15 +185,7 @@ def sharded_dense_search(
             score_chunk, rows, rows, b, top_k, chunk, approx_recall=index.approx_recall
         )
         top_i = jnp.where(top_i >= 0, top_i + g_offset, -1)
-        # gather k results from every shard over ICI: [n_shards, B, k] on each device
-        all_s = jax.lax.all_gather(top_s, axis)
-        all_i = jax.lax.all_gather(top_i, axis)
-        all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_shards * top_k)
-        all_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_shards * top_k)
-        out_s, pos = jax.lax.top_k(all_s, top_k)
-        out_i = jnp.take_along_axis(all_i, pos, axis=-1)
-        out_i = jnp.where(jnp.isfinite(out_s), out_i, -1)
-        return out_s, jnp.where(jnp.isfinite(out_s), out_i, -1)
+        return _merge_across_shards(top_s, top_i, axis, n_shards, b, top_k)
 
     in_specs = (
         P(axis, None),
