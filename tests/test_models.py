@@ -516,3 +516,65 @@ def test_seq2seq_realm_generate() -> None:
         eos = np.where(row == 1)[0]
         if eos.size:
             assert (row[eos[0] + 1 :] == 0).all()
+
+
+def test_generation_metrics() -> None:
+    """EM/token-F1 of top-section generation vs the gold answer segment:
+    a perfect generation scores 1/1, a wrong one 0/partial."""
+    from vod_tpu.runtime.generation import generation_metrics
+
+    b, d, lm_len, t = 2, 2, 10, 6
+    ids = np.zeros((b, d, lm_len), dtype="int32")
+    tt = np.zeros((b, d, lm_len), dtype="int32")
+    mask = np.ones((b, d, lm_len), dtype="int32")
+    # answer segment (tt==2) at positions 6..9: [7, 8, 9, EOS=1]
+    tt[..., 6:] = 2
+    ids[..., 6:] = [7, 8, 9, 1]
+    batch = RealmBatch(
+        query__input_ids=jnp.ones((b, 4), "int32"),
+        query__attention_mask=jnp.ones((b, 4), "int32"),
+        section__input_ids=jnp.ones((b * d, 4), "int32"),
+        section__attention_mask=jnp.ones((b * d, 4), "int32"),
+        section__relevance=jnp.zeros((b, d)),
+        section__sparse=jnp.full((b, d), jnp.nan),
+        section__idx=jnp.zeros((b, d), "int32"),
+        section__score=jnp.asarray([[2.0, 1.0], [1.0, 2.0]]),  # best: 0 then 1
+        lm__input_ids=jnp.asarray(ids),
+        lm__attention_mask=jnp.asarray(mask),
+        lm__token_type_ids=jnp.asarray(tt),
+    )
+    gen = np.zeros((b * d, t), dtype="int32")
+    gen[0] = [7, 8, 9, 1, 0, 0]      # q0 best section: exact (EOS-terminated)
+    gen[3] = [7, 7, 1, 0, 0, 0]      # q1 best section: partial overlap
+    m = generation_metrics(jnp.asarray(gen), batch)
+    assert m["gen/exact_match"] == 0.5
+    # q0 f1 = 1.0; q1: gen [7,7] vs gold [7,8,9] -> common 1, p=0.5, r=1/3, f1=0.4
+    assert abs(m["gen/token_f1"] - (1.0 + 0.4) / 2) < 1e-6
+
+
+def test_evaluate_generation_end_to_end() -> None:
+    """`evaluate_generation` drives KV-cached decoding over a Realm batch and
+    returns bounded metrics."""
+    from vod_tpu.models.seq2seq import Seq2SeqRealm
+    from vod_tpu.models.t5_encoder import T5EncoderConfig
+    from vod_tpu.runtime.generation import evaluate_generation
+
+    rng = np.random.default_rng(21)
+    b, d, lm_len = 2, 2, 12
+    batch = _toy_batch(rng, b=b, d=d, lm_len=lm_len)
+    tt = np.zeros((b, d, lm_len), dtype="int32")
+    tt[..., 8:] = 2
+    batch = batch.replace(lm__token_type_ids=jnp.asarray(tt))
+    model = Seq2SeqRealm(
+        cfg=_toy_cfg(),
+        reader_cfg=T5EncoderConfig(
+            vocab_size=100, hidden_size=32, num_layers=1, num_heads=2, head_dim=16,
+            intermediate_size=64, relative_attention_num_buckets=8,
+            relative_attention_max_distance=16, dtype=jnp.float32,
+        ),
+        gradients=VodGradients(alpha=0.5),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch, mode="evaluate")
+    m = evaluate_generation(model, params, [batch], max_new_tokens=4)
+    assert set(m) == {"gen/exact_match", "gen/token_f1"}
+    assert 0.0 <= m["gen/exact_match"] <= 1.0 and 0.0 <= m["gen/token_f1"] <= 1.0
