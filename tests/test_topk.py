@@ -127,7 +127,7 @@ def test_dense_search_fused_int8_path() -> None:
             assert abs(sf[ix] - ss[ix]) < 1e-3, (ix, sf[ix], ss[ix])
 
 
-def test_sharded_fused_kernel_matches_unsharded(eight_cpu_devices=None) -> None:
+def test_sharded_fused_kernel_matches_unsharded() -> None:
     """`kernel='fused'` on the sharded engine (8-device CPU mesh): the Pallas
     kernel runs per shard with a TRACED per-shard validity bound, the
     all_gather(k) merge assembles global ids; agrees with the unsharded fused

@@ -36,7 +36,10 @@ from vod_tpu.exps.recipes import PeriodicTrainingConfig, periodic_training
 from vod_tpu.search import HybridEngines, build_dense_index, build_sparse_index
 
 
-def build_model(cfg: ModelConfig) -> typ.Any:
+def build_model(cfg: ModelConfig, *, proposal_temperature: float = 1.0) -> typ.Any:
+    """`proposal_temperature` must equal the collate's sampling temperature —
+    the VOD estimator's importance correction subtracts the same beta*s the
+    priority sampler used as its proposal (models/gradients.py:233)."""
     enc_cfg = TransformerEncoderConfig(
         vocab_size=cfg.vocab_size,
         hidden_size=cfg.hidden_size,
@@ -56,7 +59,7 @@ def build_model(cfg: ModelConfig) -> typ.Any:
     gradients = {
         "retrieval": lambda: RetrievalGradients(),
         "marginal_likelihood": lambda: MarginalLikelihoodGradients(),
-        "vod": lambda: VodGradients(alpha=cfg.vod_alpha),
+        "vod": lambda: VodGradients(alpha=cfg.vod_alpha, proposal_temperature=proposal_temperature),
     }[cfg.gradients]()
     if cfg.kind == "realm":
         if cfg.reader == "seq2seq":
@@ -148,6 +151,22 @@ def run_experiment(
     rng = jax.random.PRNGKey(exp.sys.seed)
     tokenizer = tokenizer if tokenizer is not None else exp.tokenizer.instantiate()
 
+    # --- device mesh from SysConfig (parity: hydra fabric/strategy groups) ---
+    # Built whenever the config names a non-trivial layout; `dense.sharded`
+    # rebuilds shard over `shard_axis`, and batches dp-shard over a "dp" axis.
+    mesh = None
+    dp_axis = None
+    if list(exp.sys.mesh_shape) != [1] and len(jax.devices()) > 1:
+        from vod_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tuple(exp.sys.mesh_shape), tuple(exp.sys.mesh_axes))
+        dp_axis = "dp" if "dp" in mesh.axis_names else None
+        if exp.search_defaults.dense.sharded and exp.search_defaults.dense.shard_axis not in mesh.axis_names:
+            raise ValueError(
+                f"dense.sharded requires axis {exp.search_defaults.dense.shard_axis!r} "
+                f"in sys.mesh_axes {list(mesh.axis_names)}"
+            )
+
     if sections is None or queries is None:
         from vod_tpu.data.interface import load_queries, load_sections
         from vod_tpu.data.postprocessing import combine_datasets
@@ -201,16 +220,17 @@ def run_experiment(
         val_dl_batches = list(val_dl.epoch(seed=0))
 
     # --- model + optimizer ----------------------------------------------------
-    model = build_model(exp.model)
+    model = build_model(exp.model, proposal_temperature=exp.collate.temperature)
     lr: typ.Any = exp.trainer.learning_rate
     if exp.trainer.lr_schedule is not None:
         lr = exp.trainer.lr_schedule.instantiate(exp.trainer.learning_rate, exp.trainer.max_steps)
+    wd = exp.trainer.weight_decay
     tx = {
-        "adamw": lambda: optax.adamw(
-            lr, weight_decay=exp.trainer.weight_decay, mask=_decay_mask
-        ),
-        "adafactor": lambda: optax.adafactor(lr),
-        "sgd": lambda: optax.sgd(lr),
+        "adamw": lambda: optax.adamw(lr, weight_decay=wd, mask=_decay_mask),
+        "adafactor": lambda: optax.adafactor(lr, weight_decay_rate=wd or None),
+        "sgd": lambda: optax.chain(
+            optax.add_decayed_weights(wd, mask=_decay_mask), optax.sgd(lr)
+        ) if wd else optax.sgd(lr),
     }[exp.trainer.optimizer]()
     step_fn = make_train_step(
         model, tx,
@@ -241,7 +261,17 @@ def run_experiment(
     )
     params = model.init(jax.random.PRNGKey(exp.sys.seed), init_batch, mode="evaluate")
     params = _maybe_port_hf_encoder(params, exp.model)
-    opt_state = tx.init(params)
+    if exp.model.kbit:
+        # QLoRA-style: int8-freeze the base, optimize LoRA/pooler only
+        if exp.model.lora_rank <= 0:
+            raise ValueError("model.kbit requires model.lora_rank > 0 (nothing to train)")
+        from vod_tpu.models import kbit_prepare
+        from vod_tpu.models.encoder import lora_trainable_mask
+
+        params = kbit_prepare(params, lora_trainable_mask(params))
+        opt_state = tx.init(params.trainable)
+    else:
+        opt_state = tx.init(params)
 
     state = TrainerState(
         max_steps=exp.trainer.max_steps,
@@ -287,6 +317,8 @@ def run_experiment(
         val_queries=val_dl_batches,
         config=PeriodicTrainingConfig(
             dense=exp.search_defaults.dense,  # full codec config (pq/ivf/opq/...)
+            mesh=mesh,
+            dp_axis=dp_axis,
             checkpoint_dir=exp.trainer.checkpoint_path,
             log_interval=exp.trainer.log_interval,
             val_check_interval=exp.trainer.val_check_interval,

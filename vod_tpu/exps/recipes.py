@@ -37,7 +37,8 @@ class PeriodicTrainingConfig:
     # (flat/int8/pq/ivf, OPQ, sharded), not just flat (parity: the reference
     # rebuilds whatever faiss factory string the config names, `factory.py:131`).
     dense: DenseFactoryConfig = dataclasses.field(default_factory=DenseFactoryConfig)
-    mesh: typ.Any = None  # device mesh for `dense.sharded` rebuilds
+    mesh: typ.Any = None  # device mesh for `dense.sharded` rebuilds + dp training
+    dp_axis: typ.Optional[str] = None  # mesh axis to dp-shard training batches over
     checkpoint_dir: typ.Optional[str] = None
     benchmark_on_init: bool = False
     benchmark_between_periods: bool = False
@@ -69,7 +70,9 @@ def periodic_training(
     cfg = config or PeriodicTrainingConfig()
     history: list[dict] = []
 
-    encode = lambda p, i, m: model.apply(p, i, m, method=type(model).encode_field)
+    from vod_tpu.models.kbit import full_params
+
+    encode = lambda p, i, m: model.apply(full_params(p), i, m, method=type(model).encode_field)
 
     while not state.completed:
         pidx = state.pidx
@@ -118,6 +121,8 @@ def periodic_training(
             log_interval=cfg.log_interval,
             metrics=cfg.metrics,
             on_log=on_log,
+            mesh=cfg.mesh if cfg.dp_axis else None,
+            dp_axis=cfg.dp_axis or "dp",
         )
         summary["train"] = last
         summary["period_s"] = round(time.time() - t0, 3)

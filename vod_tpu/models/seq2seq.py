@@ -36,6 +36,24 @@ from .systems import _fused_encode
 from .t5_encoder import T5Encoder, T5EncoderConfig, _RMSNorm, port_t5_encoder_weights
 
 
+def compact_answer_segment(
+    ids: jax.Array, tt: jax.Array, mask: jax.Array, max_len: int
+) -> tuple[jax.Array, jax.Array]:
+    """Front-compact the answer segment (`token_type_ids == 2`) of lm inputs.
+
+    Shape-agnostic over leading dims; returns (answer_ids, answer_mask)
+    truncated to `max_len`. A stable argsort on (not-answer) moves answer
+    tokens to the front while preserving their order. Shared by the
+    teacher-forced reader io and the generation metrics so gold answers are
+    always the segment the decoder was trained on.
+    """
+    ans_mask = ((tt == 2) & (mask > 0)).astype(jnp.int32)
+    order = jnp.argsort(1 - ans_mask, axis=-1, stable=True)
+    ans_ids = jnp.take_along_axis(ids * ans_mask, order, axis=-1)
+    ans_m = jnp.take_along_axis(ans_mask, order, axis=-1)
+    return ans_ids[..., :max_len], ans_m[..., :max_len]
+
+
 def _relative_buckets_causal(rel_pos: jax.Array, num_buckets: int, max_distance: int) -> jax.Array:
     """T5's *unidirectional* bucketing (decoder self-attention).
 
@@ -370,14 +388,7 @@ class Seq2SeqRealm(nn.Module):
         flat = lambda x: x.reshape(b * d_, l)
         ids_f, tt_f, mask_f = flat(ids), flat(tt), flat(mask)
         enc_mask = ((tt_f < 2) & (mask_f > 0)).astype(jnp.int32)
-        ans_mask = ((tt_f == 2) & (mask_f > 0)).astype(jnp.int32)
-        # compact the (right-aligned-ish) answer segment to the front via sort:
-        # stable argsort on (not-answer) keeps answer tokens in order at the front
-        order = jnp.argsort(1 - ans_mask, axis=-1, stable=True)
-        ans_ids = jnp.take_along_axis(ids_f * ans_mask, order, axis=-1)
-        ans_m = jnp.take_along_axis(ans_mask, order, axis=-1)
-        la = min(l, 64)
-        ans_ids, ans_m = ans_ids[:, :la], ans_m[:, :la]
+        ans_ids, ans_m = compact_answer_segment(ids_f, tt_f, mask_f, min(l, 64))
         # teacher forcing: decoder consumes [BOS, a1..a_{la-1}]
         bos = jnp.zeros((b * d_, 1), dtype=ids_f.dtype)
         dec_in = jnp.concatenate([bos, ans_ids[:, :-1]], axis=-1)

@@ -227,15 +227,18 @@ def fused_mips_binned(
     if isinstance(n_real, int) and n_real < 0:
         n_real = n
     if b > qblock:
-        assert b % qblock == 0, (b, qblock)
+        # pad the batch up to a multiple of qblock so any B works, then map
+        # qblock-sized chunks (padded rows are discarded after the kernel)
+        b_pad = (-b) % qblock
+        qp = jnp.pad(queries, ((0, b_pad), (0, 0))) if b_pad else queries
         out_s, out_i = jax.lax.map(
             lambda qq: fused_mips_binned(
                 vectors, qq, k=k, tile=tile, qblock=qblock, bins=bins,
                 n_real=n_real, interpret=interpret,
             ),
-            queries.reshape(b // qblock, qblock, d),
+            qp.reshape((b + b_pad) // qblock, qblock, d),
         )
-        return out_s.reshape(b, k), out_i.reshape(b, k)
+        return out_s.reshape(b + b_pad, k)[:b], out_i.reshape(b + b_pad, k)[:b]
     qblock = b
     tile = min(tile, n)
     bins = min(bins, tile)

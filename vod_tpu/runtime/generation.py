@@ -25,15 +25,13 @@ from vod_tpu.types.batch import RealmBatch
 
 
 def _gold_answer_tokens(batch: RealmBatch, max_len: int) -> tuple[jax.Array, jax.Array]:
-    """[B, D, T] gold answer ids + mask, front-compacted from the lm segment."""
-    ids = batch.lm__input_ids
-    tt = batch.lm__token_type_ids
-    mask = batch.lm__attention_mask
-    ans_mask = ((tt == 2) & (mask > 0)).astype(jnp.int32)
-    order = jnp.argsort(1 - ans_mask, axis=-1, stable=True)
-    ans_ids = jnp.take_along_axis(ids * ans_mask, order, axis=-1)
-    ans_m = jnp.take_along_axis(ans_mask, order, axis=-1)
-    return ans_ids[..., :max_len], ans_m[..., :max_len]
+    """[B, D, T] gold answer ids + mask, front-compacted from the lm segment
+    (same compaction the teacher-forced reader trains on)."""
+    from vod_tpu.models.seq2seq import compact_answer_segment
+
+    return compact_answer_segment(
+        batch.lm__input_ids, batch.lm__token_type_ids, batch.lm__attention_mask, max_len
+    )
 
 
 def generation_metrics(

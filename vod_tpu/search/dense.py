@@ -319,9 +319,11 @@ def dense_search(
         q_row_scale = jnp.maximum(q_absmax, 1e-8) / 127.0
         q_i8 = jnp.clip(jnp.round(q_f / q_row_scale), -127, 127).astype(jnp.int8)
 
-        if index.kernel == "fused" and allowed is None:
+        if index.kernel == "fused" and allowed is None and approx_recall is not None:
             # int8 fused kernel: int32 accumulation end-to-end; the positive
             # per-row query scale preserves ordering, applied post-kernel.
+            # approx_recall=None (exactness requested) stays on the scan path —
+            # the binned kernel is inherently approximate.
             from vod_tpu.ops.mips_pallas import fused_mips_binned
 
             b_pad = (-b) % 16
@@ -357,9 +359,10 @@ def dense_search(
 
     q_eff = q.astype(index.vectors.dtype)
 
-    if index.kernel == "fused" and allowed is None:
+    if index.kernel == "fused" and allowed is None and approx_recall is not None:
         # Pallas fused matmul + binned streaming top-k (ops/mips_pallas.py):
-        # scores never leave VMEM. Subset filtering stays on the scan path.
+        # scores never leave VMEM. Subset filtering and exactness requests
+        # (approx_recall=None) stay on the scan path.
         from vod_tpu.ops.mips_pallas import fused_mips_binned
 
         b_pad = (-b) % 16  # sublane-align the query block

@@ -81,7 +81,10 @@ def build_dense_from_config(
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     cache_path = None
-    if cache_dir is not None and data_fingerprint is not None:
+    sharded_cheap = cfg.sharded and mesh is not None and cfg.codec in ("flat", "int8")
+    if cache_dir is not None and data_fingerprint is not None and not sharded_cheap:
+        # sharded flat/int8 skips the cache entirely: re-sharding rebuilds from
+        # the raw vectors anyway, so restoring the full index is wasted IO
         fp = _index_fingerprint("dense", cfg, data_fingerprint)
         cache_path = pathlib.Path(cache_dir) / "indices" / fp
         if (cache_path / "meta.json").exists():
@@ -90,7 +93,7 @@ def build_dense_from_config(
                 return _shard_from_config(cfg, index, vectors, subset_ids, mesh)
             return index
 
-    if cfg.sharded and mesh is not None and cfg.codec in ("flat", "int8"):
+    if sharded_cheap:
         # sharded flat/int8 builds directly into the mesh layout (no cache —
         # quantization + device_put is cheap relative to PQ/IVF training)
         return build_sharded_dense_index(

@@ -137,7 +137,7 @@ def sharded_dense_search(
         else:
             q_eff = qv.astype(vec.dtype)
 
-        if index.kernel == "fused" and allow is None and rt is None:
+        if index.kernel == "fused" and allow is None and rt is None and index.approx_recall is not None:
             # per-shard fused Pallas kernel: the shard's row-validity bound is
             # TRACED (depends on axis_index) and rides into the kernel via
             # scalar prefetch; then the same all_gather(k) cross-shard merge.
