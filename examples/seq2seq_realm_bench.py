@@ -1,0 +1,128 @@
+"""Seq2seq-reader REALM train-step timing (BASELINE config #5 shape).
+
+The full fused live-retrieval step — encode queries with the CURRENT encoder,
+dense search over a 200k-section corpus in HBM, priority-sample sections,
+assemble [context; question; answer] LM inputs, T5 encoder-decoder
+teacher-forced forward/backward through the VOD estimator, adamw update — as
+ONE XLA program, with an e5-small-shaped retriever and a t5-small-shaped
+reader (~70M params total).
+
+Companion to the round-1 causal-reader measurement (53 ms/step, 57M params):
+this replaces the causal reader with the T5 encoder-decoder reader the
+reference names in BASELINE config #5 ("e5 retriever + T5 reader").
+
+Run: python examples/seq2seq_realm_bench.py [--corpus 200000] [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def main() -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", type=int, default=200_000)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--n_sections", type=int, default=8)
+    ap.add_argument("--ls", type=int, default=64, help="section tokens")
+    ap.add_argument("--lq", type=int, default=24, help="query tokens")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vod_tpu.models import VodGradients, TransformerEncoderConfig, VodPoolerConfig
+    from vod_tpu.models.seq2seq import Seq2SeqRealm
+    from vod_tpu.models.t5_encoder import T5EncoderConfig
+    from vod_tpu.runtime import DeviceCorpus
+    from vod_tpu.runtime.collate import QueryBatch, device_collate
+    from vod_tpu.runtime.train import make_train_step
+    from vod_tpu.search import HybridEngines, build_dense_index
+
+    n, b, d = args.corpus, args.batch, args.n_sections
+    vocab, h = 30522, 384
+    rng = np.random.default_rng(0)
+    print(f"# corpus {n} sections x {args.ls} tokens; B={b}, D={d}", flush=True)
+
+    corpus = DeviceCorpus(
+        input_ids=jnp.asarray(rng.integers(4, vocab, size=(n, args.ls)), jnp.int32),
+        attention_mask=jnp.ones((n, args.ls), jnp.int32),
+        subset_ids=jnp.zeros((n,), jnp.int32),
+    )
+
+    enc_cfg = TransformerEncoderConfig(
+        vocab_size=vocab, hidden_size=h, num_layers=6, num_heads=6,
+        intermediate_size=1536,
+        pooler=VodPoolerConfig(agg_method="mean", output_norm="l2", scaler=10.0),
+    )
+    reader_cfg = T5EncoderConfig(
+        vocab_size=vocab, hidden_size=h, num_layers=6, num_heads=6, head_dim=64,
+        intermediate_size=1536,
+    )
+    model = Seq2SeqRealm(cfg=enc_cfg, reader_cfg=reader_cfg, gradients=VodGradients(alpha=0.5))
+    tx = optax.adamw(5e-5)
+    step_fn = make_train_step(
+        model, tx, prefetch=64, n_sections=d, max_pos_sections=2, with_lm=True,
+        gradient_clip_val=1.0,
+    )
+
+    def make_queries(seed: int) -> QueryBatch:
+        r = np.random.default_rng(seed)
+        gold = r.integers(0, n, size=b)
+        return QueryBatch(
+            input_ids=jnp.asarray(r.integers(4, vocab, size=(b, args.lq)), jnp.int32),
+            attention_mask=jnp.ones((b, args.lq), jnp.int32),
+            section_ids=jnp.asarray(gold[:, None].astype("int32")),
+            answer_ids=jnp.asarray(r.integers(4, vocab, size=(b, 12)), jnp.int32),
+            answer_mask=jnp.ones((b, 12), jnp.int32),
+        )
+
+    emb = jnp.asarray(rng.standard_normal((n, h), dtype=np.float32))
+    engines = HybridEngines(dense=build_dense_index(emb, dtype="bfloat16"))
+
+    init_batch, _ = device_collate(
+        jax.random.PRNGKey(0), engines, corpus, make_queries(0),
+        query_vectors=jnp.zeros((b, h)), prefetch=64, n_sections=d,
+        max_pos_sections=2, with_lm=True,
+    )
+    n_params = 0
+    params = model.init(jax.random.PRNGKey(0), init_batch, mode="evaluate")
+    n_params = sum(int(np.prod(v.shape)) for v in jax.tree_util.tree_leaves(params))
+    print(f"# params: {n_params/1e6:.1f}M", flush=True)
+    opt_state = tx.init(params)
+
+    weights = {"dense": jnp.asarray(1.0)}
+    t0 = time.time()
+    params, opt_state, metrics, _rel, _scores = step_fn.train_step(
+        params, opt_state, engines, corpus, make_queries(1), jax.random.PRNGKey(1), weights
+    )
+    float(metrics["loss"])
+    print(f"# compile + first step: {time.time()-t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    for i in range(args.steps):
+        params, opt_state, metrics, _rel, _scores = step_fn.train_step(
+            params, opt_state, engines, corpus, make_queries(2 + i),
+            jax.random.PRNGKey(2 + i), weights,
+        )
+    loss = float(metrics["loss"])  # forces completion of the chain
+    dt = (time.time() - t0) / args.steps
+    print(f"# steady state: {dt*1e3:.1f} ms/step (loss={loss:.3f})", flush=True)
+    result = {"ms_per_step": round(dt * 1e3, 1), "params_m": round(n_params / 1e6, 1),
+              "corpus": n, "batch": b, "n_sections": d, "loss": loss}
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -312,3 +312,83 @@ def test_weight_decay_mask() -> None:
     assert m["encoder"]["dense"]["bias"] is False
     assert m["encoder"]["LayerNorm"]["scale"] is False
     assert m["encoder"]["embed"]["embedding"] is True
+
+
+def test_kbit_config_driven_training() -> None:
+    """`model: {kbit: true, lora_rank: 2}` trains QLoRA-style through the CLI:
+    the base is int8-frozen, only LoRA/pooler params receive updates, the loss
+    stays finite, and the periodic re-embed works on the materialized view."""
+    import jax
+    from vod_tpu.exps.cli import run_experiment
+    from vod_tpu.models import KbitParams
+
+    tok = tiny_tokenizer()
+    sections, queries = _toy_data(n_sections=16, n_queries=16)
+    exp = Experiment.parse({
+        "model": {
+            "kind": "ranker", "gradients": "retrieval", "kbit": True, "lora_rank": 2,
+            "vocab_size": tok.vocab_size, "hidden_size": 32, "num_layers": 1,
+            "num_heads": 2, "intermediate_size": 64,
+        },
+        "tokenizer": {"max_length": 16},
+        "collate": {"prefetch_n_sections": 8, "n_sections": 2, "max_pos_sections": 1},
+        "dataloader": {"batch_size": 4},
+        "trainer": {"max_steps": 4, "period": 2, "log_interval": 1, "learning_rate": 1e-2},
+    })
+    out = run_experiment(exp, sections=sections, queries=queries, tokenizer=tok)
+    assert out["state"].step == 4
+    params = out["params"]
+    assert isinstance(params, KbitParams)
+    # frozen base stays int8-coded; trainable subset is only lora/pooler
+    assert all(("lora" in k) or ("vod_pooler" in k) for k in params.trainable)
+    assert any(hasattr(v, "codes") for v in params.frozen.values())
+
+    # kbit without lora is rejected loudly
+    with pytest.raises(ValueError, match="lora_rank"):
+        run_experiment(
+            exp.model_copy(update={"model": exp.model.model_copy(update={"lora_rank": 0})}),
+            sections=sections, queries=queries, tokenizer=tok,
+        )
+
+
+def test_mesh_config_driven_training() -> None:
+    """`sys.mesh_shape/axes` + `dense.sharded` flow from the config into a real
+    mesh: the periodic rebuild produces a ShardedDenseIndex and training runs
+    dp-sharded on the 8-device CPU mesh (regression: these knobs were dead)."""
+    from vod_tpu.exps import recipes as recipes_mod
+    from vod_tpu.exps.cli import run_experiment
+    from vod_tpu.search.sharded import ShardedDenseIndex
+
+    built = []
+    orig = recipes_mod.build_dense_from_config
+
+    def spy(cfg, emb, **kw):
+        idx = orig(cfg, emb, **kw)
+        built.append(idx)
+        return idx
+
+    tok = tiny_tokenizer()
+    sections, queries = _toy_data(n_sections=16, n_queries=16)
+    exp = Experiment.parse({
+        "model": {
+            "kind": "ranker", "gradients": "retrieval",
+            "vocab_size": tok.vocab_size, "hidden_size": 32, "num_layers": 1,
+            "num_heads": 2, "intermediate_size": 64,
+        },
+        "tokenizer": {"max_length": 16},
+        "collate": {"prefetch_n_sections": 8, "n_sections": 2, "max_pos_sections": 1},
+        "dataloader": {"batch_size": 8},
+        "search_defaults": {"dense": {"codec": "int8", "sharded": True, "shard_axis": "shard"}},
+        "sys": {"mesh_shape": [2, 4], "mesh_axes": ["dp", "shard"]},
+        "trainer": {"max_steps": 2, "period": 2, "log_interval": 1},
+    })
+    import unittest.mock as mock
+    with mock.patch.object(recipes_mod, "build_dense_from_config", spy):
+        out = run_experiment(exp, sections=sections, queries=queries, tokenizer=tok)
+    assert out["state"].step == 2
+    assert built and isinstance(built[0], ShardedDenseIndex)
+
+    # misconfigured shard axis fails loudly instead of silently unsharded
+    bad = exp.model_copy(update={"sys": exp.sys.model_copy(update={"mesh_axes": ["dp", "mp"]})})
+    with pytest.raises(ValueError, match="dense.sharded requires axis"):
+        run_experiment(bad, sections=sections, queries=queries, tokenizer=tok)

@@ -20,10 +20,9 @@ class TweaksConfig(StrictModel):
     remat: bool = False  # jax.checkpoint over transformer layers
     force_dtype: typ.Optional[str] = None  # activation dtype override
     donate_state: bool = True  # donate params/opt_state buffers in the step
-    # QLoRA-style kbit training: freeze + int8-quantize the base kernels,
-    # train LoRA/pooler only (parity: `prepare_for_kbit_training`,
-    # reference `vod_models/support.py:30`); see models/kbit.py.
-    prepare_for_kbit_training: bool = False
+    # QLoRA-style kbit training is wired through `ModelConfig.kbit` (the CLI
+    # runs models/kbit.kbit_prepare and optimizes the trainable subset only;
+    # parity: `prepare_for_kbit_training`, reference `vod_models/support.py:30`).
 
 
 class SentenceSectioningConfig(StrictModel):

@@ -93,6 +93,9 @@ class ModelConfig(StrictModel):
     remat: bool = False
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # kbit (QLoRA-style): freeze + int8-quantize the base, train LoRA/pooler
+    # only (requires lora_rank > 0); parity: reference `support.py:23`
+    kbit: bool = False
 
 
 class DatasetsConfig(StrictModel):

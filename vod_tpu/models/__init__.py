@@ -6,7 +6,7 @@ from .encoder import TransformerEncoder, TransformerEncoderConfig, VodEncoder, D
 from .lm import CausalLM, CausalLMConfig
 from .systems import Ranker, Realm
 from .gradients import Gradients, MarginalLikelihoodGradients, RetrievalGradients, VodGradients
-from .kbit import KbitParams, kbit_materialize, kbit_memory_bytes, kbit_prepare
+from .kbit import KbitParams, full_params, kbit_materialize, kbit_memory_bytes, kbit_prepare
 from .monitoring import RetrievalMonitor, retrieval_metrics
 from .seq2seq import Seq2SeqLM, Seq2SeqRealm, generate, port_t5_seq2seq_weights, realm_generate
 
@@ -16,6 +16,7 @@ __all__ = [
     "DebugEncoder",
     "Gradients",
     "KbitParams",
+    "full_params",
     "kbit_materialize",
     "kbit_memory_bytes",
     "kbit_prepare",

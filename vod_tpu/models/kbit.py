@@ -107,6 +107,14 @@ def kbit_materialize(
     return jax.tree_util.tree_unflatten(treedef, ordered)
 
 
+def full_params(params: typ.Any) -> typ.Any:
+    """Materialize a KbitParams tree into apply-ready params; identity for
+    plain trees. Call INSIDE jit so dequant fuses into consumers."""
+    if isinstance(params, KbitParams):
+        return kbit_materialize(params.trainable, params.frozen, params.treedef, params.paths)
+    return params
+
+
 def kbit_memory_bytes(kb: KbitParams) -> dict[str, int]:
     """Diagnostic: bytes held by trainable vs frozen (codes+scales) storage."""
     def nbytes(x):

@@ -67,6 +67,9 @@ class RealmTrainStep:
 
     # -- collate + forward -------------------------------------------------
     def _collate(self, params, rng, engines, corpus, queries, weights_tuple, engine_names):
+        from vod_tpu.models.kbit import full_params
+
+        params = full_params(params)  # kbit: dequantized view for the query encode
         weights = dict(zip(engine_names, weights_tuple)) if engine_names else None
         q_vec = None
         if engines.dense is not None:
@@ -100,15 +103,33 @@ class RealmTrainStep:
     def _train_step(self, params, opt_state, engines, corpus, queries, rng, weights_tuple, engine_names):
         batch, _sampled = self._collate(params, rng, engines, corpus, queries, weights_tuple, engine_names)
 
-        (loss, out), grads = jax.value_and_grad(self._loss, has_aux=True)(params, batch)
+        from vod_tpu.models.kbit import KbitParams, kbit_materialize
+
+        if isinstance(params, KbitParams):
+            # kbit (QLoRA-style): differentiate only the trainable subset; the
+            # frozen int8 base dequantizes inside the graph (fused by XLA).
+            def loss_t(trainable):
+                full = kbit_materialize(trainable, params.frozen, params.treedef, params.paths)
+                return self._loss(full, batch)
+
+            (loss, out), grads = jax.value_and_grad(loss_t, has_aux=True)(params.trainable)
+            grads = self._clip(grads)
+            updates, opt_state = self.tx.update(grads, opt_state, params.trainable)
+            params = params.replace(trainable=optax.apply_updates(params.trainable, updates))
+        else:
+            (loss, out), grads = jax.value_and_grad(self._loss, has_aux=True)(params, batch)
+            grads = self._clip(grads)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, **{k: v for k, v in out.diagnostics.items()}}
+        return params, opt_state, metrics, batch.section__relevance, out.retriever_scores
+
+    def _clip(self, grads):
         if self.gradient_clip_val:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, self.gradient_clip_val / jnp.maximum(gnorm, 1e-9))
             grads = jax.tree.map(lambda g: g * scale, grads)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        metrics = {"loss": loss, **{k: v for k, v in out.diagnostics.items()}}
-        return params, opt_state, metrics, batch.section__relevance, out.retriever_scores
+        return grads
 
     def _train_step_accum(self, params, opt_state, engines, corpus, queries_stacked, rng, weights_tuple, engine_names):
         """Gradient accumulation: lax.scan over stacked micro-batches
@@ -116,33 +137,46 @@ class RealmTrainStep:
         n_micro = jax.tree.leaves(queries_stacked)[0].shape[0]
         rngs = jax.random.split(rng, n_micro)
 
+        from vod_tpu.models.kbit import KbitParams, kbit_materialize
+
+        is_kbit = isinstance(params, KbitParams)
+        opt_params = params.trainable if is_kbit else params
+
         def micro(carry, inp):
             grads_acc, loss_acc = carry
             q, r = inp
             batch, _ = self._collate(params, r, engines, corpus, q, weights_tuple, engine_names)
-            (loss, out), grads = jax.value_and_grad(self._loss, has_aux=True)(params, batch)
+
+            def loss_fn(p):
+                full = (
+                    kbit_materialize(p, params.frozen, params.treedef, params.paths)
+                    if is_kbit else p
+                )
+                return self._loss(full, batch)
+
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(opt_params)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             return (grads_acc, loss_acc + loss), (batch.section__relevance, out.retriever_scores)
 
-        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        zero_grads = jax.tree.map(jnp.zeros_like, opt_params)
         (grads, loss_sum), (rels, scores) = jax.lax.scan(
             micro, (zero_grads, 0.0), (queries_stacked, rngs)
         )
         grads = jax.tree.map(lambda g: g / n_micro, grads)
-        if self.gradient_clip_val:
-            gnorm = optax.global_norm(grads)
-            scale = jnp.minimum(1.0, self.gradient_clip_val / jnp.maximum(gnorm, 1e-9))
-            grads = jax.tree.map(lambda g: g * scale, grads)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        grads = self._clip(grads)
+        updates, opt_state = self.tx.update(grads, opt_state, opt_params)
+        new_params = optax.apply_updates(opt_params, updates)
+        params = params.replace(trainable=new_params) if is_kbit else new_params
         metrics = {"loss": loss_sum / n_micro}
         rels = rels.reshape(-1, rels.shape[-1])
         scores = scores.reshape(-1, scores.shape[-1])
         return params, opt_state, metrics, rels, scores
 
     def _eval_step(self, params, engines, corpus, queries, rng, weights_tuple, engine_names):
+        from vod_tpu.models.kbit import full_params
+
         batch, _ = self._collate(params, rng, engines, corpus, queries, weights_tuple, engine_names)
-        loss, out = self._loss(params, batch)
+        loss, out = self._loss(full_params(params), batch)
         return {"loss": loss, **out.diagnostics}, batch.section__relevance, out.retriever_scores
 
     # -- public ------------------------------------------------------------
