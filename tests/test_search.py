@@ -512,3 +512,25 @@ def test_factory_sparse_subset_ids_passthrough() -> None:
     for x in got:
         if x >= 0:
             assert subsets[x] == 1, got
+
+
+def test_pq_search_chunks_large_batches(monkeypatch) -> None:
+    """pq_search maps over query chunks when the ADC rescore block would be
+    large; chunked and unchunked calls agree exactly (regression: a 4096-query
+    call asked XLA for an 8GB rescore temp and OOMed)."""
+    from vod_tpu.search import dense as dense_mod
+
+    rng = np.random.default_rng(3)
+    n, d, b = 1024, 32, 50
+    v = rng.normal(size=(n, d)).astype("float32")
+    v[:, :8] *= 4.0  # anisotropic so PQ has signal
+    q = jnp.asarray(v[rng.integers(0, n, b)] + 0.01 * rng.normal(size=(b, d)).astype("float32"))
+    index = dense_mod.build_pq_index(
+        jax.random.PRNGKey(0), jnp.asarray(v),
+        n_subquantizers=4, coarse_dim=8, n_candidates=64, kmeans_iters=2,
+    )
+    ref = dense_mod.pq_search(index, SearchQueries(vector=q), top_k=5)
+    monkeypatch.setattr(dense_mod, "_PQ_RESCORE_ELEMS", 16 * 64 * 4)  # qchunk=16
+    got = dense_mod.pq_search(index, SearchQueries(vector=q), top_k=5)
+    assert np.array_equal(np.asarray(got.indices), np.asarray(ref.indices))
+    assert np.allclose(np.asarray(got.scores), np.asarray(ref.scores), atol=1e-5)

@@ -392,6 +392,9 @@ def dense_search(
     return RetrievalBatch(scores=top_s, indices=top_i)
 
 
+_PQ_RESCORE_ELEMS = 1 << 27  # ~512MB f32 rescore gather cap
+
+
 def pq_search(
     index: PQIndex,
     queries: SearchQueries,
@@ -412,6 +415,33 @@ def pq_search(
     while n % chunk != 0:
         chunk -= 128
     n_cand = min(index.n_candidates, n)
+
+    # The ADC rescore gathers a [B, n_cand, M] f32 block; cap it at ~512MB by
+    # mapping over query chunks (measured: B=4096 x n_cand=4096 x M=32 asked
+    # XLA for an 8GB temp and OOMed HBM).
+    m_sub = index.codes.shape[-1]
+    qchunk = max(8, _PQ_RESCORE_ELEMS // max(1, n_cand * m_sub))
+    if b > qchunk:
+        pad = (-b) % qchunk
+        qp = jnp.pad(q, ((0, pad), (0, 0))) if pad else q
+        sub = queries.subset_ids
+        subp = None
+        if sub is not None:
+            subp = jnp.pad(sub, ((0, pad), (0, 0)), constant_values=-1) if pad else sub
+            subp = subp.reshape((b + pad) // qchunk, qchunk, -1)
+
+        def one(args):
+            vec, ss = args
+            return pq_search(
+                index, SearchQueries(vector=vec, subset_ids=ss), top_k,
+                chunk=chunk, approx_recall=approx_recall,
+            )
+
+        out = jax.lax.map(one, (qp.reshape((b + pad) // qchunk, qchunk, d), subp))
+        return RetrievalBatch(
+            scores=out.scores.reshape(b + pad, top_k)[:b],
+            indices=out.indices.reshape(b + pad, top_k)[:b],
+        )
 
     q_eff = q.astype(jnp.float32)
     if index.rotation is not None:  # OPQ: rotate queries into codebook space
