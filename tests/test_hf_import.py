@@ -201,3 +201,53 @@ def test_roberta_port_output_parity() -> None:
     )
     diff = np.abs(got - ref)[mask.astype(bool)]
     assert diff.max() < 2e-4, diff.max()
+
+
+def test_beam_search_generation() -> None:
+    """Beam search on the ported T5: num_beams=1 equals greedy; wider beams
+    find sequences with >= greedy's length-penalized logprob; HF's beam output
+    matches at this tiny scale."""
+    import torch
+    import transformers
+
+    hf_cfg = transformers.T5Config(
+        vocab_size=48, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4,
+        relative_attention_num_buckets=8, relative_attention_max_distance=32,
+        dropout_rate=0.0, feed_forward_proj="relu", decoder_start_token_id=0,
+    )
+    torch_model = transformers.T5ForConditionalGeneration(hf_cfg).eval()
+
+    from vod_tpu.models.seq2seq import Seq2SeqLM, beam_generate, generate, port_t5_seq2seq_weights
+    from vod_tpu.models.t5_encoder import t5_config_from_hf
+
+    cfg = t5_config_from_hf(hf_cfg)
+    params = {"params": port_t5_seq2seq_weights(torch_model.state_dict(), cfg)}
+    model = Seq2SeqLM(cfg)
+
+    rng = np.random.default_rng(7)
+    b, le, t = 2, 10, 6
+    enc_ids = rng.integers(2, 48, size=(b, le)).astype("int64")
+    enc_mask = np.ones((b, le), dtype="int64")
+    as32 = lambda x: jnp.asarray(x.astype("int32"))
+
+    greedy = np.asarray(generate(model, params, as32(enc_ids), as32(enc_mask), max_new_tokens=t))
+    beam1, _ = beam_generate(model, params, as32(enc_ids), as32(enc_mask), num_beams=1, max_new_tokens=t)
+    assert np.array_equal(np.asarray(beam1), greedy)
+
+    beam4, s4 = beam_generate(model, params, as32(enc_ids), as32(enc_mask), num_beams=4, max_new_tokens=t)
+    _, s1 = beam_generate(model, params, as32(enc_ids), as32(enc_mask), num_beams=1, max_new_tokens=t)
+    assert (np.asarray(s4) >= np.asarray(s1) - 1e-5).all()
+
+    with torch.no_grad():
+        hf_out = torch_model.generate(
+            input_ids=torch.from_numpy(enc_ids), attention_mask=torch.from_numpy(enc_mask),
+            max_new_tokens=t, num_beams=4, do_sample=False, early_stopping=False,
+            length_penalty=1.0,
+        ).numpy()[:, 1:]
+    got = np.asarray(beam4)
+    for r in range(b):
+        n = min(hf_out.shape[1], t)
+        hf_row = hf_out[r, :n]
+        stop = np.where(hf_row == 1)[0]
+        n_cmp = (stop[0] + 1) if stop.size else n
+        assert np.array_equal(got[r, :n_cmp], hf_row[:n_cmp]), (r, got[r], hf_row)

@@ -8,7 +8,7 @@ from .systems import Ranker, Realm
 from .gradients import Gradients, MarginalLikelihoodGradients, RetrievalGradients, VodGradients
 from .kbit import KbitParams, full_params, kbit_materialize, kbit_memory_bytes, kbit_prepare
 from .monitoring import RetrievalMonitor, retrieval_metrics
-from .seq2seq import Seq2SeqLM, Seq2SeqRealm, generate, port_t5_seq2seq_weights, realm_generate
+from .seq2seq import Seq2SeqLM, Seq2SeqRealm, beam_generate, generate, port_t5_seq2seq_weights, realm_generate
 
 __all__ = [
     "CausalLM",
@@ -26,6 +26,7 @@ __all__ = [
     "RetrievalGradients",
     "RetrievalMonitor",
     "Seq2SeqLM",
+    "beam_generate",
     "Seq2SeqRealm",
     "generate",
     "port_t5_seq2seq_weights",

@@ -303,6 +303,85 @@ def generate(
     return jnp.transpose(toks)  # [B, T]
 
 
+def beam_generate(
+    model: Seq2SeqLM,
+    params: typ.Mapping,
+    enc_ids: jax.Array,
+    enc_mask: jax.Array,
+    *,
+    num_beams: int = 4,
+    max_new_tokens: int = 32,
+    bos_id: int = 0,
+    eos_id: int = 1,
+    length_penalty: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """KV-cached beam search. Returns (tokens [B, max_new_tokens], scores [B]).
+
+    tpu-native shape discipline: all `B * num_beams` beams decode as one
+    batched `decode_step`; per step the `num_beams * V` continuations are
+    pruned back to `num_beams` with one `lax.top_k`, and the self-attention
+    caches are re-gathered along the beam axis with `jnp.take` — a static
+    [B*K, L, H, Dh] gather each step, no dynamic shapes. Finished beams
+    (emitted EOS) are frozen: they emit `bos_id` (T5 pad) at -0 incremental
+    logprob and keep competing with their final length-penalized score
+    (`sum logp / len**length_penalty`, HF convention).
+    """
+    b = enc_ids.shape[0]
+    k = num_beams
+    rep = lambda x: jnp.repeat(x, k, axis=0)  # [B, ...] -> [B*K, ...]
+    mem = model.apply(params, rep(enc_ids), rep(enc_mask), method=Seq2SeqLM.encode)
+    cache = model.apply(params, mem, max_new_tokens, method=Seq2SeqLM.init_cache)
+    enc_mask_k = rep(enc_mask)
+    neg_inf = jnp.float32(-1e9)
+
+    def step(carry, _):
+        tok, pos, cache, logps, lens, finished, toks = carry
+        # tok [B*K]; logps/lens/finished [B, K]; toks [B, K, T]
+        logits, cache = model.apply(
+            params, tok, pos, enc_mask_k, cache, method=Seq2SeqLM.decode_step
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*K, V]
+        v = logp.shape[-1]
+        logp = logp.reshape(b, k, v)
+        # finished beams: only the pad continuation, at zero incremental cost
+        pad_only = jnp.full((v,), neg_inf).at[bos_id].set(0.0)
+        logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+        cand = logps[..., None] + logp  # [B, K, V]
+        flat = cand.reshape(b, k * v)
+        new_logps, flat_idx = jax.lax.top_k(flat, k)  # [B, K]
+        src_beam = flat_idx // v  # [B, K] which beam each winner extends
+        new_tok = (flat_idx % v).astype(jnp.int32)
+
+        # re-gather beam state along the beam axis
+        gather_rows = (jnp.arange(b)[:, None] * k + src_beam).reshape(b * k)
+        cache = jax.tree.map(lambda x: jnp.take(x, gather_rows, axis=0), cache)
+        toks = jnp.take_along_axis(toks, src_beam[..., None], axis=1)
+        lens = jnp.take_along_axis(lens, src_beam, axis=1)
+        finished = jnp.take_along_axis(finished, src_beam, axis=1)
+
+        toks = jax.lax.dynamic_update_slice_in_dim(toks, new_tok[..., None], pos, axis=2)
+        lens = jnp.where(finished, lens, lens + 1)
+        finished = finished | (new_tok == eos_id)
+        return (new_tok.reshape(b * k), pos + 1, cache, new_logps, lens, finished, toks), None
+
+    # first step: only beam 0 is live (all beams share the same BOS context)
+    init_logps = jnp.tile(jnp.array([0.0] + [float(-1e9)] * (k - 1), jnp.float32), (b, 1))
+    init = (
+        jnp.full((b * k,), bos_id, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        cache,
+        init_logps,
+        jnp.zeros((b, k), jnp.int32),
+        jnp.zeros((b, k), bool),
+        jnp.zeros((b, k, max_new_tokens), jnp.int32),
+    )
+    (_, _, _, logps, lens, _, toks), _ = jax.lax.scan(step, init, None, length=max_new_tokens)
+    scores = logps / jnp.maximum(lens, 1).astype(jnp.float32) ** length_penalty
+    best = jnp.argmax(scores, axis=-1)  # [B]
+    out = jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0]
+    return out, jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+
+
 def port_t5_seq2seq_weights(state_dict: typ.Mapping[str, typ.Any], cfg: T5EncoderConfig) -> dict:
     """HF `T5ForConditionalGeneration` state_dict -> flax `Seq2SeqLM` params.
 
