@@ -36,6 +36,7 @@ def main() -> dict:
     ap.add_argument("--q", type=int, default=4096, help="eval queries")
     ap.add_argument("--dim", type=int, default=384, help="embedding dim (e5-small shape)")
     ap.add_argument("--max_len", type=int, default=48)
+    ap.add_argument("--n_candidates", type=int, default=4096, help="PQ rescore pool")
     ap.add_argument("--out", type=str, default=None, help="save embeddings .npy")
     args = ap.parse_args()
 
@@ -184,7 +185,7 @@ def main() -> dict:
     t0 = time.time()
     pq = build_pq_index(
         jax.random.PRNGKey(0), jnp.asarray(emb),
-        n_subquantizers=32, coarse_dim=64, n_candidates=4096,
+        n_subquantizers=32, coarse_dim=64, n_candidates=args.n_candidates,
         train_size=min(200_000, len(emb)), kmeans_iters=8, use_opq=True, opq_iters=3,
     )
     results["pq_build_s"] = round(time.time() - t0, 1)
