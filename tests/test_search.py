@@ -534,3 +534,36 @@ def test_pq_search_chunks_large_batches(monkeypatch) -> None:
     got = dense_mod.pq_search(index, SearchQueries(vector=q), top_k=5)
     assert np.array_equal(np.asarray(got.indices), np.asarray(ref.indices))
     assert np.allclose(np.asarray(got.scores), np.asarray(ref.scores), atol=1e-5)
+
+
+def test_sharded_ivf_matches_unsharded() -> None:
+    """IVF cells sharded over the 8-device mesh: replicated probe + owner-only
+    scoring + all_gather merge returns exactly the unsharded ivf_search result
+    (same probes, same cells, same scores)."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search.dense import build_ivf_index, ivf_search
+    from vod_tpu.search.sharded import shard_ivf_index, sharded_ivf_search
+
+    rng = np.random.default_rng(17)
+    n, d, b, k = 600, 24, 7, 5
+    v = rng.normal(size=(n, d)).astype("float32")
+    q = jnp.asarray(v[rng.integers(0, n, b)] + 0.02 * rng.normal(size=(b, d)).astype("float32"))
+    index = build_ivf_index(
+        jax.random.PRNGKey(0), jnp.asarray(v), n_clusters=12, nprobe=4, kmeans_iters=3,
+    )
+    ref = ivf_search(index, SearchQueries(vector=q), top_k=k)
+
+    mesh = make_mesh((8,), ("shard",))
+    sharded = shard_ivf_index(index, mesh)
+    got = sharded_ivf_search(sharded, SearchQueries(vector=q), top_k=k)
+    assert np.array_equal(np.asarray(got.indices), np.asarray(ref.indices))
+    assert np.allclose(np.asarray(got.scores), np.asarray(ref.scores), atol=1e-4)
+
+    # reachable from the factory config
+    from vod_tpu.configs.search import DenseFactoryConfig
+    from vod_tpu.search.factory import build_dense_from_config
+    from vod_tpu.search.sharded import ShardedIVFIndex
+
+    cfg = DenseFactoryConfig(codec="ivf", n_clusters=12, nprobe=4, kmeans_iters=3, sharded=True)
+    out = build_dense_from_config(cfg, jnp.asarray(v), mesh=mesh)
+    assert isinstance(out, ShardedIVFIndex)

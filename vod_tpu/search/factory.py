@@ -20,7 +20,7 @@ import numpy as np
 from vod_tpu.configs.search import DenseFactoryConfig, HybridSearchFactoryConfig, SparseFactoryConfig
 from .dense import DenseIndex, IVFIndex, PQIndex, build_dense_index, build_ivf_index, build_pq_index
 from .hybrid import HybridEngines
-from .sharded import build_sharded_dense_index, shard_pq_index
+from .sharded import build_sharded_dense_index, shard_ivf_index, shard_pq_index
 from .sparse import SparseIndex, build_sparse_index
 
 _INDEX_TYPES = {"DenseIndex": DenseIndex, "PQIndex": PQIndex, "IVFIndex": IVFIndex, "SparseIndex": SparseIndex}
@@ -145,6 +145,8 @@ def build_dense_from_config(
 def _shard_from_config(cfg: DenseFactoryConfig, index, vectors, subset_ids, mesh):
     if isinstance(index, PQIndex):
         return shard_pq_index(index, mesh, axis=cfg.shard_axis)
+    if isinstance(index, IVFIndex):
+        return shard_ivf_index(index, mesh, axis=cfg.shard_axis)
     if isinstance(index, DenseIndex):
         # loaded-from-cache flat index: re-shard the raw vectors
         return build_sharded_dense_index(
@@ -152,7 +154,7 @@ def _shard_from_config(cfg: DenseFactoryConfig, index, vectors, subset_ids, mesh
             dtype="int8" if cfg.codec == "int8" else cfg.dtype,
             subset_ids=subset_ids, approx_recall=cfg.approx_recall, kernel=cfg.kernel,
         )
-    raise ValueError(f"codec {cfg.codec!r} does not support sharding (flat/int8/pq do)")
+    raise ValueError(f"codec {cfg.codec!r} does not support sharding (flat/int8/pq/ivf do)")
 
 
 def build_sparse_from_config(

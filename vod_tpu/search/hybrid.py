@@ -23,7 +23,7 @@ from vod_tpu.types.retrieval import RetrievalBatch
 from .base import SearchQueries
 from .dense import DenseIndex, IVFIndex, PQIndex, dense_search, ivf_search, pq_search
 from .lookup import lookup_search
-from .sharded import ShardedDenseIndex, ShardedPQIndex, sharded_dense_search, sharded_pq_search
+from .sharded import ShardedDenseIndex, ShardedPQIndex, sharded_dense_search, sharded_pq_search, ShardedIVFIndex, sharded_ivf_search
 from .sparse import SparseIndex, sparse_search
 
 
@@ -44,6 +44,8 @@ def _dense_dispatch(index, queries: SearchQueries, top_k: int) -> RetrievalBatch
         return sharded_dense_search(index, queries, top_k)
     if isinstance(index, ShardedPQIndex):
         return sharded_pq_search(index, queries, top_k)
+    if isinstance(index, ShardedIVFIndex):
+        return sharded_ivf_search(index, queries, top_k)
     if isinstance(index, PQIndex):
         return pq_search(index, queries, top_k)
     if isinstance(index, IVFIndex):

@@ -367,3 +367,131 @@ def sharded_pq_search(
         q, allowed, route,
     )
     return RetrievalBatch(scores=out_s, indices=out_i.astype(jnp.int32))
+
+
+@struct.dataclass
+class ShardedIVFIndex:
+    """IVF cells sharded over a mesh axis: centroids replicated, cluster slabs
+    + row ids cell-sharded.
+
+    Parity: `sharded_search.py:103` semantics for the IVF codec — every device
+    computes the (replicated) centroid probe, but only scores the probed cells
+    it OWNS; one `all_gather` of k (score, global-id) pairs per shard feeds the
+    global top-k. Cell padding (to a multiple of the shard count) carries
+    `row_ids = -1`, so padded cells score -inf and never surface.
+    """
+
+    centroids: jax.Array  # [C_pad, D] f32 replicated
+    vectors: jax.Array  # [C_pad, S, D] cell-sharded
+    row_ids: jax.Array  # [C_pad, S] cell-sharded (-1 = pad)
+    subset_ids: typ.Optional[jax.Array] = None  # [C_pad, S] cell-sharded
+    c_real: int = struct.field(pytree_node=False, default=0)
+    cells_per_shard: int = struct.field(pytree_node=False, default=0)
+    nprobe: int = struct.field(pytree_node=False, default=8)
+    offset: int = struct.field(pytree_node=False, default=0)
+    axis: str = struct.field(pytree_node=False, default="shard")
+    mesh: typ.Any = struct.field(pytree_node=False, default=None)
+
+
+def shard_ivf_index(index, mesh: Mesh, *, axis: str = "shard") -> "ShardedIVFIndex":
+    """Shard an `IVFIndex`'s cells across the mesh axis."""
+    n_shards = mesh.shape[axis]
+    c, s, d = index.vectors.shape
+    pad = (-c) % n_shards
+
+    def pad_cells(x, fill):
+        if pad == 0:
+            return x
+        widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    vectors = jax.device_put(
+        pad_cells(index.vectors, 0), NamedSharding(mesh, P(axis, None, None))
+    )
+    row_ids = jax.device_put(pad_cells(index.row_ids, -1), NamedSharding(mesh, P(axis, None)))
+    subset_ids = None
+    if index.subset_ids is not None:
+        subset_ids = jax.device_put(
+            pad_cells(index.subset_ids, -1), NamedSharding(mesh, P(axis, None))
+        )
+    centroids = jax.device_put(
+        pad_cells(index.centroids, 0), NamedSharding(mesh, P(None, None))
+    )
+    return ShardedIVFIndex(
+        centroids=centroids,
+        vectors=vectors,
+        row_ids=row_ids,
+        subset_ids=subset_ids,
+        c_real=c,
+        cells_per_shard=(c + pad) // n_shards,
+        nprobe=index.nprobe,
+        offset=index.offset,
+        axis=axis,
+        mesh=mesh,
+    )
+
+
+def sharded_ivf_search(
+    index: ShardedIVFIndex,
+    queries: SearchQueries,
+    top_k: int,
+) -> RetrievalBatch:
+    """SPMD IVF: replicated probe, owner-only cell scoring, all_gather(k) merge."""
+    mesh, axis = index.mesh, index.axis
+    n_shards = mesh.shape[axis]
+    cpd = index.cells_per_shard
+    q = queries.vector
+    if q is None:
+        raise ValueError("sharded_ivf_search requires queries.vector")
+    b = q.shape[0]
+    nprobe = min(index.nprobe, index.c_real)
+    allowed = queries.subset_ids
+
+    def local_fn(cent, vec, ids, sub, qv, allow):
+        my = jax.lax.axis_index(axis)
+        cscores = jnp.dot(qv.astype(jnp.float32), cent.T, preferred_element_type=jnp.float32)
+        cell_idx = jax.lax.broadcasted_iota(jnp.int32, cscores.shape, 1)
+        cscores = jnp.where(cell_idx < index.c_real, cscores, -jnp.inf)
+        _, probe = jax.lax.top_k(cscores, nprobe)  # [B, P] — identical on every shard
+
+        def one_probe(p):
+            cell = probe[:, p]  # [B] global cell id
+            owned = (cell // cpd) == my
+            local = jnp.clip(cell - my * cpd, 0, cpd - 1)
+            slab = vec[local]  # [B, S, D] gather from the LOCAL slab block
+            rid = ids[local]  # [B, S]
+            sc = jnp.einsum(
+                "bd,bsd->bs", qv.astype(slab.dtype), slab, preferred_element_type=jnp.float32
+            )
+            sc = jnp.where(owned[:, None] & (rid >= 0), sc, -jnp.inf)
+            if allow is not None and sub is not None:
+                ss = sub[local]
+                ok = jnp.any(ss[:, :, None] == allow[:, None, :], axis=-1)
+                ok = ok | jnp.all(allow < 0, axis=-1, keepdims=True)
+                sc = jnp.where(ok, sc, -jnp.inf)
+            k_c = min(top_k, sc.shape[-1])
+            ts, tp = jax.lax.top_k(sc, k_c)
+            return ts, jnp.take_along_axis(rid, tp, axis=-1)
+
+        ps, pi = jax.lax.map(one_probe, jnp.arange(nprobe))  # [P, B, k']
+        all_s = jnp.moveaxis(ps, 0, 1).reshape(b, -1)
+        all_i = jnp.moveaxis(pi, 0, 1).reshape(b, -1)
+        top_s, pos = jax.lax.top_k(all_s, top_k)
+        top_i = jnp.take_along_axis(all_i, pos, axis=-1)
+        top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+        return _merge_across_shards(top_s, top_i, axis, n_shards, b, top_k)
+
+    in_specs = (
+        P(None, None),
+        P(axis, None, None),
+        P(axis, None),
+        P(axis, None) if index.subset_ids is not None else None,
+        P(),
+        P() if allowed is not None else None,
+    )
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()), check_vma=False
+    )
+    out_s, out_i = fn(index.centroids, index.vectors, index.row_ids, index.subset_ids, q, allowed)
+    out_i = jnp.where(out_i >= 0, out_i + index.offset, -1)
+    return RetrievalBatch(scores=out_s, indices=out_i.astype(jnp.int32))
