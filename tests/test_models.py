@@ -578,3 +578,32 @@ def test_evaluate_generation_end_to_end() -> None:
     m = evaluate_generation(model, params, [batch], max_new_tokens=4)
     assert set(m) == {"gen/exact_match", "gen/token_f1"}
     assert 0.0 <= m["gen/exact_match"] <= 1.0 and 0.0 <= m["gen/token_f1"] <= 1.0
+
+
+def test_realm_beam_generate() -> None:
+    """Beam twin of realm_generate: shapes + finite scores, beam1 == greedy."""
+    from vod_tpu.models.seq2seq import Seq2SeqRealm, realm_beam_generate, realm_generate
+    from vod_tpu.models.t5_encoder import T5EncoderConfig
+
+    rng = np.random.default_rng(31)
+    b, d, lm_len, t = 2, 2, 10, 4
+    batch = _toy_batch(rng, b=b, d=d, lm_len=lm_len)
+    tt = np.zeros((b, d, lm_len), dtype="int32")
+    tt[..., 7:] = 2
+    batch = batch.replace(lm__token_type_ids=jnp.asarray(tt))
+    model = Seq2SeqRealm(
+        cfg=_toy_cfg(),
+        reader_cfg=T5EncoderConfig(
+            vocab_size=100, hidden_size=32, num_layers=1, num_heads=2, head_dim=16,
+            intermediate_size=64, relative_attention_num_buckets=8,
+            relative_attention_max_distance=16, dtype=jnp.float32,
+        ),
+        gradients=VodGradients(alpha=0.5),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch, mode="evaluate")
+    toks, scores = realm_beam_generate(model, params, batch, num_beams=3, max_new_tokens=t)
+    assert np.asarray(toks).shape == (b * d, t)
+    assert np.isfinite(np.asarray(scores)).all()
+    b1, _ = realm_beam_generate(model, params, batch, num_beams=1, max_new_tokens=t)
+    greedy = realm_generate(model, params, batch, max_new_tokens=t)
+    assert np.array_equal(np.asarray(b1), np.asarray(greedy))

@@ -8,7 +8,7 @@ from .systems import Ranker, Realm
 from .gradients import Gradients, MarginalLikelihoodGradients, RetrievalGradients, VodGradients
 from .kbit import KbitParams, full_params, kbit_materialize, kbit_memory_bytes, kbit_prepare
 from .monitoring import RetrievalMonitor, retrieval_metrics
-from .seq2seq import Seq2SeqLM, Seq2SeqRealm, beam_generate, generate, port_t5_seq2seq_weights, realm_generate
+from .seq2seq import Seq2SeqLM, Seq2SeqRealm, beam_generate, generate, port_t5_seq2seq_weights, realm_beam_generate, realm_generate
 
 __all__ = [
     "CausalLM",
@@ -30,6 +30,7 @@ __all__ = [
     "Seq2SeqRealm",
     "generate",
     "port_t5_seq2seq_weights",
+    "realm_beam_generate",
     "realm_generate",
     "TransformerEncoder",
     "TransformerEncoderConfig",

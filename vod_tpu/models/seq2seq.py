@@ -382,6 +382,30 @@ def beam_generate(
     return out, jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
 
 
+def realm_beam_generate(
+    model: "Seq2SeqRealm",
+    params: typ.Mapping,
+    batch: RealmBatch,
+    **kwargs: typ.Any,
+) -> tuple[jax.Array, jax.Array]:
+    """Beam-search answer generation for a Realm batch (the beam twin of
+    `realm_generate`): [context; question] segments feed the reader encoder,
+    `beam_generate` decodes. Returns (tokens [B*D, T], scores [B*D])."""
+    ids = batch.lm__input_ids
+    tt = batch.lm__token_type_ids
+    mask = batch.lm__attention_mask
+    b, d_, l = ids.shape
+    enc_mask = ((tt < 2) & (mask > 0)).astype(jnp.int32).reshape(b * d_, l)
+    reader_params = {"params": params["params"]["reader"]}
+    return beam_generate(
+        Seq2SeqLM(model.reader_cfg),
+        reader_params,
+        ids.reshape(b * d_, l) * enc_mask,
+        enc_mask,
+        **kwargs,
+    )
+
+
 def port_t5_seq2seq_weights(state_dict: typ.Mapping[str, typ.Any], cfg: T5EncoderConfig) -> dict:
     """HF `T5ForConditionalGeneration` state_dict -> flax `Seq2SeqLM` params.
 
