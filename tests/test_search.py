@@ -567,3 +567,212 @@ def test_sharded_ivf_matches_unsharded() -> None:
     cfg = DenseFactoryConfig(codec="ivf", n_clusters=12, nprobe=4, kmeans_iters=3, sharded=True)
     out = build_dense_from_config(cfg, jnp.asarray(v), mesh=mesh)
     assert isinstance(out, ShardedIVFIndex)
+
+
+def test_pq_exhaustive_adc_exact_order() -> None:
+    """coarse_dim=None = exhaustive ADC: q.decode(codes) for every row, so with
+    exact selection the result must equal the brute-force decoded ranking."""
+    from vod_tpu.search.dense import decode_rows
+
+    rng = np.random.default_rng(21)
+    n, d, b, k = 2000, 64, 4, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    index = build_pq_index(
+        jax.random.PRNGKey(2), jnp.asarray(corpus),
+        n_subquantizers=16, coarse_dim=None, kmeans_iters=4, approx_recall=None,
+    )
+    assert index.coarse_codes is None and index.proj is None
+    out = pq_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=256)
+    decoded = np.asarray(decode_rows(index.codebooks, index.codes[:n]))
+    expected = np.argsort(-(q.astype(np.float32) @ decoded.T), axis=-1)[:, :k]
+    got = np.asarray(out.indices)
+    for i in range(b):
+        assert set(got[i].tolist()) == set(expected[i].tolist()), i
+
+
+def test_pq_refine_recovers_exact_recall() -> None:
+    """Exact re-rank (faiss RFlat parity) lifts PQ recall to ~flat: the ADC
+    stage only needs the true top-k inside its k_factor*k pool."""
+    rng = np.random.default_rng(22)
+    n, d, b, k = 4000, 64, 8, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+
+    def run(refine: str, k_factor: int = 8) -> float:
+        index = build_pq_index(
+            jax.random.PRNGKey(3), jnp.asarray(corpus),
+            n_subquantizers=16, coarse_dim=None, kmeans_iters=4,
+            refine=refine, k_factor=k_factor, approx_recall=None,
+        )
+        out = pq_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=256)
+        expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+        got = np.asarray(out.indices)
+        return float(np.mean([len(set(got[i]) & set(expected[i])) / k for i in range(b)]))
+
+    r_none, r_f32, r_int8 = run("none"), run("float32"), run("int8")
+    assert r_f32 >= r_none, (r_none, r_f32)
+    assert r_f32 >= 0.85, r_f32
+    assert r_int8 >= r_none - 0.05, (r_none, r_int8)
+
+
+def test_sharded_pq_refine_matches_unsharded() -> None:
+    """Exhaustive-ADC + f32 refine, sharded vs unsharded, against exact truth.
+
+    The sharded engine refines k_factor*k candidates PER SHARD (a strictly
+    larger global pool than the unsharded k_factor*k), so its recall is >= the
+    unsharded engine's — sets need not be identical; both must be near-exact.
+    """
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import shard_pq_index, sharded_pq_search
+
+    mesh = make_mesh((8,), ("shard",))
+    rng = np.random.default_rng(23)
+    n, d, b, k = 3000, 32, 4, 8
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    pq = build_pq_index(
+        jax.random.PRNGKey(4), jnp.asarray(corpus),
+        n_subquantizers=8, coarse_dim=None, kmeans_iters=4,
+        refine="float32", k_factor=4, approx_recall=None,
+    )
+    ref = pq_search(pq, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=256)
+    spq = shard_pq_index(pq, mesh)
+    assert spq.coarse_codes is None and spq.refine_codes is not None
+    out = sharded_pq_search(spq, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=128)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+
+    def recall(ind: np.ndarray) -> float:
+        return float(np.mean([len(set(ind[i]) & set(expected[i])) / k for i in range(b)]))
+
+    r_ref, r_shard = recall(np.asarray(ref.indices)), recall(np.asarray(out.indices))
+    assert r_shard >= r_ref - 1e-6, (r_ref, r_shard)
+    assert r_shard >= 0.85, r_shard
+    # refined scores are exact inner products: verify against the raw corpus
+    got_i, got_s = np.asarray(out.indices), np.asarray(out.scores)
+    for i in range(b):
+        for j, idx in enumerate(got_i[i]):
+            if idx >= 0:
+                assert abs(got_s[i, j] - float(q[i] @ corpus[idx])) < 1e-3
+
+
+def test_faiss_factory_refine_suffixes() -> None:
+    from vod_tpu.configs.search import DenseFactoryConfig
+
+    cfg = DenseFactoryConfig.from_faiss_factory("OPQ32_128,IVFauto,PQ32x8,RFlat")
+    assert cfg.codec == "pq" and cfg.refine == "float32" and cfg.use_opq
+    cfg = DenseFactoryConfig.from_faiss_factory("IVFauto,PQ16x8,Refine(SQ8)")
+    assert cfg.codec == "pq" and cfg.refine == "int8" and cfg.n_subquantizers == 16
+    cfg = DenseFactoryConfig.from_faiss_factory("IVFauto,PQ32x8")
+    assert cfg.refine == "none"
+
+
+def test_native_sparse_build_matches_python() -> None:
+    """`build_sparse_index_native` (C++ or fallback postings builder) produces
+    the same postings/impacts as the pure-Python `build_sparse_index`."""
+    from vod_tpu.search import build_sparse_index, build_sparse_index_native
+
+    rng = np.random.default_rng(31)
+    n_docs, n_terms = 60, 50
+    doc_terms = [
+        rng.integers(0, n_terms, size=rng.integers(3, 20)).tolist() for _ in range(n_docs)
+    ]
+    a = build_sparse_index(doc_terms, n_terms=n_terms, max_postings=16)
+    b = build_sparse_index_native(doc_terms, n_terms=n_terms, max_postings=16)
+    da, db = np.asarray(a.postings_docs), np.asarray(b.postings_docs)
+    ia, ib = np.asarray(a.postings_impacts), np.asarray(b.postings_impacts)
+    assert da.shape == db.shape, (da.shape, db.shape)
+    for t in range(n_terms):
+        ma, mb = da[t] >= 0, db[t] >= 0
+        # identical retained-impact multisets (ties at the truncation cut may
+        # retain different DOCS of equal impact — C++/python sort-order detail)
+        assert np.allclose(np.sort(ia[t][ma]), np.sort(ib[t][mb]), atol=1e-5), t
+        # docs strictly above the cut impact must match exactly
+        if ma.any():
+            cut = ia[t][ma].min()
+            sa = sorted(da[t][ma & (ia[t] > cut + 1e-6)].tolist())
+            sb = sorted(db[t][mb & (ib[t] > cut + 1e-6)].tolist())
+            assert sa == sb, t
+
+
+def test_sharded_sparse_matches_unsharded() -> None:
+    """Doc-sharded BM25 over the mesh == the unsharded engine exactly (the
+    shard split preserves global idf/truncation; VERDICT r2 #3)."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import (
+        build_sparse_index_native,
+        shard_sparse_index,
+        sharded_sparse_search,
+        sparse_search,
+    )
+
+    mesh = make_mesh((8,), ("shard",))
+    rng = np.random.default_rng(32)
+    n_docs, n_terms, b, k = 300, 80, 6, 12
+    doc_terms = [
+        rng.integers(0, n_terms, size=rng.integers(4, 24)).tolist() for _ in range(n_docs)
+    ]
+    subsets = rng.integers(0, 3, size=n_docs).astype("int32")
+    index = build_sparse_index_native(
+        doc_terms, n_terms=n_terms, max_postings=64, subset_ids=subsets
+    )
+    terms = jnp.asarray(rng.integers(0, n_terms, size=(b, 5)).astype("int32"))
+    ref = sparse_search(index, SearchQueries(terms=terms), top_k=k)
+    sidx = shard_sparse_index(index, mesh)
+    out = sharded_sparse_search(sidx, SearchQueries(terms=terms), top_k=k)
+    ref_i, got_i = np.asarray(ref.indices), np.asarray(out.indices)
+    ref_s, got_s = np.asarray(ref.scores), np.asarray(out.scores)
+    for i in range(b):
+        assert set(got_i[i].tolist()) == set(ref_i[i].tolist()), i
+    assert np.allclose(np.sort(got_s, axis=-1), np.sort(ref_s, axis=-1), atol=1e-5)
+
+    # subset filtering parity through the sharded path
+    allowed = jnp.asarray([[0, -1]] * b, dtype="int32")
+    ref_f = sparse_search(index, SearchQueries(terms=terms, subset_ids=allowed), top_k=k)
+    out_f = sharded_sparse_search(sidx, SearchQueries(terms=terms, subset_ids=allowed), top_k=k)
+    for i in range(b):
+        assert set(np.asarray(out_f.indices)[i].tolist()) == set(np.asarray(ref_f.indices)[i].tolist()), i
+    for x in np.asarray(out_f.indices).ravel():
+        if x >= 0:
+            assert subsets[x] == 0
+
+
+def test_sparse_factory_routes_native_and_sharded() -> None:
+    from vod_tpu.configs.search import SparseFactoryConfig
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import ShardedSparseIndex, SparseIndex
+    from vod_tpu.search.factory import build_sparse_from_config
+
+    rng = np.random.default_rng(33)
+    doc_terms = [rng.integers(0, 40, size=8).tolist() for _ in range(50)]
+    cfg = SparseFactoryConfig(max_postings=32)
+    idx = build_sparse_from_config(cfg, doc_terms, n_terms=40)
+    assert isinstance(idx, SparseIndex)
+    mesh = make_mesh((8,), ("shard",))
+    sidx = build_sparse_from_config(cfg, doc_terms, n_terms=40, mesh=mesh)
+    assert isinstance(sidx, ShardedSparseIndex)
+
+
+def test_hybrid_with_sharded_sparse() -> None:
+    """Hybrid dense ∥ SHARDED sparse matches hybrid with the unsharded sparse."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import build_sparse_index_native, shard_sparse_index
+
+    mesh = make_mesh((8,), ("shard",))
+    rng = np.random.default_rng(34)
+    n, d, b, k = 400, 16, 3, 8
+    corpus = _corpus(rng, n, d)
+    doc_terms = [rng.integers(0, 50, size=10).tolist() for _ in range(n)]
+    dense = build_dense_index(jnp.asarray(corpus), dtype="float32", approx_recall=None)
+    sparse = build_sparse_index_native(doc_terms, n_terms=50, max_postings=64)
+    q = SearchQueries(
+        vector=jnp.asarray(_corpus(rng, b, d)),
+        terms=jnp.asarray(rng.integers(0, 50, size=(b, 4)).astype("int32")),
+    )
+    ref, _ = hybrid_search(HybridEngines(dense=dense, sparse=sparse), q, top_k=k)
+    out, _ = hybrid_search(
+        HybridEngines(dense=dense, sparse=shard_sparse_index(sparse, mesh)), q, top_k=k
+    )
+    ref_i, got_i = np.asarray(ref.indices), np.asarray(out.indices)
+    for i in range(b):
+        assert set(got_i[i].tolist()) == set(ref_i[i].tolist()), i

@@ -38,14 +38,19 @@ class DenseFactoryConfig(StrictModel):
 
     codec: DenseCodec = "flat"
     dtype: DenseDtype = "bfloat16"  # flat-codec storage dtype
-    # pq codec
+    # pq codec; coarse_dim=None = exhaustive ADC (decode+matmul scan, no
+    # candidate-recall loss, M B/vector)
     n_subquantizers: int = 32
-    coarse_dim: int = 32
+    coarse_dim: typ.Optional[int] = 32
     n_candidates: int = 1024
     train_size: typ.Optional[int] = None
     kmeans_iters: int = 10
     use_opq: bool = False
     opq_iters: int = 4
+    # exact re-rank of the ADC top (k_factor * k) against raw rows
+    # (parity: faiss `RFlat` / `Refine(SQ8)` suffixes)
+    refine: typ.Literal["none", "int8", "bfloat16", "float32"] = "none"
+    k_factor: int = 4
     # ivf codec
     n_clusters: typ.Optional[int] = None  # None = IVFauto inference
     nprobe: int = 8
@@ -71,11 +76,19 @@ class DenseFactoryConfig(StrictModel):
         m_pq = re.search(r"PQ(\d+)x8", factory)
         if m_pq:
             m_opq = re.search(r"OPQ\d+_(\d+)", factory)
+            # faiss refine suffixes: `...,RFlat` = f32 re-rank, `...,Refine(SQ8)`
+            # = int8 re-rank (`support.py:44` grammar)
+            refine = "none"
+            if re.search(r"Refine\(SQ8\)", factory):
+                refine = "int8"
+            elif re.search(r",RFlat", factory):
+                refine = "float32"
             return cls(
                 codec="pq",
                 n_subquantizers=int(m_pq.group(1)),
                 coarse_dim=min(64, int(m_opq.group(1)) if m_opq else 32),
                 use_opq=m_opq is not None,
+                refine=refine,
                 train_size=train_size,
             )
         if "Flat" in factory and factory.strip() == "Flat":
@@ -101,6 +114,10 @@ class SparseFactoryConfig(StrictModel):
     min_token_len: int = 2
     max_vocab: typ.Optional[int] = None
     section_template: str = "{{ title }} {{ content }}"
+    # doc-shard the postings over a mesh axis (parity: ES under
+    # `ShardedSearchClient`, reference `sharded_search.py:28`)
+    sharded: bool = False
+    shard_axis: str = "shard"
 
     def __add__(self, diff: typ.Optional[typ.Mapping | pydantic.BaseModel]) -> "SparseFactoryConfig":
         return apply_diff(self, diff)

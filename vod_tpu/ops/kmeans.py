@@ -43,19 +43,25 @@ def kmeans(
     n_clusters: int,
     n_iters: int = 10,
     chunk: int = 4096,
+    init: typ.Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Lloyd k-means. Returns (centroids [k, d] f32, assignments [n] i32).
 
     Init: random distinct-ish sample of rows (parity with faiss's default
-    sampling init; kmeans++ is overkill at IVF scales where n >> k).
+    sampling init; kmeans++ is overkill at IVF scales where n >> k), or
+    `init` [k, d] to warm-start (OPQ alternation refreshes codebooks from the
+    previous iterate rather than re-randomizing).
     Empty clusters are re-seeded from random points each iteration.
     """
     n, d = x.shape
     x = x.astype(jnp.float32)
-    # with-replacement fallback when n < k (faiss proceeds with a warning
-    # there too; duplicate centroids get re-seeded by the empty-cluster rule)
-    init_idx = jax.random.choice(rng, n, shape=(n_clusters,), replace=n < n_clusters)
-    centroids = x[init_idx]
+    if init is not None:
+        centroids = init.astype(jnp.float32)
+    else:
+        # with-replacement fallback when n < k (faiss proceeds with a warning
+        # there too; duplicate centroids get re-seeded by the empty-cluster rule)
+        init_idx = jax.random.choice(rng, n, shape=(n_clusters,), replace=n < n_clusters)
+        centroids = x[init_idx]
 
     def step(carry, rng_i):
         centroids = carry

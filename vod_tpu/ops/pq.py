@@ -30,8 +30,14 @@ def train_pq(
     n_subquantizers: int,
     n_codes: int = 256,
     n_iters: int = 10,
+    init_codebooks: typ.Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Train PQ codebooks. Returns [M, n_codes, d/M] float32."""
+    """Train PQ codebooks. Returns [M, n_codes, d/M] float32.
+
+    `init_codebooks` warm-starts each subspace's k-means (used by the OPQ
+    alternation so the quantizer improves monotonically across rotations
+    instead of re-randomizing every round).
+    """
     n, d = x.shape
     m = n_subquantizers
     if d % m != 0:
@@ -39,6 +45,15 @@ def train_pq(
     dsub = d // m
     x_sub = x.reshape(n, m, dsub).transpose(1, 0, 2)  # [M, n, dsub]
     rngs = jax.random.split(rng, m)
+
+    if init_codebooks is not None:
+
+        def train_warm(args: tuple) -> jax.Array:
+            r, xs, c0 = args
+            c, _ = kmeans(r, xs, n_clusters=n_codes, n_iters=n_iters, init=c0)
+            return c
+
+        return jax.lax.map(train_warm, (rngs, x_sub, init_codebooks))
 
     def train_one(r: jax.Array, xs: jax.Array) -> jax.Array:
         c, _ = kmeans(r, xs, n_clusters=n_codes, n_iters=n_iters)
@@ -133,8 +148,10 @@ def train_opq(
 
     Parity: faiss's `OPQ{M}_{d}` preprocessor (reference trains it via
     `build_gpu.py:82`). Alternating minimization of ||XR - Q(XR)||_F:
-    refresh codebooks on the rotated data, then solve the orthogonal
-    Procrustes problem R = U V^T from the SVD of X^T Q(XR).
+    refresh codebooks on the rotated data (warm-started from the previous
+    round so the objective decreases monotonically), then solve the orthogonal
+    Procrustes problem R = U V^T from the SVD of X^T Q(XR). A final full
+    k-means polish at the converged rotation sharpens the codebooks.
     Returns (rotation [d, d] f32, codebooks [M, n_codes, d/M]).
     """
     n, d = x.shape
@@ -144,13 +161,19 @@ def train_opq(
     for it in range(n_iters):
         xr = x @ r
         codebooks = train_pq(
-            jax.random.fold_in(rng, it), xr, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
+            jax.random.fold_in(rng, it), xr, n_subquantizers, n_codes=n_codes,
+            n_iters=kmeans_iters, init_codebooks=None if codebooks is None else codebooks,
         )
         codes = encode_pq(codebooks, xr)
         recon = decode_pq(codebooks, codes)
         # Procrustes: R = U V^T of X^T X_hat
         u, _, vt = jnp.linalg.svd(x.T @ recon, full_matrices=False)
         r = u @ vt
+    # polish at the final rotation with a longer k-means run
+    codebooks = train_pq(
+        jax.random.fold_in(rng, n_iters), x @ r, n_subquantizers, n_codes=n_codes,
+        n_iters=max(kmeans_iters, 2 * kmeans_iters), init_codebooks=codebooks,
+    )
     return r, codebooks
 
 

@@ -46,19 +46,39 @@ class DenseIndex:
 
 @struct.dataclass
 class PQIndex:
-    """PQ-compressed index with an int8 coarse-scan stage."""
+    """PQ-compressed index: exhaustive ADC or int8 coarse-scan + ADC rescore.
+
+    Two candidate-generation modes (chosen at build time):
+      * exhaustive (`coarse_codes is None`) — ADC over ALL rows. Key identity:
+        the ADC inner product sum_m lut[m, code] equals q . decode(codes), so
+        exhaustive ADC is a decode-then-matmul streaming scan on the MXU — no
+        per-row LUT gathers, no coarse-stage recall loss. Memory = M B/vector.
+      * coarse — int8 PCA-projected scan picks `n_candidates`, ADC rescores
+        them (adds coarse_dim B/vector, trades recall for speed at large N).
+
+    Optional exact re-rank ("refine", parity: faiss `RFlat`/`Refine(SQ8)`):
+    `refine_codes` keeps raw rows (int8 when `refine_scale` is set, else
+    bf16/f32); the ADC top (k_factor * k) candidates are exactly rescored
+    before the final top-k. This is the standard fix for PQ code distortion
+    reordering near-tied neighbors (reference default `OPQ32_512,IVFauto,PQ32x8`
+    has the same distortion — faiss users add `RFlat` for the last few points
+    of recall@10).
+    """
 
     codebooks: jax.Array  # [M, 256, dsub] f32
     codes: jax.Array  # [N, M] uint8
-    coarse_codes: jax.Array  # [N, dc] int8
-    coarse_scale: jax.Array  # [1, dc] f32
-    proj: jax.Array  # [D, dc] f32 (PCA projection for the coarse stage)
+    coarse_codes: typ.Optional[jax.Array] = None  # [N, dc] int8 (None = exhaustive ADC)
+    coarse_scale: typ.Optional[jax.Array] = None  # [1, dc] f32
+    proj: typ.Optional[jax.Array] = None  # [D, dc] f32 (PCA projection, coarse stage)
     rotation: typ.Optional[jax.Array] = None  # [D, D] OPQ rotation (None = identity)
     subset_ids: typ.Optional[jax.Array] = None  # [N] int32
+    refine_codes: typ.Optional[jax.Array] = None  # [N, D] raw rows (int8/bf16/f32)
+    refine_scale: typ.Optional[jax.Array] = None  # [1, D] f32 when refine is int8
     n_real: int = struct.field(pytree_node=False, default=0)
     offset: int = struct.field(pytree_node=False, default=0)
     n_candidates: int = struct.field(pytree_node=False, default=1024)
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
+    k_factor: int = struct.field(pytree_node=False, default=4)  # refine pool = k_factor*k
 
 
 def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:
@@ -114,26 +134,46 @@ def build_dense_index(
     )
 
 
+def _build_refine(
+    vectors: jax.Array, refine: str, pad_multiple: int
+) -> tuple[typ.Optional[jax.Array], typ.Optional[jax.Array]]:
+    """Raw-row storage for the exact re-rank stage (faiss Refine parity)."""
+    if refine == "none":
+        return None, None
+    x = _pad_rows(vectors.astype(jnp.float32), pad_multiple)
+    if refine == "int8":
+        codes, scale = pq_ops.quantize_int8(x, axis=0)
+        return codes, scale
+    if refine in ("bfloat16", "float32"):
+        return x.astype(jnp.dtype(refine)), None
+    raise ValueError(f"unknown refine codec {refine!r}")
+
+
 def build_pq_index(
     rng: jax.Array,
     vectors: jax.Array,
     *,
     n_subquantizers: int = 32,
-    coarse_dim: int = 32,
+    coarse_dim: typ.Optional[int] = 32,
     n_candidates: int = 1024,
     train_size: typ.Optional[int] = None,
     kmeans_iters: int = 10,
     use_opq: bool = False,
     opq_iters: int = 4,
+    refine: str = "none",
+    k_factor: int = 4,
     subset_ids: typ.Optional[jax.Array] = None,
     offset: int = 0,
     pad_multiple: typ.Optional[int] = None,
     approx_recall: typ.Optional[float] = 0.95,
 ) -> PQIndex:
-    """Build a PQ index (parity: faiss `OPQ{M}_{d},IVFauto,PQ{M}x8`).
+    """Build a PQ index (parity: faiss `OPQ{M}_{d},IVFauto,PQ{M}x8[,RFlat]`).
 
-    Memory: M bytes/vector (codes) + coarse_dim bytes/vector (int8 coarse) —
-    e.g. M=32, coarse_dim=32 is 64 B/vector vs faiss PQ32x8's 32 B + IVF lists.
+    coarse_dim=None builds the EXHAUSTIVE-ADC index (M bytes/vector, no coarse
+    stage, no candidate-recall loss); an int coarse_dim adds the int8 coarse
+    scan (+coarse_dim B/vector) for cheaper candidate generation at large N.
+    refine='int8'|'bfloat16'|'float32' stores raw rows for exact re-ranking of
+    the ADC top (k_factor * k).
 
     CAUTION: size `coarse_dim` to the data's spectrum. The coarse PCA filter
     works because real embedding matrices concentrate variance in the top
@@ -159,16 +199,18 @@ def build_pq_index(
         x_rot, train_rot = x, train
         codebooks = pq_ops.train_pq(rng, train_rot, n_subquantizers, n_iters=kmeans_iters)
 
-    proj, mean = pq_ops.train_projection(train_rot, coarse_dim)
-    # Fold the mean into nothing: MIPS is shift-sensitive, so project WITHOUT
-    # centering (PCA directions still concentrate energy).
-    coarse = x_rot @ proj  # [n, dc]
-    coarse_codes, coarse_scale = pq_ops.quantize_int8(coarse, axis=0)
+    coarse_codes = coarse_scale = proj = None
+    if coarse_dim is not None:
+        proj, mean = pq_ops.train_projection(train_rot, coarse_dim)
+        # Fold the mean into nothing: MIPS is shift-sensitive, so project WITHOUT
+        # centering (PCA directions still concentrate energy).
+        coarse = x_rot @ proj  # [n, dc]
+        coarse_codes, coarse_scale = pq_ops.quantize_int8(coarse, axis=0)
+        coarse_codes = _pad_rows(coarse_codes, pad_multiple)
 
     codes = pq_ops.encode_pq(codebooks, x_rot)
-
     codes = _pad_rows(codes, pad_multiple)
-    coarse_codes = _pad_rows(coarse_codes, pad_multiple)
+    refine_codes, refine_scale = _build_refine(x, refine, pad_multiple)
     if subset_ids is not None:
         subset_ids = _pad_rows(subset_ids.astype(jnp.int32)[:, None], pad_multiple)[:, 0]
     return PQIndex(
@@ -179,10 +221,13 @@ def build_pq_index(
         proj=proj,
         rotation=rotation,
         subset_ids=subset_ids,
+        refine_codes=refine_codes,
+        refine_scale=refine_scale,
         n_real=n_real,
         offset=offset,
         n_candidates=n_candidates,
         approx_recall=approx_recall,
+        k_factor=k_factor,
     )
 
 
@@ -395,6 +440,44 @@ def dense_search(
 _PQ_RESCORE_ELEMS = 1 << 27  # ~512MB f32 rescore gather cap
 
 
+def decode_rows(codebooks: jax.Array, codes: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Reconstruct a block of rows from PQ codes: [c, M] uint8 -> [c, d].
+
+    One flat gather from the (tiny, VMEM-resident) codebook table; feeds the
+    exhaustive-ADC matmul (q . decode(codes) == the ADC LUT sum).
+    """
+    m, k, dsub = codebooks.shape
+    flat = codebooks.reshape(m * k, dsub).astype(dtype)
+    idx = codes.astype(jnp.int32) + (jnp.arange(m, dtype=jnp.int32) * k)[None, :]
+    return flat[idx].reshape(codes.shape[0], m * dsub)
+
+
+def _refine_rerank(
+    index: PQIndex, q_orig: jax.Array, cand_s: jax.Array, cand_i: jax.Array, top_k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Exact re-rank of ADC candidates against raw rows (faiss Refine parity).
+
+    cand_i are LOCAL row ids (offset not yet applied). Gathers [B, K, D] raw
+    rows — K = k_factor * top_k, so the gather is tiny relative to the scan.
+    """
+    n = index.codes.shape[0]
+    safe = jnp.clip(cand_i, 0, n - 1)
+    raw = index.refine_codes[safe]  # [B, K, D]
+    if index.refine_scale is not None:  # int8 raw: fold per-dim scale into q
+        q_eff = q_orig.astype(jnp.float32) * index.refine_scale
+        exact = jnp.einsum(
+            "bd,bkd->bk", q_eff, raw.astype(jnp.float32), preferred_element_type=jnp.float32
+        )
+    else:
+        exact = jnp.einsum(
+            "bd,bkd->bk", q_orig.astype(raw.dtype), raw, preferred_element_type=jnp.float32
+        )
+    exact = jnp.where(jnp.isfinite(cand_s), exact, -jnp.inf)
+    top_s, pos = jax.lax.top_k(exact, top_k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=-1)
+    return top_s, top_i
+
+
 def pq_search(
     index: PQIndex,
     queries: SearchQueries,
@@ -403,24 +486,33 @@ def pq_search(
     chunk: int = 131072,
     approx_recall: typ.Any = _FROM_INDEX,
 ) -> RetrievalBatch:
-    """Two-stage PQ search: int8 coarse scan -> ADC rescore of top candidates."""
+    """PQ search: exhaustive ADC (decode-matmul scan) or coarse scan + ADC
+    rescore, then optional exact re-rank of the top k_factor*k candidates."""
     if approx_recall is _FROM_INDEX:
         approx_recall = index.approx_recall
     q = queries.vector
     if q is None:
         raise ValueError("pq_search requires queries.vector")
     b, d = q.shape
-    n = index.coarse_codes.shape[0]
+    n = index.codes.shape[0]
+    exhaustive = index.coarse_codes is None
+    if exhaustive:
+        # decoded chunks materialize [chunk, d]; keep them VMEM-friendly
+        chunk = min(chunk, 16384)
     chunk = min(chunk, n)
     while n % chunk != 0:
         chunk -= 128
     n_cand = min(index.n_candidates, n)
+    do_refine = index.refine_codes is not None
+    n_pool = min(index.k_factor * top_k, n) if do_refine else top_k
 
-    # The ADC rescore gathers a [B, n_cand, M] f32 block; cap it at ~512MB by
-    # mapping over query chunks (measured: B=4096 x n_cand=4096 x M=32 asked
-    # XLA for an 8GB temp and OOMed HBM).
+    # The ADC rescore gathers a [B, n_cand, M] f32 block and the refine stage a
+    # [B, n_pool, D] block; cap the total at ~512MB by mapping over query
+    # chunks (measured: B=4096 x n_cand=4096 x M=32 asked XLA for an 8GB temp
+    # and OOMed HBM).
     m_sub = index.codes.shape[-1]
-    qchunk = max(8, _PQ_RESCORE_ELEMS // max(1, n_cand * m_sub))
+    per_q = (n_cand * m_sub if not exhaustive else 0) + (n_pool * d if do_refine else 0)
+    qchunk = max(8, _PQ_RESCORE_ELEMS // max(1, per_q))
     if b > qchunk:
         pad = (-b) % qchunk
         qp = jnp.pad(q, ((0, pad), (0, 0))) if pad else q
@@ -446,14 +538,9 @@ def pq_search(
     q_eff = q.astype(jnp.float32)
     if index.rotation is not None:  # OPQ: rotate queries into codebook space
         q_eff = q_eff @ index.rotation
-
-    # Stage 1: coarse scores over all rows via the projected int8 corpus.
-    q_proj = (q_eff @ index.proj) * index.coarse_scale  # [B, dc]
     allowed = queries.subset_ids
 
-    def score_chunk(start: jax.Array) -> jax.Array:
-        v = jax.lax.dynamic_slice_in_dim(index.coarse_codes, start, chunk, axis=0)
-        s = jnp.dot(q_proj, v.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+    def _mask_chunk(s: jax.Array, start: jax.Array) -> jax.Array:
         if allowed is not None and index.subset_ids is not None:
             sub = jax.lax.dynamic_slice_in_dim(index.subset_ids, start, chunk, axis=0)
             match = sub[None, None, :] == allowed[:, :, None]
@@ -461,19 +548,53 @@ def pq_search(
             s = jnp.where(ok, s, -jnp.inf)
         return s
 
-    cand_s, cand_i = _scan_collect_topk(
-        score_chunk, n, index.n_real, b, n_cand, chunk, approx_recall=approx_recall
-    )
+    if exhaustive:
+        # Exhaustive ADC == q_rot . decode(codes): a streaming decode+matmul
+        # scan with NO candidate-recall loss. bf16 matmul when a refine stage
+        # will fix the ordering anyway; f32 when the ADC order is final.
+        mm_dtype = jnp.bfloat16 if do_refine else jnp.float32
+        q_mm = q_eff.astype(mm_dtype)
 
-    # Stage 2: ADC rescore of the candidates (tiny gather: B * n_cand * M bytes).
-    safe_i = jnp.clip(cand_i, 0, n - 1)
-    cand_codes = index.codes[safe_i]  # [B, n_cand, M]
-    lut = pq_ops.adc_lut(index.codebooks, q_eff)
-    adc = pq_ops.adc_score_codes(lut, cand_codes)  # [B, n_cand]
-    adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
+        def score_chunk(start: jax.Array) -> jax.Array:
+            c = jax.lax.dynamic_slice_in_dim(index.codes, start, chunk, axis=0)
+            dec = decode_rows(index.codebooks, c, dtype=mm_dtype)  # [chunk, d]
+            s = jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
+            return _mask_chunk(s, start)
 
-    top_s, pos = jax.lax.top_k(adc, top_k)
-    top_i = jnp.take_along_axis(cand_i, pos, axis=-1)
+        pool_s, pool_i = _scan_topk(
+            score_chunk, n, index.n_real, b, n_pool, chunk, approx_recall=approx_recall
+        )
+    else:
+        # Stage 1: coarse scores over all rows via the projected int8 corpus.
+        q_proj = (q_eff @ index.proj) * index.coarse_scale  # [B, dc]
+
+        def score_chunk(start: jax.Array) -> jax.Array:
+            v = jax.lax.dynamic_slice_in_dim(index.coarse_codes, start, chunk, axis=0)
+            s = jnp.dot(q_proj, v.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+            return _mask_chunk(s, start)
+
+        cand_s, cand_i = _scan_collect_topk(
+            score_chunk, n, index.n_real, b, n_cand, chunk, approx_recall=approx_recall
+        )
+
+        # Stage 2: ADC rescore of the candidates (B * n_cand * M bytes gather).
+        safe_i = jnp.clip(cand_i, 0, n - 1)
+        cand_codes = index.codes[safe_i]  # [B, n_cand, M]
+        lut = pq_ops.adc_lut(index.codebooks, q_eff)
+        adc = pq_ops.adc_score_codes(lut, cand_codes)  # [B, n_cand]
+        adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
+        k_pool = min(n_pool, adc.shape[-1])
+        pool_s, pos = jax.lax.top_k(adc, k_pool)
+        pool_i = jnp.take_along_axis(cand_i, pos, axis=-1)
+
+    if pool_s.shape[-1] < top_k:  # tiny corpus / n_candidates < k
+        pad = top_k - pool_s.shape[-1]
+        pool_s = jnp.pad(pool_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        pool_i = jnp.pad(pool_i, ((0, 0), (0, pad)), constant_values=-1)
+    if do_refine:
+        top_s, top_i = _refine_rerank(index, q, pool_s, pool_i, top_k)
+    else:
+        top_s, top_i = pool_s[:, :top_k], pool_i[:, :top_k]
     top_i = jnp.where(jnp.isfinite(top_s), top_i + index.offset, -1)
     top_s = jnp.where(jnp.isfinite(top_s), top_s, -jnp.inf)
     return RetrievalBatch(scores=top_s, indices=top_i)
@@ -601,11 +722,13 @@ def build_pq_index_from_host(
     vectors_np,  # numpy [N, D] (host RAM; may exceed HBM)
     *,
     n_subquantizers: int = 32,
-    coarse_dim: int = 32,
+    coarse_dim: typ.Optional[int] = 32,
     n_candidates: int = 1024,
     train_size: int = 500_000,
     kmeans_iters: int = 10,
     use_opq: bool = False,
+    refine: str = "none",
+    k_factor: int = 4,
     slab: int = 1_000_000,
     subset_ids: typ.Optional[jax.Array] = None,
     offset: int = 0,
@@ -614,11 +737,18 @@ def build_pq_index_from_host(
     """PQ build for corpora larger than device HBM: train on a sample, then
     encode host slabs on device one at a time (parity: faiss's chunked
     train+add, `faiss_search/build.py:51-81`). Only the compressed codes
-    (M + coarse_dim bytes/row) ever accumulate on device."""
+    (M [+ coarse_dim] [+ D for int8 refine] bytes/row) accumulate on device.
+
+    refine='int8' stores int8 raw rows (D B/vector) for the exact re-rank
+    stage — the scale comes from the training sample, applied slab-by-slab.
+    bf16/f32 refine is refused here: at host-slab scale it defeats the point.
+    """
     import numpy as np
 
     from vod_tpu.ops import pq as pq_ops
 
+    if refine not in ("none", "int8"):
+        raise ValueError(f"host-slab PQ build supports refine none|int8, got {refine!r}")
     n_real, d = vectors_np.shape
     train = jnp.asarray(np.ascontiguousarray(vectors_np[:train_size]), dtype=jnp.float32)
 
@@ -631,28 +761,44 @@ def build_pq_index_from_host(
     else:
         train_rot = train
         codebooks = pq_ops.train_pq(rng, train_rot, n_subquantizers, n_iters=kmeans_iters)
-    proj, _mean = pq_ops.train_projection(train_rot, coarse_dim)
-    coarse_sample = train_rot @ proj
-    coarse_absmax = jnp.max(jnp.abs(coarse_sample), axis=0, keepdims=True)
-    coarse_scale = jnp.maximum(coarse_absmax, 1e-8) / 127.0
-    del train, train_rot, coarse_sample
+    proj = coarse_scale = None
+    if coarse_dim is not None:
+        proj, _mean = pq_ops.train_projection(train_rot, coarse_dim)
+        coarse_sample = train_rot @ proj
+        coarse_absmax = jnp.max(jnp.abs(coarse_sample), axis=0, keepdims=True)
+        coarse_scale = jnp.maximum(coarse_absmax, 1e-8) / 127.0
+        del coarse_sample
+    refine_scale = None
+    if refine == "int8":
+        absmax = jnp.max(jnp.abs(train), axis=0, keepdims=True)
+        refine_scale = jnp.maximum(absmax, 1e-8) / 127.0
+    del train, train_rot
 
     @jax.jit
     def encode_slab(x):
         xr = x @ rotation if rotation is not None else x
         codes = pq_ops.encode_pq(codebooks, xr)
-        coarse = jnp.clip(jnp.round((xr @ proj) / coarse_scale), -127, 127).astype(jnp.int8)
-        return codes, coarse
+        coarse = None
+        if proj is not None:
+            coarse = jnp.clip(jnp.round((xr @ proj) / coarse_scale), -127, 127).astype(jnp.int8)
+        ref = None
+        if refine_scale is not None:
+            ref = jnp.clip(jnp.round(x / refine_scale), -127, 127).astype(jnp.int8)
+        return codes, coarse, ref
 
     pad_multiple = _auto_pad_multiple(n_real, None)
     n_pad = -(-n_real // pad_multiple) * pad_multiple
     codes_np = np.zeros((n_pad, n_subquantizers), np.uint8)
-    coarse_np = np.zeros((n_pad, coarse_dim), np.int8)
+    coarse_np = np.zeros((n_pad, coarse_dim), np.int8) if coarse_dim is not None else None
+    refine_np = np.zeros((n_pad, d), np.int8) if refine == "int8" else None
     for s0 in range(0, n_real, slab):
         x = jnp.asarray(np.ascontiguousarray(vectors_np[s0 : s0 + slab]), dtype=jnp.float32)
-        c, cc = encode_slab(x)
+        c, cc, rr = encode_slab(x)
         codes_np[s0 : s0 + x.shape[0]] = np.asarray(c)
-        coarse_np[s0 : s0 + x.shape[0]] = np.asarray(cc)
+        if coarse_np is not None:
+            coarse_np[s0 : s0 + x.shape[0]] = np.asarray(cc)
+        if refine_np is not None:
+            refine_np[s0 : s0 + x.shape[0]] = np.asarray(rr)
         del x
 
     if subset_ids is not None:
@@ -660,13 +806,16 @@ def build_pq_index_from_host(
     return PQIndex(
         codebooks=codebooks,
         codes=jax.device_put(codes_np),
-        coarse_codes=jax.device_put(coarse_np),
+        coarse_codes=None if coarse_np is None else jax.device_put(coarse_np),
         coarse_scale=coarse_scale,
         proj=proj,
         rotation=rotation,
         subset_ids=subset_ids,
+        refine_codes=None if refine_np is None else jax.device_put(refine_np),
+        refine_scale=refine_scale,
         n_real=n_real,
         offset=offset,
         n_candidates=n_candidates,
         approx_recall=approx_recall,
+        k_factor=k_factor,
     )

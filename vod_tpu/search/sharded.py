@@ -216,18 +216,21 @@ class ShardedPQIndex:
 
     codebooks: jax.Array  # [M, 256, dsub] replicated
     codes: jax.Array  # [N_pad, M] uint8, row-sharded
-    coarse_codes: jax.Array  # [N_pad, dc] int8, row-sharded
-    coarse_scale: jax.Array  # [1, dc] replicated
-    proj: jax.Array  # [D, dc] replicated
+    coarse_codes: typ.Optional[jax.Array] = None  # [N_pad, dc] int8, row-sharded (None = exhaustive ADC)
+    coarse_scale: typ.Optional[jax.Array] = None  # [1, dc] replicated
+    proj: typ.Optional[jax.Array] = None  # [D, dc] replicated
     rotation: typ.Optional[jax.Array] = None  # [D, D] replicated (OPQ)
     subset_ids: typ.Optional[jax.Array] = None  # [N_pad] row-sharded
     corpus_shard: typ.Optional[jax.Array] = None  # [N_pad] row-sharded (routing)
+    refine_codes: typ.Optional[jax.Array] = None  # [N_pad, D] row-sharded raw rows
+    refine_scale: typ.Optional[jax.Array] = None  # [1, D] replicated (int8 refine)
     n_real: int = struct.field(pytree_node=False, default=0)
     rows_per_shard: int = struct.field(pytree_node=False, default=0)
     axis: str = struct.field(pytree_node=False, default="shard")
     mesh: typ.Any = struct.field(pytree_node=False, default=None)
     n_candidates: int = struct.field(pytree_node=False, default=1024)
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
+    k_factor: int = struct.field(pytree_node=False, default=4)
 
 
 def shard_pq_index(
@@ -247,8 +250,14 @@ def shard_pq_index(
         # builder already padded to 128s; re-pad so rows divide the shard count
         return _pad_rows(x[: index.n_real] if x.shape[0] >= index.n_real else x, mult)
 
-    codes = jax.device_put(repad2(index.codes), NamedSharding(mesh, P(axis, None)))
-    coarse = jax.device_put(repad2(index.coarse_codes), NamedSharding(mesh, P(axis, None)))
+    row_sharded = NamedSharding(mesh, P(axis, None))
+    codes = jax.device_put(repad2(index.codes), row_sharded)
+    coarse = None
+    if index.coarse_codes is not None:
+        coarse = jax.device_put(repad2(index.coarse_codes), row_sharded)
+    refine = None
+    if index.refine_codes is not None:
+        refine = jax.device_put(repad2(index.refine_codes), row_sharded)
     rep = NamedSharding(mesh, P())
 
     def shard_1d(x: typ.Optional[jax.Array]) -> typ.Optional[jax.Array]:
@@ -257,21 +266,27 @@ def shard_pq_index(
         x = _pad_rows(x[: index.n_real].astype(jnp.int32)[:, None], mult)[:, 0]
         return jax.device_put(x, NamedSharding(mesh, P(axis)))
 
+    def rep_opt(x: typ.Optional[jax.Array]) -> typ.Optional[jax.Array]:
+        return None if x is None else jax.device_put(x, rep)
+
     return ShardedPQIndex(
         codebooks=jax.device_put(index.codebooks, rep),
         codes=codes,
         coarse_codes=coarse,
-        coarse_scale=jax.device_put(index.coarse_scale, rep),
-        proj=jax.device_put(index.proj, rep),
-        rotation=None if index.rotation is None else jax.device_put(index.rotation, rep),
+        coarse_scale=rep_opt(index.coarse_scale),
+        proj=rep_opt(index.proj),
+        rotation=rep_opt(index.rotation),
         subset_ids=shard_1d(index.subset_ids),
         corpus_shard=shard_1d(corpus_shard),
+        refine_codes=refine,
+        refine_scale=rep_opt(index.refine_scale),
         n_real=index.n_real,
         rows_per_shard=codes.shape[0] // n_shards,
         axis=axis,
         mesh=mesh,
         n_candidates=index.n_candidates,
         approx_recall=index.approx_recall,
+        k_factor=index.k_factor,
     )
 
 
@@ -282,13 +297,23 @@ def sharded_pq_search(
     *,
     chunk: int = 131072,
 ) -> RetrievalBatch:
-    """SPMD two-stage PQ search: per shard coarse-scan + ADC-rescore its rows,
-    then all_gather(k) + global top-k (same merge shape as the flat engine)."""
-    from .dense import _scan_collect_topk
+    """SPMD PQ search: per shard, coarse-scan + ADC-rescore (or exhaustive
+    decode+matmul ADC) over its rows, optional exact re-rank against local raw
+    rows, then all_gather(k) + global top-k (same merge shape as flat).
+
+    With refine, each shard exactly rescores its ADC top (k_factor * k) and
+    gathers k exact-scored pairs — equivalent to the unsharded refine (a global
+    exact-top-k row is necessarily in its own shard's exact top-k) while the
+    ICI traffic stays at k pairs/shard.
+    """
+    from .dense import _scan_collect_topk, _scan_topk, decode_rows
 
     mesh, axis = index.mesh, index.axis
     n_shards = mesh.shape[axis]
     rows = index.rows_per_shard
+    exhaustive = index.coarse_codes is None
+    if exhaustive:
+        chunk = min(chunk, 16384)  # decoded [chunk, d] blocks stay VMEM-friendly
     chunk = min(chunk, rows)
     while rows % chunk != 0:
         chunk -= 128
@@ -297,21 +322,20 @@ def sharded_pq_search(
     # proportional share of the candidate budget per shard (each global coarse
     # winner is almost surely in its shard's proportional top share)
     n_cand = min(rows, max(128, -(-index.n_candidates // n_shards)))
-    k_local = min(top_k, n_cand)
+    k_local = min(top_k, n_cand if not exhaustive else rows)
+    do_refine = index.refine_codes is not None
+    n_pool = min(index.k_factor * top_k, rows) if do_refine else k_local
     allowed = queries.subset_ids
     route = queries.shard
 
-    def local_fn(codes, coarse, sub, cshard, qv, allow, rt):
+    def local_fn(codes, coarse, sub, cshard, refine, qv, allow, rt):
         my = jax.lax.axis_index(axis)
         g_offset = my * rows
         q_eff = qv.astype(jnp.float32)
         if index.rotation is not None:
             q_eff = q_eff @ index.rotation
-        q_proj = (q_eff @ index.proj) * index.coarse_scale  # [B, dc]
 
-        def score_chunk(start):
-            v = jax.lax.dynamic_slice_in_dim(coarse, start, chunk, axis=0)
-            s = jnp.dot(q_proj, v.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+        def _mask_chunk(s, start):
             if allow is not None and sub is not None:
                 sb = jax.lax.dynamic_slice_in_dim(sub, start, chunk, axis=0)
                 ok = jnp.any(sb[None, None, :] == allow[:, :, None], axis=1)
@@ -323,17 +347,58 @@ def sharded_pq_search(
             grow = g_offset + start + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
             return jnp.where(grow < index.n_real, s, -jnp.inf)
 
-        cand_s, cand_i = _scan_collect_topk(
-            score_chunk, rows, rows, b, n_cand, chunk, approx_recall=index.approx_recall
-        )
-        # ADC rescore of the local candidates against the local codes
-        safe_i = jnp.clip(cand_i, 0, rows - 1)
-        cand_codes = codes[safe_i]  # [B, n_cand, M]
-        lut = pq_ops.adc_lut(index.codebooks, q_eff)
-        adc = pq_ops.adc_score_codes(lut, cand_codes)
-        adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
-        loc_s, pos = jax.lax.top_k(adc, k_local)
-        loc_i = jnp.take_along_axis(cand_i, pos, axis=-1)
+        if exhaustive:
+            mm_dtype = jnp.bfloat16 if do_refine else jnp.float32
+            q_mm = q_eff.astype(mm_dtype)
+
+            def score_chunk(start):
+                c = jax.lax.dynamic_slice_in_dim(codes, start, chunk, axis=0)
+                dec = decode_rows(index.codebooks, c, dtype=mm_dtype)
+                s = jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
+                return _mask_chunk(s, start)
+
+            pool_s, pool_i = _scan_topk(
+                score_chunk, rows, rows, b, n_pool, chunk, approx_recall=index.approx_recall
+            )
+        else:
+            q_proj = (q_eff @ index.proj) * index.coarse_scale  # [B, dc]
+
+            def score_chunk(start):
+                v = jax.lax.dynamic_slice_in_dim(coarse, start, chunk, axis=0)
+                s = jnp.dot(q_proj, v.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+                return _mask_chunk(s, start)
+
+            cand_s, cand_i = _scan_collect_topk(
+                score_chunk, rows, rows, b, n_cand, chunk, approx_recall=index.approx_recall
+            )
+            # ADC rescore of the local candidates against the local codes
+            safe_i = jnp.clip(cand_i, 0, rows - 1)
+            cand_codes = codes[safe_i]  # [B, n_cand, M]
+            lut = pq_ops.adc_lut(index.codebooks, q_eff)
+            adc = pq_ops.adc_score_codes(lut, cand_codes)
+            adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
+            pool_s, pos = jax.lax.top_k(adc, min(n_pool, adc.shape[-1]))
+            pool_i = jnp.take_along_axis(cand_i, pos, axis=-1)
+
+        if do_refine:
+            safe = jnp.clip(pool_i, 0, rows - 1)
+            raw = refine[safe]  # [B, n_pool, D]
+            if index.refine_scale is not None:
+                q_r = qv.astype(jnp.float32) * index.refine_scale
+                exact = jnp.einsum(
+                    "bd,bkd->bk", q_r, raw.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                exact = jnp.einsum(
+                    "bd,bkd->bk", qv.astype(raw.dtype), raw,
+                    preferred_element_type=jnp.float32,
+                )
+            exact = jnp.where(jnp.isfinite(pool_s), exact, -jnp.inf)
+            loc_s, pos = jax.lax.top_k(exact, min(k_local, exact.shape[-1]))
+            loc_i = jnp.take_along_axis(pool_i, pos, axis=-1)
+        else:
+            loc_s, loc_i = pool_s[:, :k_local], pool_i[:, :k_local]
         loc_i = jnp.where(jnp.isfinite(loc_s), loc_i + g_offset, -1)
         # cross-shard merge over ICI: k pairs per shard, never the score matrix
         all_s = jax.lax.all_gather(loc_s, axis)
@@ -352,9 +417,10 @@ def sharded_pq_search(
 
     in_specs = (
         P(axis, None),
-        P(axis, None),
+        P(axis, None) if index.coarse_codes is not None else None,
         P(axis) if index.subset_ids is not None else None,
         P(axis) if index.corpus_shard is not None else None,
+        P(axis, None) if index.refine_codes is not None else None,
         P(),
         P() if allowed is not None else None,
         P() if route is not None else None,
@@ -364,7 +430,7 @@ def sharded_pq_search(
     )
     out_s, out_i = fn(
         index.codes, index.coarse_codes, index.subset_ids, index.corpus_shard,
-        q, allowed, route,
+        index.refine_codes, q, allowed, route,
     )
     return RetrievalBatch(scores=out_s, indices=out_i.astype(jnp.int32))
 
@@ -495,3 +561,133 @@ def sharded_ivf_search(
     out_s, out_i = fn(index.centroids, index.vectors, index.row_ids, index.subset_ids, q, allowed)
     out_i = jnp.where(out_i >= 0, out_i + index.offset, -1)
     return RetrievalBatch(scores=out_s, indices=out_i.astype(jnp.int32))
+
+
+@struct.dataclass
+class ShardedSparseIndex:
+    """BM25 impact postings doc-sharded over a mesh axis (VERDICT r2 #3).
+
+    Parity: the reference wraps ES under `ShardedSearchClient`
+    (`sharded_search.py:28`) so postings scale across nodes; here each device
+    owns the postings of a contiguous doc range (split from ONE globally-built
+    impact table, so idf/avgdl/truncation stats stay global and sharded ==
+    unsharded results exactly). Doc ids inside the tables stay GLOBAL, so the
+    merge is just all_gather(k) + top-k — no offset bookkeeping.
+
+    At MSMARCO scale (`max_postings=4096` x 2^18 terms x 8 B) a replicated
+    table is multi-GB per device; doc-sharding divides it by the mesh axis.
+    """
+
+    postings_docs: jax.Array  # [S, T, P_s] int32 global doc ids, sharded on axis 0
+    postings_impacts: jax.Array  # [S, T, P_s] f32
+    subset_ids: typ.Optional[jax.Array] = None  # [N] int32 REPLICATED (gathered by global doc id)
+    n_docs: int = struct.field(pytree_node=False, default=0)
+    offset: int = struct.field(pytree_node=False, default=0)
+    axis: str = struct.field(pytree_node=False, default="shard")
+    mesh: typ.Any = struct.field(pytree_node=False, default=None)
+
+
+def shard_sparse_index(
+    index: "SparseIndex",
+    mesh: Mesh,
+    *,
+    axis: str = "shard",
+) -> ShardedSparseIndex:
+    """Split a globally-built SparseIndex's postings by contiguous doc range.
+
+    Vectorized host split: per shard, stable-sort each term's postings by
+    "outside my doc range" so in-range entries compact to the front, then trim
+    to the widest in-range run. Impacts/idf are untouched (global stats), so
+    the union of shard tables == the original table.
+    """
+    import numpy as np
+
+    from .sparse import SparseIndex  # noqa: F401  (type reference)
+
+    n_shards = mesh.shape[axis]
+    docs = np.asarray(index.postings_docs)  # [T, P]
+    imps = np.asarray(index.postings_impacts)
+    n_docs = index.n_docs
+    per = -(-n_docs // n_shards)
+
+    shard_docs, shard_imps, widths = [], [], []
+    for s in range(n_shards):
+        lo, hi = s * per, min((s + 1) * per, n_docs)
+        mask = (docs >= lo) & (docs < hi)
+        order = np.argsort(~mask, axis=1, kind="stable")  # in-range first
+        d = np.take_along_axis(docs, order, axis=1)
+        m = np.take_along_axis(mask, order, axis=1)
+        i = np.take_along_axis(imps, order, axis=1)
+        d = np.where(m, d, -1)
+        i = np.where(m, i, 0.0)
+        widths.append(max(1, int(m.sum(axis=1).max()) if m.any() else 1))
+        shard_docs.append(d)
+        shard_imps.append(i)
+    width = max(widths)
+    stacked_d = np.stack([d[:, :width] for d in shard_docs])  # [S, T, width]
+    stacked_i = np.stack([i[:, :width] for i in shard_imps])
+
+    return ShardedSparseIndex(
+        postings_docs=jax.device_put(stacked_d, NamedSharding(mesh, P(axis, None, None))),
+        postings_impacts=jax.device_put(stacked_i, NamedSharding(mesh, P(axis, None, None))),
+        subset_ids=None if index.subset_ids is None
+        else jax.device_put(index.subset_ids, NamedSharding(mesh, P())),
+        n_docs=n_docs,
+        offset=index.offset,
+        axis=axis,
+        mesh=mesh,
+    )
+
+
+def sharded_sparse_search(
+    index: ShardedSparseIndex,
+    queries: SearchQueries,
+    top_k: int,
+) -> RetrievalBatch:
+    """SPMD BM25: each shard scores its doc range's postings (global doc ids),
+    all_gather(k) pairs per shard, global top-k — the same merge shape as the
+    dense engines (ICI traffic = k pairs/shard, never the postings)."""
+    from .sparse import bm25_topk
+
+    terms = queries.terms
+    if terms is None:
+        raise ValueError("sparse_search requires queries.terms")
+    mesh, axis = index.mesh, index.axis
+    n_shards = mesh.shape[axis]
+    b = terms.shape[0]
+    weights = queries.term_weights
+    allowed = queries.subset_ids
+
+    def local_fn(docs3, imps3, sub, t, w, allow):
+        loc_s, loc_d = bm25_topk(
+            docs3[0], imps3[0], t, w, top_k,
+            doc_subset_ids=sub, query_subset_ids=allow,
+        )
+        loc_d = jnp.where(jnp.isfinite(loc_s), loc_d, -1)
+        all_s = jax.lax.all_gather(loc_s, axis)  # [S, B, k]
+        all_d = jax.lax.all_gather(loc_d, axis)
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_shards * top_k)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(b, n_shards * top_k)
+        out_s, pos = jax.lax.top_k(all_s, top_k)
+        out_d = jnp.take_along_axis(all_d, pos, axis=-1)
+        out_d = jnp.where(jnp.isfinite(out_s), out_d, -1)
+        return jnp.where(jnp.isfinite(out_s), out_s, -jnp.inf), out_d
+
+    in_specs = (
+        P(axis, None, None),
+        P(axis, None, None),
+        P() if index.subset_ids is not None else None,
+        P(),
+        P() if weights is not None else None,
+        P() if allowed is not None else None,
+    )
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()), check_vma=False
+    )
+    out_s, out_d = fn(
+        index.postings_docs, index.postings_impacts, index.subset_ids,
+        terms, weights, allowed,
+    )
+    ok = jnp.isfinite(out_s)
+    out_d = jnp.where(ok, out_d + index.offset, -1)
+    return RetrievalBatch(scores=out_s, indices=out_d.astype(jnp.int32))
