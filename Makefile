@@ -1,11 +1,16 @@
 # Parity: reference Makefile (`make test` runs pytest in CI).
-.PHONY: test test-fast bench dryrun examples lint
+.PHONY: test test-all test-fast bench dryrun examples lint
 
+# default: the <5-min path (compile-heavy mesh/e2e tests carry @pytest.mark.slow)
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+# nightly-style full suite
+test-all:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q -x -k "not end_to_end and not experiment"
+	python -m pytest tests/ -q -x -k "not end_to_end and not experiment" -m "not slow"
 
 bench:
 	python bench.py

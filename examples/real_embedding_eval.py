@@ -148,6 +148,8 @@ def main() -> dict:
         q_ids[i, :w] = ids_np[row, s0 : s0 + w]
         q_mask[i, :w] = 1
     q_emb = np.asarray(embed(params, jnp.asarray(q_ids), jnp.asarray(q_mask)), dtype=np.float32)
+    if args.out:  # query side saved alongside so codec sweeps can skip retraining
+        np.save(args.out.replace(".npy", "_queries.npy"), q_emb)
 
     import jax.numpy as jnp  # noqa: F811
 
@@ -191,6 +193,33 @@ def main() -> dict:
     results["pq_build_s"] = round(time.time() - t0, 1)
     results["pq_recall10"], results["pq_qps"] = recall_and_qps(pq, pq_search, "pq32+opq (coarse64)")
     results["pq_bytes_per_vec"] = 32 + 64  # codes + int8 coarse
+
+    # --- round-3 codec ladder: exhaustive ADC + exact re-rank ----------------
+    # bytes/vec = M (codes) [+ coarse_dim] [+ dim for int8 refine]
+    train_n = min(200_000, len(emb))
+    for name, kw, bytes_pv in [
+        ("pq32x8-exh", dict(n_subquantizers=32, coarse_dim=None), 32),
+        ("pq64x8-exh", dict(n_subquantizers=64, coarse_dim=None), 64),
+        ("pq64x8-exh+opq", dict(n_subquantizers=64, coarse_dim=None, use_opq=True, opq_iters=3), 64),
+        ("pq32x8-exh+ref8", dict(n_subquantizers=32, coarse_dim=None, refine="int8", k_factor=8),
+         32 + args.dim),
+        ("pq64x8-exh+ref8", dict(n_subquantizers=64, coarse_dim=None, refine="int8", k_factor=8),
+         64 + args.dim),
+        ("pq32+coarse64+ref8", dict(n_subquantizers=32, coarse_dim=64,
+                                    n_candidates=args.n_candidates, refine="int8", k_factor=8),
+         32 + 64 + args.dim),
+    ]:
+        t0 = time.time()
+        idx = build_pq_index(
+            jax.random.PRNGKey(0), jnp.asarray(emb),
+            train_size=train_n, kmeans_iters=8, **kw,
+        )
+        build_s = round(time.time() - t0, 1)
+        rec, qps = recall_and_qps(idx, pq_search, f"{name} ({bytes_pv}B/vec, build {build_s}s)")
+        key = name.replace("+", "_").replace("-", "_")
+        results[f"{key}_recall10"], results[f"{key}_qps"] = rec, qps
+        results[f"{key}_bytes_per_vec"] = bytes_pv
+        del idx
 
     print(json.dumps(results))
     return results

@@ -66,3 +66,38 @@ def test_pprint_retrieval_batch(capsys) -> None:
     pprint_retrieval_batch(batch, tok)
     out = capsys.readouterr().out
     assert "query[0]" in out and "#0" in out
+
+
+def test_tracker_logger_offline_fallback(tmp_path) -> None:
+    """TrackerLogger (W&B-shaped) falls back to run-dir artifacts offline."""
+    import json as _json
+
+    from vod_tpu.runtime.logging import TrackerLogger
+
+    t = TrackerLogger(tmp_path / "run", config={"lr": 1e-3}, run_name="r1")
+    t.log(1, {"loss": 0.5, "nested": {"mrr": 0.7}})
+    t.log(2, {"loss": 0.4})
+    t.log_text("first_batch", "<b>hi</b>", step=1)
+    t.finish()
+    cfg = _json.loads((tmp_path / "run" / "config.json").read_text())
+    assert cfg["lr"] == 1e-3
+    lines = [_json.loads(x) for x in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0] == {"step": 1, "loss": 0.5, "nested/mrr": 0.7}
+    assert (tmp_path / "run" / "first_batch_1.html").read_text() == "<b>hi</b>"
+
+
+def test_render_retrieval_batch_html() -> None:
+    from vod_tpu.utils.pretty import render_retrieval_batch_html
+
+    class Tok:
+        def decode(self, ids, **kw):
+            return " ".join(f"w{t}" for t in ids)
+
+    class B:
+        query__input_ids = np.asarray([[5, 6, 0]])
+        section__input_ids = np.asarray([[[7, 8], [9, 0]]])
+        section__score = np.asarray([[1.5, -np.inf]])
+        section__relevance = np.asarray([[1.0, 0.0]])
+
+    html = render_retrieval_batch_html(B(), Tok())
+    assert "w5 w6" in html and "w7 w8" in html and "+1.500" in html

@@ -355,7 +355,20 @@ def main(argv: typ.Optional[list[str]] = None) -> None:
         "--resume_from", default=None,
         help="run/checkpoint dir; reloads its config.json unless --config overrides",
     )
+    # multi-process (multi-host) launch (parity: Fabric launchers,
+    # `vod_exps/init.py:40-85`): every process runs this same entrypoint with
+    # its own --process_id; jax.devices() then spans all hosts, so configured
+    # meshes stretch over the pod automatically. Env-var equivalents:
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    parser.add_argument("--coordinator", default=None, help="host:port of process 0")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
+    if args.coordinator or args.num_processes:
+        from vod_tpu.parallel import init_distributed
+
+        pi, pc = init_distributed(args.coordinator, args.num_processes, args.process_id)
+        print(f"[process {pi}/{pc}] joined; {len(__import__('jax').devices())} global devices")
     if args.config is not None:
         exp = Experiment.from_file(args.config)
     elif args.resume_from and (pathlib.Path(args.resume_from) / "config.json").exists():

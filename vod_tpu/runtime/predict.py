@@ -63,6 +63,66 @@ def compute_embeddings(
     return out[:n]
 
 
+def compute_embeddings_to_host(
+    apply_fn: typ.Callable[[typ.Any, jax.Array, jax.Array], jax.Array],
+    params: typ.Any,
+    ids_np: typ.Any,  # numpy [N, L] host token ids (int16/int32)
+    mask_np: typ.Optional[typ.Any] = None,  # numpy [N, L]; None = ids != 0
+    *,
+    chunk: int = 512,
+    slab: int = 131_072,
+    out: typ.Any = None,  # preallocated numpy [N, H] to fill (optional)
+    out_dtype: typ.Any = None,  # numpy dtype, default float32
+) -> typ.Any:
+    """Embed a corpus LARGER than HBM: stream host token slabs through the
+    jitted encoder, collecting float vectors into host RAM. Returns numpy [N, H].
+
+    Parity: the reference predict loop streams batch embeddings to a tensorstore
+    (`predict/compute.py:119`) precisely because the full matrix may not fit on
+    one device; this is the TPU equivalent (device->host copy per slab, encoder
+    compiled ONCE for a fixed [slab/chunk, chunk, L] shape). The result feeds
+    `build_dense_from_host` so only compressed codes land in HBM
+    (VERDICT r2 #2: 8.8M x 768 f32 = 27GB > 16GB v5e HBM).
+    """
+    import numpy as np
+
+    n, seq = ids_np.shape
+    slab = min(slab, -(-n // chunk) * chunk)
+    slab = -(-slab // chunk) * chunk  # multiple of chunk
+    n_chunks = slab // chunk
+
+    @jax.jit
+    def run(params, ids, mask):
+        def one(args):
+            i, m = args
+            return apply_fn(params, i.astype(jnp.int32), m.astype(jnp.int32))
+
+        return jax.lax.map(one, (ids.reshape(n_chunks, chunk, seq), mask.reshape(n_chunks, chunk, seq)))
+
+    out_np = out
+    dim = None
+    for s0 in range(0, n, slab):
+        ids_slab = np.asarray(ids_np[s0 : s0 + slab])
+        if ids_slab.shape[0] < slab:  # last partial slab: pad rows
+            pad = slab - ids_slab.shape[0]
+            ids_slab = np.concatenate([ids_slab, np.zeros((pad, seq), ids_slab.dtype)])
+        mask_slab = (
+            np.asarray(mask_np[s0 : s0 + slab]) if mask_np is not None else (ids_slab != 0)
+        )
+        if mask_slab.shape[0] < slab:
+            mask_slab = np.concatenate(
+                [mask_slab, np.zeros((slab - mask_slab.shape[0], seq), mask_slab.dtype)]
+            )
+        vecs = np.asarray(run(params, jnp.asarray(ids_slab), jnp.asarray(mask_slab)))
+        vecs = vecs.reshape(slab, -1)
+        if out_np is None:
+            dim = vecs.shape[-1]
+            out_np = np.empty((n, dim), out_dtype or np.float32)
+        take = min(slab, n - s0)
+        out_np[s0 : s0 + take] = vecs[:take]
+    return out_np
+
+
 def cached_embeddings(
     apply_fn: typ.Callable[[typ.Any, jax.Array, jax.Array], jax.Array],
     params: typ.Any,

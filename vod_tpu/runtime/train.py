@@ -278,6 +278,12 @@ def training_loop(
                     if nxt is None:
                         break
                     micro.append(_shard(nxt))
+                if len(micro) < accum:
+                    # fixed accumulation window (parity: `loops/train.py:76-86` —
+                    # pending grads at iterator exhaustion are never applied).
+                    # Stacking a short tail would silently change the effective
+                    # batch size AND retrace the scan at a new length.
+                    break
                 params, opt_state, m, rel, scores = step_fn.train_step_accum(
                     params, opt_state, engines, corpus, micro, step_rng, weights
                 )

@@ -15,12 +15,15 @@ from .lookup import lookup_search
 from .sharded import (
     ShardedDenseIndex,
     ShardedPQIndex,
+    ShardedSparseIndex,
     build_sharded_dense_index,
     shard_pq_index,
+    shard_sparse_index,
     sharded_dense_search,
     sharded_pq_search,
+    sharded_sparse_search,
 )
-from .sparse import SparseIndex, build_sparse_index, sparse_search
+from .sparse import SparseIndex, build_sparse_index, build_sparse_index_native, sparse_search
 from .hybrid import HybridEngines, hybrid_search_and_sample, hybrid_search
 
 __all__ = [
@@ -31,6 +34,7 @@ __all__ = [
     "SearchQueries",
     "ShardedDenseIndex",
     "ShardedPQIndex",
+    "ShardedSparseIndex",
     "SparseIndex",
     "build_dense_index",
     "build_ivf_index",
@@ -38,12 +42,15 @@ __all__ = [
     "build_pq_index_from_host",
     "build_sharded_dense_index",
     "build_sparse_index",
+    "build_sparse_index_native",
     "hybrid_search",
     "hybrid_search_and_sample",
     "lookup_search",
     "shard_pq_index",
+    "shard_sparse_index",
     "sharded_dense_search",
     "sharded_pq_search",
+    "sharded_sparse_search",
     "sparse_search",
     "subset_mask",
 ]

@@ -23,7 +23,16 @@ from vod_tpu.types.retrieval import RetrievalBatch
 from .base import SearchQueries
 from .dense import DenseIndex, IVFIndex, PQIndex, dense_search, ivf_search, pq_search
 from .lookup import lookup_search
-from .sharded import ShardedDenseIndex, ShardedPQIndex, sharded_dense_search, sharded_pq_search, ShardedIVFIndex, sharded_ivf_search
+from .sharded import (
+    ShardedDenseIndex,
+    ShardedIVFIndex,
+    ShardedPQIndex,
+    ShardedSparseIndex,
+    sharded_dense_search,
+    sharded_ivf_search,
+    sharded_pq_search,
+    sharded_sparse_search,
+)
 from .sparse import SparseIndex, sparse_search
 
 
@@ -34,7 +43,7 @@ class HybridEngines:
     dense: typ.Optional[
         typ.Union[DenseIndex, IVFIndex, PQIndex, ShardedDenseIndex, ShardedPQIndex]
     ] = None
-    sparse: typ.Optional[SparseIndex] = None
+    sparse: typ.Optional[typ.Union[SparseIndex, ShardedSparseIndex]] = None
 
 
 def _dense_dispatch(index, queries: SearchQueries, top_k: int) -> RetrievalBatch:
@@ -73,7 +82,10 @@ def hybrid_search(
         r = _dense_dispatch(engines.dense, queries, top_k)
         results["dense"] = r.replace(scores=normalize_scores(r.scores))
     if engines.sparse is not None and queries.terms is not None:
-        r = sparse_search(engines.sparse, queries, top_k)
+        if isinstance(engines.sparse, ShardedSparseIndex):
+            r = sharded_sparse_search(engines.sparse, queries, top_k)
+        else:
+            r = sparse_search(engines.sparse, queries, top_k)
         results["sparse"] = r.replace(scores=normalize_scores(r.scores))
     if not results:
         raise ValueError("No engine matched the provided queries")

@@ -117,3 +117,37 @@ def pprint_retrieval_batch(
             row = j if shared_pool else i * d + j
             text = tokenizer.decode([t for t in s_ids[row] if t > 0], skip_special_tokens=True)
             print(f"   #{rank} score={scores[i, j]:+.3f}: {text!r}")
+
+
+def render_retrieval_batch_html(
+    batch: typ.Any, tokenizer: typ.Any, top_sections: int = 5, max_queries: int = 4
+) -> str:
+    """HTML table of queries + their top sections (parity: the reference's
+    first-batch wandb HTML dump, `vod_ops/utils/logging.py:31`). Feed to
+    `TrackerLogger.log_text`."""
+    import html as _html
+
+    q_ids = np.asarray(batch.query__input_ids)
+    s_ids = np.asarray(batch.section__input_ids)
+    scores = np.asarray(batch.section__score)
+    labels = getattr(batch, "section__relevance", None)
+    labels = None if labels is None else np.asarray(labels)
+    b, d = scores.shape
+    s_ids = s_ids.reshape(-1, s_ids.shape[-1])
+    shared_pool = s_ids.shape[0] != b * d
+    rows = ["<table border='1' cellpadding='4'>",
+            "<tr><th>query</th><th>rank</th><th>score</th><th>label</th><th>section</th></tr>"]
+    for i in range(min(b, max_queries)):
+        q_text = tokenizer.decode([t for t in q_ids[i] if t > 0], skip_special_tokens=True)
+        order = np.argsort(-np.where(np.isfinite(scores[i]), scores[i], -np.inf))[:top_sections]
+        for rank, j in enumerate(order):
+            row = j if shared_pool else i * d + j
+            text = tokenizer.decode([t for t in s_ids[row] if t > 0], skip_special_tokens=True)
+            lab = "" if labels is None else f"{labels[i, j]:.0f}"
+            rows.append(
+                f"<tr><td>{_html.escape(q_text) if rank == 0 else ''}</td>"
+                f"<td>{rank}</td><td>{scores[i, j]:+.3f}</td><td>{lab}</td>"
+                f"<td>{_html.escape(text)}</td></tr>"
+            )
+    rows.append("</table>")
+    return "\n".join(rows)
