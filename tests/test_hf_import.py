@@ -1,4 +1,5 @@
 """HF BERT -> flax encoder weight-port parity: outputs must match torch."""
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -251,3 +252,21 @@ def test_beam_search_generation() -> None:
         stop = np.where(hf_row == 1)[0]
         n_cmp = (stop[0] + 1) if stop.size else n
         assert np.array_equal(got[r, :n_cmp], hf_row[:n_cmp]), (r, got[r], hf_row)
+
+
+def test_hub_checkpoint_eval_skips_cleanly_offline() -> None:
+    """The cache-gated hub eval (VERDICT r2 #6) must skip with a clear message
+    (exit 0) when the HF cache is absent — and run the moment one appears."""
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).parent.parent / "examples" / "hub_checkpoint_eval.py"
+    out = subprocess.run(
+        [sys.executable, str(script), "--model", "intfloat/e5-small-v2"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "HF_HUB_OFFLINE": "1", "TRANSFORMERS_OFFLINE": "1",
+             "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SKIPPED" in out.stdout or '"recall_10"' in out.stdout
