@@ -74,6 +74,7 @@ def _toy_data(n_sections=32, n_queries=48):
     return sections, queries
 
 
+@pytest.mark.slow
 def test_run_experiment_config_driven_training() -> None:
     """The `train` CLI path end-to-end, offline, two periods + validation."""
     from vod_tpu.exps.cli import run_experiment
@@ -108,6 +109,7 @@ def test_run_experiment_config_driven_training() -> None:
     assert train_logs and np.isfinite(train_logs[-1]["loss"])
 
 
+@pytest.mark.slow
 def test_realm_config_driven_training_with_vod() -> None:
     """Realm (reader) + VOD gradients through the config path, one period."""
     from vod_tpu.exps.cli import run_experiment
@@ -131,6 +133,7 @@ def test_realm_config_driven_training_with_vod() -> None:
     assert np.isfinite(out["history"][0]["train"]["loss"])
 
 
+@pytest.mark.slow
 def test_periodic_training_rebuilds_pq_and_accumulates(monkeypatch) -> None:
     """The flagship config shape: `codec: pq` + `accumulate_grad_batches: 2`
     must actually rebuild a PQIndex each period and run accumulated steps
@@ -173,6 +176,7 @@ def test_periodic_training_rebuilds_pq_and_accumulates(monkeypatch) -> None:
     assert len(built_types) == 2  # one rebuild per period
 
 
+@pytest.mark.slow
 def test_cli_resume_from(tmp_path) -> None:
     """`resume_from` restores params/opt/trainer state and continues training
     (parity: reference `train.py:38-47`)."""
@@ -314,6 +318,7 @@ def test_weight_decay_mask() -> None:
     assert m["encoder"]["embed"]["embedding"] is True
 
 
+@pytest.mark.slow
 def test_kbit_config_driven_training() -> None:
     """`model: {kbit: true, lora_rank: 2}` trains QLoRA-style through the CLI:
     the base is int8-frozen, only LoRA/pooler params receive updates, the loss
@@ -351,6 +356,7 @@ def test_kbit_config_driven_training() -> None:
         )
 
 
+@pytest.mark.slow
 def test_mesh_config_driven_training() -> None:
     """`sys.mesh_shape/axes` + `dense.sharded` flow from the config into a real
     mesh: the periodic rebuild produces a ShardedDenseIndex and training runs

@@ -1,10 +1,12 @@
 """HF BERT -> flax encoder weight-port parity: outputs must match torch."""
+import pytest
 import os
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_bert_port_output_parity() -> None:
     import torch
     import transformers
@@ -81,6 +83,7 @@ def test_t5_encoder_port_output_parity() -> None:
     assert diff.max() < 2e-4, diff.max()
 
 
+@pytest.mark.slow
 def test_t5_seq2seq_port_and_generation() -> None:
     """Full T5ForConditionalGeneration port: teacher-forced logits match torch
     (incl. tied-lm-head d_model**-0.5 scaling + causal relative bucketing), and
@@ -204,6 +207,7 @@ def test_roberta_port_output_parity() -> None:
     assert diff.max() < 2e-4, diff.max()
 
 
+@pytest.mark.slow
 def test_beam_search_generation() -> None:
     """Beam search on the ported T5: num_beams=1 equals greedy; wider beams
     find sequences with >= greedy's length-penalized logprob; HF's beam output

@@ -63,6 +63,7 @@ def _toy_batch(rng: np.random.Generator, b=2, d=4, lq=8, ls=8, lm_len=None) -> R
 
 
 @pytest.mark.parametrize("grad_cls", [RetrievalGradients, VodGradients])
+@pytest.mark.slow
 def test_ranker_training_raises_positive_prob(grad_cls) -> None:
     """SGD on a fixed batch must raise the positive sections' model probability.
 
@@ -213,6 +214,7 @@ def test_realm_generate_mode() -> None:
     assert np.all((np.asarray(toks) >= 0) & (np.asarray(toks) < 100))
 
 
+@pytest.mark.slow
 def test_lora_and_remat_encoder() -> None:
     from vod_tpu.models.encoder import VodEncoder, lora_trainable_mask
 
@@ -250,6 +252,7 @@ def test_psum_metric_aggregation() -> None:
     assert np.isclose(float(np.asarray(out)[0] if np.ndim(out) else out), 3.5)
 
 
+@pytest.mark.slow
 def test_seq2seq_realm_training_step() -> None:
     """T5 seq2seq reader in a Realm system (BASELINE config #5 shape)."""
     from vod_tpu.models.seq2seq import Seq2SeqRealm
@@ -344,6 +347,7 @@ def test_vod_gradients_exact_on_full_support() -> None:
     assert abs(loss0 - exact) > 1e-3
 
 
+@pytest.mark.slow
 def test_vod_logz_consistent_under_subsampling() -> None:
     """E[Z_hat] over sampling draws approaches the true partition function Z."""
     from vod_tpu.ops.sample import labeled_priority_sampling
@@ -580,6 +584,7 @@ def test_evaluate_generation_end_to_end() -> None:
     assert 0.0 <= m["gen/exact_match"] <= 1.0 and 0.0 <= m["gen/token_f1"] <= 1.0
 
 
+@pytest.mark.slow
 def test_realm_beam_generate() -> None:
     """Beam twin of realm_generate: shapes + finite scores, beam1 == greedy."""
     from vod_tpu.models.seq2seq import Seq2SeqRealm, realm_beam_generate, realm_generate

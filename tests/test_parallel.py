@@ -18,6 +18,7 @@ def _model():
     return Ranker(cfg=cfg, gradients=RetrievalGradients())
 
 
+@pytest.mark.slow
 def test_tp_sharded_forward_matches_replicated() -> None:
     model = _model()
     ids = jnp.ones((4, 8), dtype="int32")
@@ -49,6 +50,7 @@ def test_fsdp_rule_shards_large_params() -> None:
     assert np.allclose(np.asarray(p2["emb"]), 0)
 
 
+@pytest.mark.slow
 def test_mesh_aware_training_loop_matches_single_device() -> None:
     """Multi-step training on a dp x fsdp x tp mesh: the loop dp-shards the
     incoming batches, params are fsdp+tp sharded, metrics accumulate on device

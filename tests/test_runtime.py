@@ -106,6 +106,7 @@ def test_device_collate_shapes_and_labels() -> None:
     assert np.all(idx >= 0) and np.all(idx < corpus.size)
 
 
+@pytest.mark.slow
 def test_end_to_end_training_improves_retrieval() -> None:
     """The minimum end-to-end slice: live retrieval training must lift MRR."""
     rng = np.random.default_rng(0)
@@ -204,6 +205,7 @@ def test_checkpoint_roundtrip(tmp_path) -> None:
     assert s2.step == 7
 
 
+@pytest.mark.slow
 def test_training_loop_with_schedules_and_sparse() -> None:
     """training_loop drives schedules into the step; hybrid dense+sparse."""
     from vod_tpu.runtime.train import training_loop
@@ -286,6 +288,7 @@ def test_in_batch_negatives_flat_pool() -> None:
     assert np.isfinite(float(out.loss))
 
 
+@pytest.mark.slow
 def test_grad_accumulation_step() -> None:
     rng = np.random.default_rng(6)
     corpus, make_queries = _make_task(rng)
@@ -325,6 +328,7 @@ def test_compute_embeddings_dp_sharded() -> None:
     assert np.allclose(np.asarray(emb_sharded), np.asarray(emb_plain), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_training_loop_runs_accumulation() -> None:
     """accumulate_grad_batches > 1 routes the loop through `train_step_accum`:
     N micro-batches per optimizer step (parity: `loops/train.py:76-86`)."""
@@ -431,6 +435,7 @@ def test_compute_embeddings_to_host_matches_device() -> None:
     assert np.allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_build_dense_from_host_matches_device_build() -> None:
     """Host-slab factory build (pq + int8, sharded and not) returns indexes
     whose search results match the in-HBM builds."""
@@ -475,6 +480,7 @@ def test_build_dense_from_host_matches_device_build() -> None:
         assert set(got8s[i].tolist()) == set(got8[i].tolist()), i
 
 
+@pytest.mark.slow
 def test_periodic_training_streams_when_over_budget() -> None:
     """embed_hbm_budget_bytes=1 forces the host-slab re-embed + host index
     build (the 8.8M-scale route); the period must complete with a PQIndex."""

@@ -96,6 +96,7 @@ def test_subset_filtering() -> None:
     assert np.all(np.isfinite(got_s[2]))
 
 
+@pytest.mark.slow
 def test_pq_search_recall() -> None:
     rng = np.random.default_rng(4)
     n, d, b, k = 4000, 64, 8, 10
@@ -274,6 +275,7 @@ def test_ivf_search_recall() -> None:
     assert recall_full >= 0.9, recall_full
 
 
+@pytest.mark.slow
 def test_opq_improves_pq_recall() -> None:
     """OPQ rotation should not hurt (and usually helps) PQ recall on
     correlated data (random gaussian is rotation-invariant, so build a
@@ -331,6 +333,7 @@ def test_factory_build_and_cache(tmp_path) -> None:
     assert np.array_equal(np.asarray(out1.indices), np.asarray(out2.indices))
 
 
+@pytest.mark.slow
 def test_pq_from_host_matches_device_build() -> None:
     from vod_tpu.search import build_pq_index_from_host
     rng = np.random.default_rng(12)
@@ -368,6 +371,7 @@ def test_exact_topk_reachable_from_config() -> None:
         assert set(got[i].tolist()) == set(expected[i].tolist())
 
 
+@pytest.mark.slow
 def test_sharded_int8_matches_unsharded() -> None:
     """The sharded engine's int8-MXU path returns the same ids as the
     single-device int8 engine (exact per-shard selection)."""
@@ -391,6 +395,7 @@ def test_sharded_int8_matches_unsharded() -> None:
     assert np.allclose(np.asarray(out.scores), np.asarray(ref.scores), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_pq_matches_unsharded() -> None:
     """ShardedPQIndex (codes row-sharded, codebooks replicated) returns the same
     ids as the unsharded PQ engine when candidates cover all rows."""
@@ -417,6 +422,7 @@ def test_sharded_pq_matches_unsharded() -> None:
     assert np.allclose(np.asarray(out.scores), np.asarray(ref.scores), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_pq_subset_filtering() -> None:
     from vod_tpu.parallel import make_mesh
     from vod_tpu.search import shard_pq_index, sharded_pq_search
@@ -444,6 +450,7 @@ def test_sharded_pq_subset_filtering() -> None:
     assert np.all(got[1] >= 0)  # unfiltered row
 
 
+@pytest.mark.slow
 def test_factory_ivf_opq_sharded_reachable() -> None:
     """Every DenseFactoryConfig codec knob builds the index type it names."""
     from vod_tpu.configs.search import DenseFactoryConfig
@@ -514,6 +521,7 @@ def test_factory_sparse_subset_ids_passthrough() -> None:
             assert subsets[x] == 1, got
 
 
+@pytest.mark.slow
 def test_pq_search_chunks_large_batches(monkeypatch) -> None:
     """pq_search maps over query chunks when the ADC rescore block would be
     large; chunked and unchunked calls agree exactly (regression: a 4096-query
@@ -536,6 +544,7 @@ def test_pq_search_chunks_large_batches(monkeypatch) -> None:
     assert np.allclose(np.asarray(got.scores), np.asarray(ref.scores), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_ivf_matches_unsharded() -> None:
     """IVF cells sharded over the 8-device mesh: replicated probe + owner-only
     scoring + all_gather merge returns exactly the unsharded ivf_search result
@@ -569,6 +578,7 @@ def test_sharded_ivf_matches_unsharded() -> None:
     assert isinstance(out, ShardedIVFIndex)
 
 
+@pytest.mark.slow
 def test_pq_exhaustive_adc_exact_order() -> None:
     """coarse_dim=None = exhaustive ADC: q.decode(codes) for every row, so with
     exact selection the result must equal the brute-force decoded ranking."""
@@ -591,6 +601,7 @@ def test_pq_exhaustive_adc_exact_order() -> None:
         assert set(got[i].tolist()) == set(expected[i].tolist()), i
 
 
+@pytest.mark.slow
 def test_pq_refine_recovers_exact_recall() -> None:
     """Exact re-rank (faiss RFlat parity) lifts PQ recall to ~flat: the ADC
     stage only needs the true top-k inside its k_factor*k pool."""
@@ -616,6 +627,7 @@ def test_pq_refine_recovers_exact_recall() -> None:
     assert r_int8 >= r_none - 0.05, (r_none, r_int8)
 
 
+@pytest.mark.slow
 def test_sharded_pq_refine_matches_unsharded() -> None:
     """Exhaustive-ADC + f32 refine, sharded vs unsharded, against exact truth.
 
@@ -695,6 +707,7 @@ def test_native_sparse_build_matches_python() -> None:
             assert sa == sb, t
 
 
+@pytest.mark.slow
 def test_sharded_sparse_matches_unsharded() -> None:
     """Doc-sharded BM25 over the mesh == the unsharded engine exactly (the
     shard split preserves global idf/truncation; VERDICT r2 #3)."""
@@ -753,6 +766,7 @@ def test_sparse_factory_routes_native_and_sharded() -> None:
     assert isinstance(sidx, ShardedSparseIndex)
 
 
+@pytest.mark.slow
 def test_hybrid_with_sharded_sparse() -> None:
     """Hybrid dense ∥ SHARDED sparse matches hybrid with the unsharded sparse."""
     from vod_tpu.parallel import make_mesh

@@ -1,4 +1,5 @@
 """Serving wrapper: HTTP round trip against an in-process engine."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -29,6 +30,7 @@ def test_search_server_roundtrip() -> None:
         assert "dense" in out.meta
 
 
+@pytest.mark.slow
 def test_search_server_hybrid_lookup_subset_and_errors() -> None:
     """Deeper serving coverage: hybrid dense+sparse over HTTP, lookup payloads
     (gold section_ids -> labels), subset filtering, concurrent clients, and

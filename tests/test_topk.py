@@ -1,4 +1,5 @@
 """block_topk correctness (kept as an alternative selection kernel)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +25,7 @@ def test_block_topk_with_padding_and_inf() -> None:
     assert np.asarray(i)[0].tolist() == [2, 3, 0]
 
 
+@pytest.mark.slow
 def test_fused_mips_pallas_interpret() -> None:
     """Fused Pallas MIPS kernel: exact vs lax.top_k (interpret mode on CPU)."""
     from vod_tpu.ops.mips_pallas import fused_mips_topk
@@ -127,6 +129,7 @@ def test_dense_search_fused_int8_path() -> None:
             assert abs(sf[ix] - ss[ix]) < 1e-3, (ix, sf[ix], ss[ix])
 
 
+@pytest.mark.slow
 def test_sharded_fused_kernel_matches_unsharded() -> None:
     """`kernel='fused'` on the sharded engine (8-device CPU mesh): the Pallas
     kernel runs per shard with a TRACED per-shard validity bound, the
