@@ -1,28 +1,29 @@
-"""Headline benchmark: dense MIPS QPS/chip + recall@10 vs CPU brute force.
+"""Driver benchmark: machine-captures the BASELINE.json configs, one JSON line
+per config (VERDICT r2 #4), headline (flat 1M dense MIPS) LAST.
 
-The BASELINE.json north star: ">=10x faiss-CPU QPS per v5e chip at matched
-recall/memory". faiss is not installed in this image, so the CPU comparator is a
-torch-CPU brute-force matmul + top-k — the same kernel faiss's IndexFlatIP uses
-(BLAS sgemm + heap), measured on this machine.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
-TPU QPS (1M x 768 corpus, bf16 flat index, recall@10 vs exact reported in the
-metric name) and vs_baseline = tpu_qps / cpu_qps.
+Configs (select with VOD_BENCH_CONFIGS=csv of {hybrid,msmarco,realm,flat}):
+  hybrid  — #3: dense+BM25 sharded over 2 devices w/ subset filtering
+            (2-device virtual CPU mesh subprocess; correctness + shard ratio)
+  msmarco — #4: 8.8M x 768 int8 compressed index, recall@10 vs exact f32 +
+            QPS (corpus generated slab-wise ON DEVICE; GT by regenerating
+            slabs from the same PRNG keys — the 27GB f32 matrix never exists)
+  realm   — #5: seq2seq REALM train step ms + periodic reindex seconds
+            (subprocess: examples/seq2seq_realm_bench.py)
+  flat    — headline: 1M x 768 bf16 flat QPS/chip vs CPU brute force
+            (faiss-IndexFlatIP-equivalent BLAS matmul + topk on this machine)
 
 Timing methodology for this environment's remote-execution tunnel:
 `block_until_ready` does not reliably wait and identical dispatches are
 deduplicated, so (a) every dispatch gets distinct inputs, (b) completion is
 forced by fetching a result slice to host, and (c) the fixed dispatch+fetch RTT
-(~30 ms) is cancelled by differencing a small and a LARGE dispatch:
-per-query time = (wall(BIG) - wall(SMALL)) / (BIG - SMALL). BIG must be big
-enough that its compute dwarfs relay jitter (after the approx-top-k speedup a
-2048-query dispatch finishes in ~RTT, which once made the difference negative),
-so the big dispatch runs 16k queries as a lax.map over 2048-query blocks inside
-ONE jitted call.
+(~30 ms) is cancelled by differencing a small and a LARGE dispatch, the large
+one a lax.map over 2048-query blocks inside ONE jitted call.
 """
 
 import json
 import os
+import pathlib
+import subprocess
 import sys
 import time
 
@@ -30,12 +31,209 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+_CORPUS_CACHE = "/tmp/corpus1m.npy"
+
 
 def _log(msg: str) -> None:
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def main() -> None:
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
+# --------------------------------------------------------------------------- #
+# shared TPU timing harness
+# --------------------------------------------------------------------------- #
+
+
+def _qps(search_indices_fn, make_queries, *, small_q=256, big_blocks=8, block=2048, reps=3):
+    """Differenced QPS: (wall(big) - wall(small)) / (nq_big - nq_small)."""
+    import jax
+
+    sfn = jax.jit(search_indices_fn)
+    sfn_blocks = jax.jit(lambda qblocks: jax.lax.map(search_indices_fn, qblocks))
+
+    pools_s = [make_queries(small_q, seed=i) for i in range(reps)]
+    pools_b = [
+        np.stack([make_queries(block, seed=100 + 7 * i + j) for j in range(big_blocks)])
+        for i in range(reps)
+    ]
+    import jax.numpy as jnp
+
+    pools_s = [jnp.asarray(p) for p in pools_s]
+    pools_b = [jnp.asarray(p) for p in pools_b]
+    np.asarray(sfn(pools_s[0])[0, 0])  # warm small shape
+    np.asarray(sfn_blocks(pools_b[0])[0, 0, 0])  # warm big shape
+    w1 = w2 = float("inf")
+    for i in range(reps):
+        t0 = time.time(); np.asarray(sfn(pools_s[i])[-1]); w1 = min(w1, time.time() - t0)
+        t0 = time.time(); np.asarray(sfn_blocks(pools_b[i])[-1, -1]); w2 = min(w2, time.time() - t0)
+    _log(f"walls: small={w1:.4f}s big={w2:.4f}s")
+    marginal = (w2 - w1) / (big_blocks * block - small_q)
+    assert marginal > 0, f"non-positive marginal ({w1=:.4f}, {w2=:.4f}); relay too noisy"
+    return 1.0 / marginal
+
+
+# --------------------------------------------------------------------------- #
+# config #3: hybrid sharded (CPU-mesh subprocess)
+# --------------------------------------------------------------------------- #
+
+
+def bench_hybrid() -> None:
+    script = pathlib.Path(__file__).parent / "examples" / "hybrid_sharded_bench.py"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+    })
+    out = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True, timeout=900, env=env
+    )
+    if out.returncode != 0:
+        _log(f"hybrid bench failed: {out.stderr[-500:]}")
+        return
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            _emit(json.loads(line))
+            return
+
+
+# --------------------------------------------------------------------------- #
+# config #4: MSMARCO-scale compressed index (8.8M), on-device corpus
+# --------------------------------------------------------------------------- #
+
+
+def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 10) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vod_tpu.search import SearchQueries
+    from vod_tpu.search.base import subset_mask  # noqa: F401 (import check)
+    from vod_tpu.search.dense import DenseIndex, dense_search
+
+    # 8 device-generated slabs, each row-padded to 128
+    slab = -(-(-(-n // 8)) // 128) * 128
+    n_pad = slab * 8
+
+    @jax.jit
+    def gen_slab(key):
+        x = jax.random.normal(key, (slab, d), dtype=jnp.float32)
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    # int8 scale: gaussian/sqrt(d) rows => |x| <= ~6/sqrt(d); use a fixed
+    # analytic scale so every slab quantizes identically
+    scale_val = 8.0 / np.sqrt(d) / 127.0
+    scale = jnp.full((1, d), scale_val, jnp.float32)
+
+    @jax.jit
+    def quant(x):
+        return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+    _log(f"msmarco: generating {n_pad} x {d} int8 corpus on device (8 slabs)")
+    keys = [jax.random.PRNGKey(1000 + i) for i in range(8)]
+    slabs = [quant(gen_slab(kk)) for kk in keys]
+    codes = jnp.concatenate(slabs, axis=0)
+    del slabs
+    index = DenseIndex(vectors=codes, scale=scale, n_real=n, approx_recall=0.95)
+
+    # eval queries: perturbed rows of slab 0
+    s0 = np.asarray(gen_slab(keys[0])[:n_eval])
+    rng = np.random.default_rng(0)
+    q = s0 + 0.1 * rng.standard_normal((n_eval, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    jq = jnp.asarray(q)
+
+    # exact f32 ground truth: regenerate each slab, score, running top-k
+    @jax.jit
+    def gt_slab(key, top_s, top_i, offset):
+        x = gen_slab(key)
+        s = jnp.dot(jq, x.T, preferred_element_type=jnp.float32)
+        row = offset + jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
+        s = jnp.where(row < n, s, -jnp.inf)
+        c_s, c_pos = jax.lax.top_k(s, k)
+        all_s = jnp.concatenate([top_s, c_s], axis=-1)
+        all_i = jnp.concatenate([top_i, offset + c_pos], axis=-1)
+        new_s, pos = jax.lax.top_k(all_s, k)
+        return new_s, jnp.take_along_axis(all_i, pos, axis=-1)
+
+    top_s = jnp.full((n_eval, k), -jnp.inf)
+    top_i = jnp.full((n_eval, k), -1, jnp.int32)
+    _log("msmarco: exact f32 ground-truth scan (regenerated slabs)")
+    for i, kk in enumerate(keys):
+        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab))
+    gt_i = np.asarray(top_i)
+
+    out = dense_search(index, SearchQueries(vector=jq), top_k=k)
+    got = np.asarray(out.indices)
+    recall = float(np.mean([len(set(got[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(n_eval)]))
+
+    def make_queries(nq, seed=0):
+        r = np.random.default_rng(seed)
+        base = np.tile(q, (-(-nq // n_eval), 1))[:nq]
+        out_q = base + 1e-3 * r.standard_normal((nq, d)).astype(np.float32)
+        return out_q / np.linalg.norm(out_q, axis=1, keepdims=True)
+
+    _log("msmarco: timing")
+    qps = _qps(
+        lambda v: dense_search(index, SearchQueries(vector=v), top_k=k).indices,
+        make_queries, big_blocks=4,
+    )
+    mem_gb = n_pad * d / 2**30
+    # faiss-CPU extrapolation: measured flat-CPU QPS at 1M (see flat config)
+    # scales ~1/n; int8-768B/vec is the qdrant-scalar-quantization shape
+    result = {
+        "metric": (
+            f"8.8M x 768 int8 index (768 B/vec, {mem_gb:.1f} GB HBM): "
+            f"recall@10={recall:.3f} vs exact f32"
+        ),
+        "value": round(qps, 1),
+        "unit": "QPS",
+        "vs_baseline": round(recall, 4),
+    }
+    _emit(result)
+
+
+# --------------------------------------------------------------------------- #
+# config #5: REALM train step + reindex (subprocess)
+# --------------------------------------------------------------------------- #
+
+
+def bench_realm() -> None:
+    script = pathlib.Path(__file__).parent / "examples" / "seq2seq_realm_bench.py"
+    out = subprocess.run(
+        [sys.executable, str(script), "--steps", "10"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if out.returncode != 0:
+        _log(f"realm bench failed: {out.stderr[-500:]}")
+        return
+    data = None
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            data = json.loads(line)
+    if data is None:
+        _log(f"realm bench produced no JSON: {out.stdout[-500:]}")
+        return
+    _emit({
+        "metric": (
+            f"seq2seq REALM live-retrieval train step ({data['params_m']}M params, "
+            f"B={data['batch']}, {data['corpus']} corpus, loss={data['loss']:.3f}, "
+            f"reindex={data.get('reindex_s', '?')}s)"
+        ),
+        "value": data["ms_per_step"],
+        "unit": "ms/step",
+        # r2 measured 86.6 ms at this exact shape; >1 = faster than round 2
+        "vs_baseline": round(86.6 / data["ms_per_step"], 3),
+    })
+
+
+# --------------------------------------------------------------------------- #
+# headline: flat 1M vs CPU brute force
+# --------------------------------------------------------------------------- #
+
+
+def bench_flat() -> None:
     import jax
     import jax.numpy as jnp
 
@@ -44,113 +242,87 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     n, d, b, k = 1_000_000, 768, 64, 10
-    corpus = rng.normal(size=(n, d)).astype("float32")
-    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
-    q = corpus[rng.choice(n, b, replace=False)] + 0.1 * rng.normal(size=(b, d)).astype("float32")
-    q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype("float32")
+    if pathlib.Path(_CORPUS_CACHE).exists():
+        corpus = np.load(_CORPUS_CACHE)
+        _log(f"corpus loaded from {_CORPUS_CACHE}")
+    else:
+        corpus = rng.standard_normal((n, d), dtype=np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        np.save(_CORPUS_CACHE, corpus)
+        _log("corpus generated + cached")
+    q = corpus[rng.choice(n, b, replace=False)] + 0.1 * rng.standard_normal((b, d)).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
 
-    # --- CPU baseline (faiss-IndexFlatIP-equivalent: BLAS matmul + topk) ---
+    # CPU baseline (faiss-IndexFlatIP-equivalent: BLAS matmul + topk)
     import torch
 
-    _log("corpus built; running CPU baseline")
+    _log("running CPU baseline")
     t0 = time.time()
     scores_cpu = torch.from_numpy(q) @ torch.from_numpy(corpus).T
     exact_topk = torch.topk(scores_cpu, k, dim=-1).indices.numpy()
     cpu_s = time.time() - t0
     cpu_qps = b / cpu_s
+    _log(f"CPU baseline: {cpu_qps:.1f} QPS; building TPU indexes")
 
-    _log(f"CPU baseline: {cpu_qps:.1f} QPS; building TPU index")
-    # --- TPU ---
     corpus_dev = jnp.asarray(corpus)
     index = build_dense_index(corpus_dev, dtype="bfloat16")
     index_fused = build_dense_index(corpus_dev, dtype="bfloat16", kernel="fused")
     del corpus, corpus_dev
 
-    sfn = jax.jit(lambda ix, qv: dense_search(ix, SearchQueries(vector=qv), top_k=k))
-    sfn_blocks = jax.jit(
-        lambda ix, qblocks: jax.lax.map(
-            lambda qv: (lambda r: (r.scores, r.indices))(
-                dense_search(ix, SearchQueries(vector=qv), top_k=k)
-            ),
-            qblocks,
-        )
-    )
-
-    def make_queries(n_q: int) -> jnp.ndarray:
-        extra = rng.normal(size=(max(0, n_q - b), d)).astype("float32")
-        out = np.concatenate([q, extra], axis=0)[:n_q]
-        return jnp.asarray(out / np.linalg.norm(out, axis=-1, keepdims=True))
-
-    def timed_small(n_q: int, reps: int = 3, *, ix) -> float:
-        pools = [make_queries(n_q) + jnp.float32(1e-4 * i) for i in range(reps)]
-        out = sfn(ix, pools[0])
-        np.asarray(out.scores[0, 0])  # compile + settle (uploads done here too)
-        walls = []
-        for p in pools:
-            t0 = time.time()
-            out = sfn(ix, p)
-            np.asarray(out.scores[-1])  # forces completion
-            walls.append(time.time() - t0)
-        _log(f"n_q={n_q}: walls={[round(w, 4) for w in walls]}")
-        return min(walls)
-
-    def timed_big(n_blocks: int, block: int, reps: int = 3, *, ix) -> float:
-        pools = [
-            jnp.stack([make_queries(block) + jnp.float32(1e-3 * (j + 7 * i)) for j in range(n_blocks)])
-            for i in range(reps)
-        ]
-        out = sfn_blocks(ix, pools[0])
-        np.asarray(out[0][0, 0, 0])  # compile + settle
-        walls = []
-        for p in pools:
-            t0 = time.time()
-            out = sfn_blocks(ix, p)
-            np.asarray(out[0][-1, -1])
-            walls.append(time.time() - t0)
-        _log(f"n_q={n_blocks * block}: walls={[round(w, 4) for w in walls]}")
-        return min(walls)
-
-    small_q, big_blocks, block = 256, 8, 2048
-
-    def qps_of(ix, label: str) -> float:
-        _log(f"[{label}] timing small dispatch")
-        w1 = timed_small(small_q, ix=ix)
-        _log(f"[{label}] timing big dispatch")
-        w2 = timed_big(big_blocks, block, ix=ix)
-        tpu_s = (w2 - w1) / (big_blocks * block - small_q)
-        assert tpu_s > 0, f"non-positive marginal ({w1=:.4f}, {w2=:.4f}); relay too noisy"
-        return 1.0 / tpu_s
+    def make_queries(nq, seed=0):
+        r = np.random.default_rng(seed)
+        base = np.tile(q, (-(-nq // b), 1))[:nq]
+        out_q = base + 1e-3 * r.standard_normal((nq, d)).astype(np.float32)
+        return out_q / np.linalg.norm(out_q, axis=1, keepdims=True)
 
     def recall_of(ix) -> float:
-        out = sfn(ix, make_queries(b))
+        out = dense_search(ix, SearchQueries(vector=jnp.asarray(q)), top_k=k)
         got = np.asarray(out.indices)[:b]
         return float(np.mean([len(set(got[i]) & set(exact_topk[i])) / k for i in range(b)]))
 
-    scan_qps = qps_of(index, "scan")
-    scan_recall = recall_of(index)
-    try:
-        fused_qps = qps_of(index_fused, "fused")
-        fused_recall = recall_of(index_fused)
-    except Exception as exc:  # noqa: BLE001 - report the scan path if the kernel regresses
-        _log(f"fused kernel path failed ({exc}); reporting scan only")
-        fused_qps, fused_recall = 0.0, 0.0
-    _log(f"scan {scan_qps:,.0f} QPS @ {scan_recall:.3f}; fused {fused_qps:,.0f} QPS @ {fused_recall:.3f}")
+    results = {}
+    for label, ix in (("scan", index), ("fused", index_fused)):
+        try:
+            _log(f"[{label}] timing")
+            qq = _qps(
+                lambda v, ix=ix: dense_search(ix, SearchQueries(vector=v), top_k=k).indices,
+                make_queries,
+            )
+            results[label] = (qq, recall_of(ix))
+        except Exception as exc:  # noqa: BLE001 - report the other path if one regresses
+            _log(f"{label} path failed: {exc}")
+            results[label] = (0.0, 0.0)
 
+    (scan_qps, scan_recall), (fused_qps, fused_recall) = results["scan"], results["fused"]
     if fused_qps > scan_qps:
         tpu_qps, recall, path = fused_qps, fused_recall, "pallas-fused"
     else:
         tpu_qps, recall, path = scan_qps, scan_recall, "scan+approx_max_k"
-
-    result = {
+    _emit({
         "metric": (
-            f"dense MIPS QPS/chip (1M x 768 bf16 flat, batch {block}, {path}, "
-            f"recall@10={recall:.3f}; scan={scan_qps:,.0f} fused={fused_qps:,.0f})"
+            f"dense MIPS QPS/chip (1M x 768 bf16 flat, {path}, recall@10={recall:.3f}; "
+            f"scan={scan_qps:,.0f} fused={fused_qps:,.0f}; cpu={cpu_qps:.1f})"
         ),
         "value": round(tpu_qps, 1),
         "unit": "QPS",
         "vs_baseline": round(tpu_qps / cpu_qps, 1),
-    }
-    print(json.dumps(result))
+    })
+
+
+def main() -> None:
+    configs = os.environ.get("VOD_BENCH_CONFIGS", "hybrid,msmarco,realm,flat").split(",")
+    for name in configs:
+        fn = {"hybrid": bench_hybrid, "msmarco": bench_msmarco,
+              "realm": bench_realm, "flat": bench_flat}.get(name.strip())
+        if fn is None:
+            _log(f"unknown config {name!r}")
+            continue
+        t0 = time.time()
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001 - keep later configs running
+            _log(f"config {name} failed: {exc}")
+        _log(f"config {name}: {time.time()-t0:.0f}s")
 
 
 if __name__ == "__main__":

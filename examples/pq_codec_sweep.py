@@ -84,6 +84,16 @@ def main() -> None:
         ("pq32+coarse64+ref32", "pq",
          dict(n_subquantizers=32, coarse_dim=64, n_candidates=4096, refine="int8", k_factor=32),
          32 + 64 + dim),
+        # truncated-PCA refine: the memory frontier between codes-only and int8
+        ("pq64-exh+ref32-d64", "pq",
+         dict(n_subquantizers=64, coarse_dim=None, refine="int8", refine_dim=64, k_factor=32),
+         64 + 64),
+        ("pq64-exh+ref32-d128", "pq",
+         dict(n_subquantizers=64, coarse_dim=None, refine="int8", refine_dim=128, k_factor=32),
+         64 + 128),
+        ("pq32-exh+ref32-d128", "pq",
+         dict(n_subquantizers=32, coarse_dim=None, refine="int8", refine_dim=128, k_factor=32),
+         32 + 128),
     ]
     for name, kind, kw, bytes_pv in ladder:
         if args.configs and not any(c in name for c in args.configs.split(",")):

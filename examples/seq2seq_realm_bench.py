@@ -118,8 +118,26 @@ def main() -> dict:
     loss = float(metrics["loss"])  # forces completion of the chain
     dt = (time.time() - t0) / args.steps
     print(f"# steady state: {dt*1e3:.1f} ms/step (loss={loss:.3f})", flush=True)
+
+    # periodic-boundary reindex: re-embed the corpus with the CURRENT encoder
+    # and swap the index (the in-loop reindexing of BASELINE config #5)
+    from vod_tpu.models.systems import Ranker
+    from vod_tpu.runtime.predict import compute_embeddings
+
+    encode = lambda p, i, m: model.apply(p, i, m, method=Ranker.encode_field)
+    t0 = time.time()
+    emb2 = compute_embeddings(encode, params, corpus, chunk=2048)
+    engines = HybridEngines(dense=build_dense_index(emb2, dtype="bfloat16"))
+    params, opt_state, metrics, _rel, _scores = step_fn.train_step(
+        params, opt_state, engines, corpus, make_queries(999), jax.random.PRNGKey(999), weights
+    )
+    float(metrics["loss"])  # new index live again
+    reindex_s = time.time() - t0
+    print(f"# reindex (re-embed + rebuild + first step): {reindex_s:.1f}s", flush=True)
+
     result = {"ms_per_step": round(dt * 1e3, 1), "params_m": round(n_params / 1e6, 1),
-              "corpus": n, "batch": b, "n_sections": d, "loss": loss}
+              "corpus": n, "batch": b, "n_sections": d, "loss": loss,
+              "reindex_s": round(reindex_s, 1)}
     print(json.dumps(result))
     return result
 

@@ -790,3 +790,52 @@ def test_hybrid_with_sharded_sparse() -> None:
     ref_i, got_i = np.asarray(ref.indices), np.asarray(out.indices)
     for i in range(b):
         assert set(got_i[i].tolist()) == set(ref_i[i].tolist()), i
+
+
+def test_pq_refine_dim_truncated_pca() -> None:
+    """refine_dim stores rerank rows in truncated-PCA space: recall close to
+    full-D refine on spectrally-concentrated data at refine_dim/D the memory."""
+    from vod_tpu.search import build_pq_index_from_host
+
+    rng = np.random.default_rng(24)
+    n, d, b, k = 3000, 64, 6, 10
+    # decaying spectrum (real-embedding-like): top-16 dims carry ~most energy
+    spec = 1.0 / (1.0 + np.arange(d) / 4.0)
+    corpus = (rng.standard_normal((n, d)) * spec).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    q = corpus[:b] + 0.05 * rng.standard_normal((b, d)).astype(np.float32)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+
+    def recall(index) -> float:
+        out = pq_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=256)
+        got = np.asarray(out.indices)
+        return float(np.mean([len(set(got[i].tolist()) & set(expected[i])) / k for i in range(b)]))
+
+    kw = dict(n_subquantizers=8, coarse_dim=None, kmeans_iters=3, refine="int8",
+              k_factor=8, approx_recall=None)
+    full = build_pq_index(jax.random.PRNGKey(5), jnp.asarray(corpus), **kw)
+    trunc = build_pq_index(jax.random.PRNGKey(5), jnp.asarray(corpus), refine_dim=16, **kw)
+    assert trunc.refine_codes.shape[-1] == 16 and trunc.refine_proj is not None
+    r_full, r_trunc = recall(full), recall(trunc)
+    assert r_trunc >= r_full - 0.1, (r_full, r_trunc)
+    assert r_trunc >= 0.65, r_trunc
+
+    # host-slab build parity for the truncated refine
+    host = build_pq_index_from_host(
+        jax.random.PRNGKey(5), corpus, n_subquantizers=8, coarse_dim=None,
+        kmeans_iters=3, refine="int8", refine_dim=16, k_factor=8, slab=1024,
+        train_size=n, approx_recall=None,
+    )
+    assert host.refine_codes.shape[-1] == 16
+    assert recall(host) >= 0.6
+
+    # sharded parity
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import shard_pq_index, sharded_pq_search
+
+    mesh = make_mesh((8,), ("shard",))
+    spq = shard_pq_index(trunc, mesh)
+    out = sharded_pq_search(spq, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=128)
+    got = np.asarray(out.indices)
+    r_shard = float(np.mean([len(set(got[i].tolist()) & set(expected[i])) / k for i in range(b)]))
+    assert r_shard >= r_trunc - 0.1, (r_trunc, r_shard)

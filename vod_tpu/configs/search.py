@@ -48,8 +48,10 @@ class DenseFactoryConfig(StrictModel):
     use_opq: bool = False
     opq_iters: int = 4
     # exact re-rank of the ADC top (k_factor * k) against raw rows
-    # (parity: faiss `RFlat` / `Refine(SQ8)` suffixes)
+    # (parity: faiss `RFlat` / `Refine(SQ8)` suffixes). refine_dim stores the
+    # rerank rows in a truncated-PCA space (refine_dim B/vec int8 instead of D)
     refine: typ.Literal["none", "int8", "bfloat16", "float32"] = "none"
+    refine_dim: typ.Optional[int] = None
     k_factor: int = 4
     # ivf codec
     n_clusters: typ.Optional[int] = None  # None = IVFauto inference

@@ -72,8 +72,9 @@ class PQIndex:
     proj: typ.Optional[jax.Array] = None  # [D, dc] f32 (PCA projection, coarse stage)
     rotation: typ.Optional[jax.Array] = None  # [D, D] OPQ rotation (None = identity)
     subset_ids: typ.Optional[jax.Array] = None  # [N] int32
-    refine_codes: typ.Optional[jax.Array] = None  # [N, D] raw rows (int8/bf16/f32)
-    refine_scale: typ.Optional[jax.Array] = None  # [1, D] f32 when refine is int8
+    refine_codes: typ.Optional[jax.Array] = None  # [N, D or refine_dim] rerank rows
+    refine_scale: typ.Optional[jax.Array] = None  # [1, R] f32 when refine is int8
+    refine_proj: typ.Optional[jax.Array] = None  # [D, refine_dim] PCA (None = raw rows)
     n_real: int = struct.field(pytree_node=False, default=0)
     offset: int = struct.field(pytree_node=False, default=0)
     n_candidates: int = struct.field(pytree_node=False, default=1024)
@@ -135,17 +136,32 @@ def build_dense_index(
 
 
 def _build_refine(
-    vectors: jax.Array, refine: str, pad_multiple: int
-) -> tuple[typ.Optional[jax.Array], typ.Optional[jax.Array]]:
-    """Raw-row storage for the exact re-rank stage (faiss Refine parity)."""
+    vectors: jax.Array,
+    refine: str,
+    pad_multiple: int,
+    refine_dim: typ.Optional[int] = None,
+    train: typ.Optional[jax.Array] = None,
+) -> tuple[typ.Optional[jax.Array], typ.Optional[jax.Array], typ.Optional[jax.Array]]:
+    """Rerank-row storage (faiss Refine parity). Returns (codes, scale, proj).
+
+    refine_dim projects rows onto the top `refine_dim` PCA directions before
+    int8 quantization — real embedding spectra concentrate (>99% variance in
+    the top third of dims), so a truncated-projection refine keeps most of the
+    exact-rescore benefit at refine_dim/D of the memory. The projection is
+    orthonormal, so projected inner products approximate raw ones directly.
+    """
     if refine == "none":
-        return None, None
+        return None, None, None
     x = _pad_rows(vectors.astype(jnp.float32), pad_multiple)
+    proj = None
+    if refine_dim is not None and refine_dim < x.shape[-1]:
+        proj, _mean = pq_ops.train_projection(train if train is not None else vectors, refine_dim)
+        x = x @ proj
     if refine == "int8":
         codes, scale = pq_ops.quantize_int8(x, axis=0)
-        return codes, scale
+        return codes, scale, proj
     if refine in ("bfloat16", "float32"):
-        return x.astype(jnp.dtype(refine)), None
+        return x.astype(jnp.dtype(refine)), None, proj
     raise ValueError(f"unknown refine codec {refine!r}")
 
 
@@ -161,6 +177,7 @@ def build_pq_index(
     use_opq: bool = False,
     opq_iters: int = 4,
     refine: str = "none",
+    refine_dim: typ.Optional[int] = None,
     k_factor: int = 4,
     subset_ids: typ.Optional[jax.Array] = None,
     offset: int = 0,
@@ -210,7 +227,9 @@ def build_pq_index(
 
     codes = pq_ops.encode_pq(codebooks, x_rot)
     codes = _pad_rows(codes, pad_multiple)
-    refine_codes, refine_scale = _build_refine(x, refine, pad_multiple)
+    refine_codes, refine_scale, refine_proj = _build_refine(
+        x, refine, pad_multiple, refine_dim=refine_dim, train=train
+    )
     if subset_ids is not None:
         subset_ids = _pad_rows(subset_ids.astype(jnp.int32)[:, None], pad_multiple)[:, 0]
     return PQIndex(
@@ -223,6 +242,7 @@ def build_pq_index(
         subset_ids=subset_ids,
         refine_codes=refine_codes,
         refine_scale=refine_scale,
+        refine_proj=refine_proj,
         n_real=n_real,
         offset=offset,
         n_candidates=n_candidates,
@@ -462,7 +482,9 @@ def _refine_rerank(
     """
     n = index.codes.shape[0]
     safe = jnp.clip(cand_i, 0, n - 1)
-    raw = index.refine_codes[safe]  # [B, K, D]
+    raw = index.refine_codes[safe]  # [B, K, R]
+    if index.refine_proj is not None:  # truncated-PCA refine: project queries
+        q_orig = q_orig.astype(jnp.float32) @ index.refine_proj
     if index.refine_scale is not None:  # int8 raw: fold per-dim scale into q
         q_eff = q_orig.astype(jnp.float32) * index.refine_scale
         exact = jnp.einsum(
@@ -511,7 +533,8 @@ def pq_search(
     # chunks (measured: B=4096 x n_cand=4096 x M=32 asked XLA for an 8GB temp
     # and OOMed HBM).
     m_sub = index.codes.shape[-1]
-    per_q = (n_cand * m_sub if not exhaustive else 0) + (n_pool * d if do_refine else 0)
+    r_dim = index.refine_codes.shape[-1] if do_refine else 0
+    per_q = (n_cand * m_sub if not exhaustive else 0) + n_pool * r_dim
     qchunk = max(8, _PQ_RESCORE_ELEMS // max(1, per_q))
     if b > qchunk:
         pad = (-b) % qchunk
@@ -728,6 +751,7 @@ def build_pq_index_from_host(
     kmeans_iters: int = 10,
     use_opq: bool = False,
     refine: str = "none",
+    refine_dim: typ.Optional[int] = None,
     k_factor: int = 4,
     slab: int = 1_000_000,
     subset_ids: typ.Optional[jax.Array] = None,
@@ -739,9 +763,10 @@ def build_pq_index_from_host(
     train+add, `faiss_search/build.py:51-81`). Only the compressed codes
     (M [+ coarse_dim] [+ D for int8 refine] bytes/row) accumulate on device.
 
-    refine='int8' stores int8 raw rows (D B/vector) for the exact re-rank
-    stage — the scale comes from the training sample, applied slab-by-slab.
-    bf16/f32 refine is refused here: at host-slab scale it defeats the point.
+    refine='int8' stores int8 rerank rows (D B/vector, or refine_dim B/vector
+    in the truncated-PCA space) for the exact re-rank stage — scale/projection
+    come from the training sample, applied slab-by-slab. bf16/f32 refine is
+    refused here: at host-slab scale it defeats the point.
     """
     import numpy as np
 
@@ -768,10 +793,15 @@ def build_pq_index_from_host(
         coarse_absmax = jnp.max(jnp.abs(coarse_sample), axis=0, keepdims=True)
         coarse_scale = jnp.maximum(coarse_absmax, 1e-8) / 127.0
         del coarse_sample
-    refine_scale = None
+    refine_scale = refine_proj = None
     if refine == "int8":
-        absmax = jnp.max(jnp.abs(train), axis=0, keepdims=True)
+        ref_sample = train
+        if refine_dim is not None and refine_dim < d:
+            refine_proj, _m = pq_ops.train_projection(train, refine_dim)
+            ref_sample = train @ refine_proj
+        absmax = jnp.max(jnp.abs(ref_sample), axis=0, keepdims=True)
         refine_scale = jnp.maximum(absmax, 1e-8) / 127.0
+        del ref_sample
     del train, train_rot
 
     @jax.jit
@@ -783,14 +813,16 @@ def build_pq_index_from_host(
             coarse = jnp.clip(jnp.round((xr @ proj) / coarse_scale), -127, 127).astype(jnp.int8)
         ref = None
         if refine_scale is not None:
-            ref = jnp.clip(jnp.round(x / refine_scale), -127, 127).astype(jnp.int8)
+            xr_ref = x @ refine_proj if refine_proj is not None else x
+            ref = jnp.clip(jnp.round(xr_ref / refine_scale), -127, 127).astype(jnp.int8)
         return codes, coarse, ref
 
     pad_multiple = _auto_pad_multiple(n_real, None)
     n_pad = -(-n_real // pad_multiple) * pad_multiple
     codes_np = np.zeros((n_pad, n_subquantizers), np.uint8)
     coarse_np = np.zeros((n_pad, coarse_dim), np.int8) if coarse_dim is not None else None
-    refine_np = np.zeros((n_pad, d), np.int8) if refine == "int8" else None
+    r_dim = d if refine_dim is None else min(refine_dim, d)
+    refine_np = np.zeros((n_pad, r_dim), np.int8) if refine == "int8" else None
     for s0 in range(0, n_real, slab):
         x = jnp.asarray(np.ascontiguousarray(vectors_np[s0 : s0 + slab]), dtype=jnp.float32)
         c, cc, rr = encode_slab(x)
@@ -813,6 +845,7 @@ def build_pq_index_from_host(
         subset_ids=subset_ids,
         refine_codes=None if refine_np is None else jax.device_put(refine_np),
         refine_scale=refine_scale,
+        refine_proj=refine_proj,
         n_real=n_real,
         offset=offset,
         n_candidates=n_candidates,

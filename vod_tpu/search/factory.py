@@ -119,6 +119,7 @@ def build_dense_from_config(
             use_opq=cfg.use_opq,
             opq_iters=cfg.opq_iters,
             refine=cfg.refine,
+            refine_dim=cfg.refine_dim,
             k_factor=cfg.k_factor,
             subset_ids=subset_ids,
             approx_recall=cfg.approx_recall,
@@ -201,6 +202,7 @@ def build_dense_from_host(
             kmeans_iters=cfg.kmeans_iters,
             use_opq=cfg.use_opq,
             refine=refine,
+            refine_dim=cfg.refine_dim,
             k_factor=cfg.k_factor,
             slab=slab,
             subset_ids=subset_ids,

@@ -222,8 +222,9 @@ class ShardedPQIndex:
     rotation: typ.Optional[jax.Array] = None  # [D, D] replicated (OPQ)
     subset_ids: typ.Optional[jax.Array] = None  # [N_pad] row-sharded
     corpus_shard: typ.Optional[jax.Array] = None  # [N_pad] row-sharded (routing)
-    refine_codes: typ.Optional[jax.Array] = None  # [N_pad, D] row-sharded raw rows
-    refine_scale: typ.Optional[jax.Array] = None  # [1, D] replicated (int8 refine)
+    refine_codes: typ.Optional[jax.Array] = None  # [N_pad, D or R] row-sharded rerank rows
+    refine_scale: typ.Optional[jax.Array] = None  # [1, R] replicated (int8 refine)
+    refine_proj: typ.Optional[jax.Array] = None  # [D, R] replicated (truncated-PCA refine)
     n_real: int = struct.field(pytree_node=False, default=0)
     rows_per_shard: int = struct.field(pytree_node=False, default=0)
     axis: str = struct.field(pytree_node=False, default="shard")
@@ -280,6 +281,7 @@ def shard_pq_index(
         corpus_shard=shard_1d(corpus_shard),
         refine_codes=refine,
         refine_scale=rep_opt(index.refine_scale),
+        refine_proj=rep_opt(index.refine_proj),
         n_real=index.n_real,
         rows_per_shard=codes.shape[0] // n_shards,
         axis=axis,
@@ -382,16 +384,19 @@ def sharded_pq_search(
 
         if do_refine:
             safe = jnp.clip(pool_i, 0, rows - 1)
-            raw = refine[safe]  # [B, n_pool, D]
+            raw = refine[safe]  # [B, n_pool, R]
+            qr = qv
+            if index.refine_proj is not None:  # truncated-PCA refine space
+                qr = qv.astype(jnp.float32) @ index.refine_proj
             if index.refine_scale is not None:
-                q_r = qv.astype(jnp.float32) * index.refine_scale
+                q_r = qr.astype(jnp.float32) * index.refine_scale
                 exact = jnp.einsum(
                     "bd,bkd->bk", q_r, raw.astype(jnp.float32),
                     preferred_element_type=jnp.float32,
                 )
             else:
                 exact = jnp.einsum(
-                    "bd,bkd->bk", qv.astype(raw.dtype), raw,
+                    "bd,bkd->bk", qr.astype(raw.dtype), raw,
                     preferred_element_type=jnp.float32,
                 )
             exact = jnp.where(jnp.isfinite(pool_s), exact, -jnp.inf)
