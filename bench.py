@@ -132,9 +132,13 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
 
     _log(f"msmarco: generating {n_pad} x {d} int8 corpus on device (8 slabs)")
     keys = [jax.random.PRNGKey(1000 + i) for i in range(8)]
-    slabs = [quant(gen_slab(kk)) for kk in keys]
-    codes = jnp.concatenate(slabs, axis=0)
-    del slabs
+    # assemble on host, upload once: on-device concatenate would hold source
+    # slabs + result simultaneously (2 x 6.8 GB) and brush the 16 GB HBM limit
+    codes_np = np.empty((n_pad, d), np.int8)
+    for i, kk in enumerate(keys):
+        codes_np[i * slab : (i + 1) * slab] = np.asarray(quant(gen_slab(kk)))
+    codes = jax.device_put(codes_np)
+    del codes_np
     index = DenseIndex(vectors=codes, scale=scale, n_real=n, approx_recall=0.95)
 
     # eval queries: perturbed rows of slab 0

@@ -569,3 +569,30 @@ def test_accumulation_drops_partial_tail_window() -> None:
         state=state, rng=jax.random.PRNGKey(1), prefetch_batches=0,
     )
     assert state.step == 2, state.step
+
+
+def test_profiler_trace_hook(tmp_path) -> None:
+    """profile_dir captures a jax.profiler trace window around steps [1, 2)."""
+    from vod_tpu.runtime.train import training_loop
+    from vod_tpu.search import HybridEngines, build_dense_index
+
+    rng = np.random.default_rng(21)
+    corpus, make_queries = _make_task(rng, n_corpus=48)
+    model, tx, step_fn = _model_and_step()
+    params = model.init(
+        jax.random.PRNGKey(0), corpus.input_ids[:1], corpus.attention_mask[:1],
+        method=Ranker.encode_field,
+    )
+    opt_state = tx.init(params)
+    encode = lambda p, i, m: model.apply(p, i, m, method=Ranker.encode_field)
+    emb = compute_embeddings(encode, params, corpus, chunk=16)
+    engines = HybridEngines(dense=build_dense_index(emb, dtype="float32"))
+    state = TrainerState(max_steps=3, period=3)
+    training_loop(
+        step_fn=step_fn, params=params, opt_state=opt_state, engines=engines,
+        corpus=corpus, train_queries=[make_queries(4, s) for s in range(3)],
+        state=state, rng=jax.random.PRNGKey(1), prefetch_batches=0,
+        profile_dir=str(tmp_path / "trace"), profile_steps=(1, 2),
+    )
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert any(p.is_file() for p in produced), produced

@@ -103,5 +103,6 @@ class TrainerConfig(StrictModel):
 class SysConfig(StrictModel):
     seed: int = 0
     cache_dir: typ.Optional[str] = None
+    profile_dir: typ.Optional[str] = None  # jax.profiler trace output dir
     mesh_shape: list[int] = pydantic.Field(default_factory=lambda: [-1])
     mesh_axes: list[str] = pydantic.Field(default_factory=lambda: ["dp"])

@@ -323,6 +323,7 @@ def run_experiment(
             log_interval=exp.trainer.log_interval,
             val_check_interval=exp.trainer.val_check_interval,
             metrics=tuple(exp.trainer.metrics),
+            profile_dir=exp.sys.profile_dir,
         ),
         on_log=on_log,
     )

@@ -51,6 +51,8 @@ class PeriodicTrainingConfig:
     log_interval: int = 50
     val_check_interval: typ.Optional[int] = None
     metrics: tuple[str, ...] = ("mrr", "ndcg_10", "hitrate_3")
+    # jax.profiler trace dir (first period only; TensorBoard/Perfetto viewable)
+    profile_dir: typ.Optional[str] = None
 
 
 def periodic_training(
@@ -146,6 +148,7 @@ def periodic_training(
             on_log=on_log,
             mesh=cfg.mesh if cfg.dp_axis else None,
             dp_axis=cfg.dp_axis or "dp",
+            profile_dir=cfg.profile_dir if pidx == 0 else None,
         )
         summary["train"] = last
         summary["period_s"] = round(time.time() - t0, 3)

@@ -225,6 +225,8 @@ def training_loop(
     until_step: typ.Optional[int] = None,
     mesh: typ.Any = None,
     dp_axis: str = "dp",
+    profile_dir: typ.Optional[str] = None,
+    profile_steps: tuple[int, int] = (3, 6),
 ) -> tuple[typ.Any, typ.Any, TrainerState, dict]:
     """One period of training (parity: `loops/train.py:21-226`).
 
@@ -262,11 +264,25 @@ def training_loop(
         train_queries = prefetch_iterator(iter(train_queries), size=prefetch_batches)
     accum = max(1, int(getattr(step_fn, "accumulate_grad_batches", 1)))
     train_iter = iter(train_queries)
+    # jax.profiler trace window (SURVEY §5 "tracing": the reference has only
+    # wall clocks; this captures real XLA timelines viewable in TensorBoard /
+    # Perfetto). Bounds are loop-local step counts so the window lands after
+    # compilation regardless of the global step.
+    _prof_on = False
+    _prof_n = 0
     try:
         for queries in train_iter:
             if state.step >= until or state.completed:
                 break
             rng, step_rng = jax.random.split(rng)
+            if profile_dir is not None:
+                if _prof_n == profile_steps[0] and not _prof_on:
+                    jax.profiler.start_trace(profile_dir)
+                    _prof_on = True
+                elif _prof_n == profile_steps[1] and _prof_on:
+                    jax.profiler.stop_trace()
+                    _prof_on = False
+            _prof_n += 1
             weights = state.get_parameters()  # schedules -> traced scalars each step
             call_callbacks(callbacks, "on_train_batch_start", batch=queries, step=state.step)
             if accum > 1:
@@ -323,6 +339,9 @@ def training_loop(
                     on_checkpoint(params, opt_state, state)
     except KeyboardInterrupt:  # parity: `loops/train.py:211` clean-exit
         pass
+    finally:
+        if _prof_on:  # loop ended inside the trace window
+            jax.profiler.stop_trace()
     call_callbacks(callbacks, "on_fit_end", params=params, state=state)
     return params, opt_state, state, last_logged
 
