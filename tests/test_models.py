@@ -612,3 +612,51 @@ def test_realm_beam_generate() -> None:
     b1, _ = realm_beam_generate(model, params, batch, num_beams=1, max_new_tokens=t)
     greedy = realm_generate(model, params, batch, max_new_tokens=t)
     assert np.array_equal(np.asarray(b1), np.asarray(greedy))
+
+
+def test_filter_logits_topk_topp() -> None:
+    """Top-k / nucleus logit filtering (HF sampler parity)."""
+    from vod_tpu.models.seq2seq import filter_logits
+
+    logits = jnp.asarray([[3.0, 2.0, 1.0, 0.0, -1.0]])
+    out = np.asarray(filter_logits(logits, top_k=2))
+    assert np.isfinite(out[0, :2]).all() and np.isneginf(out[0, 2:]).all()
+    # top_p: probs ~ [0.64, 0.23, 0.086, ...]; p=0.7 keeps tokens while the
+    # mass BEFORE them is < 0.7 -> tokens 0 and 1
+    out = np.asarray(filter_logits(logits, top_p=0.7))
+    assert np.isfinite(out[0, :2]).all() and np.isneginf(out[0, 2:]).all()
+    # p close to 1 keeps everything; k >= vocab keeps everything
+    assert np.isfinite(np.asarray(filter_logits(logits, top_p=0.9999))).all()
+    assert np.isfinite(np.asarray(filter_logits(logits, top_k=5))).all()
+    # always at least one token survives even with tiny p
+    out = np.asarray(filter_logits(logits, top_p=1e-9))
+    assert np.isfinite(out[0, 0]) and np.isneginf(out[0, 1:]).all()
+
+
+def test_sampled_generation_topk1_matches_greedy() -> None:
+    """temperature>0 with top_k=1 must reproduce the greedy path exactly."""
+    from vod_tpu.models.seq2seq import Seq2SeqLM, generate
+    from vod_tpu.models.t5_encoder import T5EncoderConfig
+
+    cfg = T5EncoderConfig(
+        vocab_size=64, hidden_size=32, num_layers=1, num_heads=2, head_dim=16,
+        intermediate_size=64,
+    )
+    model = Seq2SeqLM(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, 64, size=(2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask, ids[:, :4], jnp.ones((2, 4), jnp.int32))
+    greedy = generate(model, params, ids, mask, max_new_tokens=6, temperature=0.0)
+    topk1 = generate(
+        model, params, ids, mask, max_new_tokens=6, temperature=0.8, top_k=1,
+        rng=jax.random.PRNGKey(3),
+    )
+    assert np.array_equal(np.asarray(greedy), np.asarray(topk1))
+    # nucleus sampling runs and emits valid token ids
+    sampled = generate(
+        model, params, ids, mask, max_new_tokens=6, temperature=1.0, top_p=0.9,
+        rng=jax.random.PRNGKey(4),
+    )
+    assert np.asarray(sampled).shape == (2, 6)
+    assert (np.asarray(sampled) >= 0).all() and (np.asarray(sampled) < 64).all()

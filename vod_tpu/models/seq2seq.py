@@ -256,6 +256,35 @@ class Seq2SeqLM(nn.Module):
         return self.lm_head(h.astype(jnp.float32))[:, 0, :], new_cache
 
 
+def filter_logits(
+    logits: jax.Array,
+    top_k: typ.Optional[int] = None,
+    top_p: typ.Optional[float] = None,
+) -> jax.Array:
+    """Top-k / nucleus (top-p) logit filtering for sampled decoding.
+
+    Parity: the reference delegates generation to HF `generate` (mode dispatch
+    `vod_systems/base.py:37-51`), whose samplers apply the same two filters.
+    Static-shape implementation: top-k via the k-th-largest threshold, top-p via
+    a descending sort + cumulative softmax mass; masked logits become -inf.
+    """
+    if top_k is not None and top_k > 0 and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None and 0.0 < top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens while the mass BEFORE them is < top_p (always >= 1 token)
+        keep_sorted = jnp.concatenate(
+            [jnp.ones_like(cum[..., :1], bool), cum[..., :-1] < top_p], axis=-1
+        )
+        # threshold = smallest kept logit per row
+        thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+        logits = jnp.where(logits < thresh, -jnp.inf, logits)
+    return logits
+
+
 def generate(
     model: Seq2SeqLM,
     params: typ.Mapping,
@@ -266,9 +295,12 @@ def generate(
     bos_id: int = 0,
     eos_id: int = 1,
     temperature: float = 0.0,
+    top_k: typ.Optional[int] = None,
+    top_p: typ.Optional[float] = None,
     rng: typ.Optional[jax.Array] = None,
 ) -> jax.Array:
-    """KV-cached autoregressive generation (greedy, or sampled if temperature>0).
+    """KV-cached autoregressive generation (greedy, or sampled if temperature>0,
+    with optional top-k / nucleus filtering).
 
     Encoder runs once; each of the `max_new_tokens` scan steps is a single
     [B, 1] decoder pass against the running cache. Finished rows (emitted
@@ -285,7 +317,9 @@ def generate(
             params, tok, pos, enc_mask, cache, method=Seq2SeqLM.decode_step
         )
         if temperature > 0.0:
-            nxt = jax.random.categorical(key, logits / temperature, axis=-1)
+            nxt = jax.random.categorical(
+                key, filter_logits(logits / temperature, top_k, top_p), axis=-1
+            )
         else:
             nxt = jnp.argmax(logits, axis=-1)
         nxt = jnp.where(finished, jnp.full_like(nxt, bos_id), nxt).astype(jnp.int32)
