@@ -20,6 +20,7 @@ forced by fetching a result slice to host, and (c) the fixed dispatch+fetch RTT
 one a lax.map over 2048-query blocks inside ONE jitted call.
 """
 
+import functools
 import json
 import os
 import pathlib
@@ -47,12 +48,18 @@ def _emit(result: dict) -> None:
 # --------------------------------------------------------------------------- #
 
 
-def _qps(search_indices_fn, make_queries, *, small_q=256, big_blocks=8, block=2048, reps=3):
-    """Differenced QPS: (wall(big) - wall(small)) / (nq_big - nq_small)."""
+def _qps(search_indices_fn, index, make_queries, *, small_q=256, big_blocks=8, block=2048, reps=3):
+    """Differenced QPS: (wall(big) - wall(small)) / (nq_big - nq_small).
+
+    `index` is passed as a jit ARGUMENT — closing over a multi-GB index bakes
+    it into the compiled program, which the remote-compile relay cannot ship.
+    """
     import jax
 
     sfn = jax.jit(search_indices_fn)
-    sfn_blocks = jax.jit(lambda qblocks: jax.lax.map(search_indices_fn, qblocks))
+    sfn_blocks = jax.jit(
+        lambda ix, qblocks: jax.lax.map(lambda qv: search_indices_fn(ix, qv), qblocks)
+    )
 
     pools_s = [make_queries(small_q, seed=i) for i in range(reps)]
     pools_b = [
@@ -63,12 +70,12 @@ def _qps(search_indices_fn, make_queries, *, small_q=256, big_blocks=8, block=20
 
     pools_s = [jnp.asarray(p) for p in pools_s]
     pools_b = [jnp.asarray(p) for p in pools_b]
-    np.asarray(sfn(pools_s[0])[0, 0])  # warm small shape
-    np.asarray(sfn_blocks(pools_b[0])[0, 0, 0])  # warm big shape
+    np.asarray(sfn(index, pools_s[0])[0, 0])  # warm small shape
+    np.asarray(sfn_blocks(index, pools_b[0])[0, 0, 0])  # warm big shape
     w1 = w2 = float("inf")
     for i in range(reps):
-        t0 = time.time(); np.asarray(sfn(pools_s[i])[-1]); w1 = min(w1, time.time() - t0)
-        t0 = time.time(); np.asarray(sfn_blocks(pools_b[i])[-1, -1]); w2 = min(w2, time.time() - t0)
+        t0 = time.time(); np.asarray(sfn(index, pools_s[i])[-1]); w1 = min(w1, time.time() - t0)
+        t0 = time.time(); np.asarray(sfn_blocks(index, pools_b[i])[-1, -1]); w2 = min(w2, time.time() - t0)
     _log(f"walls: small={w1:.4f}s big={w2:.4f}s")
     marginal = (w2 - w1) / (big_blocks * block - small_q)
     assert marginal > 0, f"non-positive marginal ({w1=:.4f}, {w2=:.4f}); relay too noisy"
@@ -132,13 +139,19 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
 
     _log(f"msmarco: generating {n_pad} x {d} int8 corpus on device (8 slabs)")
     keys = [jax.random.PRNGKey(1000 + i) for i in range(8)]
-    # assemble on host, upload once: on-device concatenate would hold source
-    # slabs + result simultaneously (2 x 6.8 GB) and brush the 16 GB HBM limit
-    codes_np = np.empty((n_pad, d), np.int8)
+
+    # assemble fully ON DEVICE with buffer donation: a host round-trip of the
+    # 6.8 GB int8 matrix crawls over the remote-execution tunnel, and an
+    # on-device concatenate would hold sources + result (2 x 6.8 GB) at once.
+    # Donated dynamic_update_slice keeps peak HBM at buffer + one slab.
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fill(codes, key, row0):
+        return jax.lax.dynamic_update_slice(codes, quant(gen_slab(key)), (row0, 0))
+
+    codes = jnp.zeros((n_pad, d), jnp.int8)
     for i, kk in enumerate(keys):
-        codes_np[i * slab : (i + 1) * slab] = np.asarray(quant(gen_slab(kk)))
-    codes = jax.device_put(codes_np)
-    del codes_np
+        codes = fill(codes, kk, jnp.int32(i * slab))
+    codes.block_until_ready()
     index = DenseIndex(vectors=codes, scale=scale, n_real=n, approx_recall=0.95)
 
     # eval queries: perturbed rows of slab 0
@@ -180,8 +193,8 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
 
     _log("msmarco: timing")
     qps = _qps(
-        lambda v: dense_search(index, SearchQueries(vector=v), top_k=k).indices,
-        make_queries, big_blocks=4,
+        lambda ix, v: dense_search(ix, SearchQueries(vector=v), top_k=k).indices,
+        index, make_queries, big_blocks=4,
     )
     mem_gb = n_pad * d / 2**30
     # faiss-CPU extrapolation: measured flat-CPU QPS at 1M (see flat config)
@@ -289,8 +302,8 @@ def bench_flat() -> None:
         try:
             _log(f"[{label}] timing")
             qq = _qps(
-                lambda v, ix=ix: dense_search(ix, SearchQueries(vector=v), top_k=k).indices,
-                make_queries,
+                lambda ixx, v: dense_search(ixx, SearchQueries(vector=v), top_k=k).indices,
+                ix, make_queries,
             )
             results[label] = (qq, recall_of(ix))
         except Exception as exc:  # noqa: BLE001 - report the other path if one regresses
