@@ -317,7 +317,12 @@ def _scan_collect_topk(
     surely in its chunk's proportional top share)."""
     n_chunks = n_rows // chunk
     if per_chunk_k is None:
-        per_chunk_k = min(chunk, max(128, -(-2 * top_k // n_chunks)))
+        # 4x proportional oversampling, floor 32: for a random row layout the
+        # per-chunk share of the global top-k is ~Poisson(k/n_chunks), so 32 is
+        # already vanishingly unlikely to truncate a winner. (The old floor of
+        # 128 made a 160-wide pool over 540 chunks collect 69k candidates —
+        # 800 QPS at 8.8M; floor 32 keeps the final top-k input ~17k.)
+        per_chunk_k = min(chunk, max(32, -(-4 * top_k // n_chunks)))
 
     def body(_, ci):
         start = ci * chunk
@@ -519,8 +524,9 @@ def pq_search(
     n = index.codes.shape[0]
     exhaustive = index.coarse_codes is None
     if exhaustive:
-        # decoded chunks materialize [chunk, d]; keep them VMEM-friendly
-        chunk = min(chunk, 16384)
+        # bound the decoded [chunk, d] HBM temp (~96MB bf16 at 65536 x 768);
+        # larger chunks mean fewer scan steps over an 8.8M corpus
+        chunk = min(chunk, 65536)
     chunk = min(chunk, n)
     while n % chunk != 0:
         chunk -= 128
@@ -584,9 +590,18 @@ def pq_search(
             s = jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
             return _mask_chunk(s, start)
 
-        pool_s, pool_i = _scan_topk(
-            score_chunk, n, index.n_real, b, n_pool, chunk, approx_recall=approx_recall
-        )
+        if approx_recall is not None and n_pool > 64:
+            # wide refine pools: a running n_pool-wide carry re-sorts 2*n_pool
+            # per chunk and dominates the scan (measured: pool 320 dropped the
+            # 200k exhaustive scan from 266k to 6k QPS). Proportional per-chunk
+            # collection + ONE final top-k is the cheap way to a large pool.
+            pool_s, pool_i = _scan_collect_topk(
+                score_chunk, n, index.n_real, b, n_pool, chunk, approx_recall=approx_recall
+            )
+        else:
+            pool_s, pool_i = _scan_topk(
+                score_chunk, n, index.n_real, b, n_pool, chunk, approx_recall=approx_recall
+            )
     else:
         # Stage 1: coarse scores over all rows via the projected int8 corpus.
         q_proj = (q_eff @ index.proj) * index.coarse_scale  # [B, dc]
