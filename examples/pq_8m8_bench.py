@@ -112,21 +112,18 @@ def main() -> None:
     #   coarse+ref — coarse scan -> ADC -> exact re-rank, sharing the PCA rows
     #              as BOTH the coarse scanner and the refine store
     variants = {
+        "exh": PQIndex(  # pure streaming ADC, zero gathers (M B/vec only)
+            codebooks=codebooks, codes=codes, n_real=n, approx_recall=0.95,
+        ),
+        "exh+ref8": PQIndex(
+            codebooks=codebooks, codes=codes,
+            refine_codes=refine, refine_scale=refine_scale, refine_proj=refine_proj,
+            n_real=n, k_factor=8, approx_recall=0.95,
+        ),
         "exh+ref": PQIndex(
             codebooks=codebooks, codes=codes,
             refine_codes=refine, refine_scale=refine_scale, refine_proj=refine_proj,
             n_real=n, k_factor=args.k_factor, approx_recall=0.95,
-        ),
-        "coarse": PQIndex(
-            codebooks=codebooks, codes=codes,
-            coarse_codes=refine, coarse_scale=refine_scale, proj=refine_proj,
-            n_real=n, n_candidates=2048, approx_recall=0.95,
-        ),
-        "coarse+ref": PQIndex(
-            codebooks=codebooks, codes=codes,
-            coarse_codes=refine, coarse_scale=refine_scale, proj=refine_proj,
-            refine_codes=refine, refine_scale=refine_scale, refine_proj=refine_proj,
-            n_real=n, n_candidates=2048, k_factor=args.k_factor, approx_recall=0.95,
         ),
     }
     index = variants["exh+ref"]
@@ -168,6 +165,91 @@ def main() -> None:
     p1 = [jnp.asarray(make_queries(small, seed=i)) for i in range(3)]
     p2 = [jnp.asarray(np.stack([make_queries(block, seed=50 + 7 * i + j) for j in range(blocks)]))
           for i in range(3)]
+
+    # --- prototype: fused dual-estimator scan --------------------------------
+    # one chunk loop streams BOTH the PQ codes (decode+matmul ADC) and the
+    # PCA-int8 rows (int8 MXU matmul); final score = mean of the two
+    # estimates. The two error sources are independent (PQ quantization vs
+    # PCA truncation), so the combination beats either alone — with ZERO
+    # candidate gathers (the latency-bound step of refine pipelines).
+    from vod_tpu.search.dense import _scan_topk, decode_rows
+
+    def dual_search_indices(arrs, qv, chunk=65536, w_adc=0.5):
+        codes_, refine_ = arrs
+        b = qv.shape[0]
+        q_eff = qv.astype(jnp.float32)
+        q_mm = q_eff.astype(jnp.bfloat16)
+        q_pca = (q_eff @ refine_proj) * refine_scale  # [B, rdim] f32
+
+        def score_chunk(start):
+            c = jax.lax.dynamic_slice_in_dim(codes_, start, chunk, axis=0)
+            dec = decode_rows(codebooks, c, dtype=jnp.bfloat16)
+            s_adc = jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
+            r = jax.lax.dynamic_slice_in_dim(refine_, start, chunk, axis=0)
+            s_pca = jnp.dot(q_pca, r.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+            return w_adc * s_adc + (1.0 - w_adc) * s_pca
+
+        return _scan_topk(score_chunk, n_pad, n, b, k, chunk, approx_recall=0.95)[1]
+
+    # --- prototype: one-hot-matmul decode (gather-free ADC) ------------------
+    # decode gather (N x M codebook lookups) is the measured exhaustive-ADC
+    # bottleneck (m=64 -> ~1.6k QPS, m=128 -> ~0.9k: scales with lookups, not
+    # FLOPs). One-hot decode runs on the MXU: onehot(codes) [c, M, 256] bf16
+    # einsum'd with the codebooks — ~12% extra FLOPs, zero gathers.
+    def exh_onehot_indices(arrs, qv, chunk=8192):
+        codes_, _ = arrs
+        b = qv.shape[0]
+        q_mm = qv.astype(jnp.bfloat16)
+        cb = codebooks.astype(jnp.bfloat16)
+        iota = jnp.arange(256, dtype=jnp.int32)
+
+        def score_chunk(start):
+            c = jax.lax.dynamic_slice_in_dim(codes_, start, chunk, axis=0)
+            oh = (c.astype(jnp.int32)[:, :, None] == iota[None, None, :]).astype(jnp.bfloat16)
+            dec = jnp.einsum("cmk,mkd->cmd", oh, cb, preferred_element_type=jnp.bfloat16)
+            dec = dec.reshape(chunk, -1)
+            return jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
+
+        return _scan_topk(score_chunk, n_pad, n, b, k, chunk, approx_recall=0.95)[1]
+
+    f = jax.jit(exh_onehot_indices)
+    got = np.asarray(f((codes, refine), jq))
+    recall = float(np.mean(
+        [len(set(got[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(args.n_eval)]
+    ))
+    fb = jax.jit(lambda arrs, qb: jax.lax.map(lambda v: exh_onehot_indices(arrs, v), qb))
+    np.asarray(f((codes, refine), p1[0])[0, 0])
+    np.asarray(fb((codes, refine), p2[0])[0, 0, 0])
+    w1 = w2 = float("inf")
+    for i in range(3):
+        t = time.time(); np.asarray(f((codes, refine), p1[i])[-1]); w1 = min(w1, time.time() - t)
+        t = time.time(); np.asarray(fb((codes, refine), p2[i])[-1, -1]); w2 = min(w2, time.time() - t)
+    qps = (blocks * block - small) / max(w2 - w1, 1e-9)
+    print(json.dumps({
+        "codec": f"pq{m}:exh-onehot", "n": n, "bytes_per_vec": m,
+        "recall10": round(recall, 4), "qps": round(qps),
+    }), flush=True)
+
+    for w_adc in (0.3, 0.5):
+        f = jax.jit(functools.partial(dual_search_indices, w_adc=w_adc))
+        got = np.asarray(f((codes, refine), jq))
+        recall = float(np.mean(
+            [len(set(got[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(args.n_eval)]
+        ))
+        fb = jax.jit(lambda arrs, qb, w=w_adc: jax.lax.map(
+            lambda v: dual_search_indices(arrs, v, w_adc=w), qb
+        ))
+        np.asarray(f((codes, refine), p1[0])[0, 0])
+        np.asarray(fb((codes, refine), p2[0])[0, 0, 0])
+        w1 = w2 = float("inf")
+        for i in range(3):
+            t = time.time(); np.asarray(f((codes, refine), p1[i])[-1]); w1 = min(w1, time.time() - t)
+            t = time.time(); np.asarray(fb((codes, refine), p2[i])[-1, -1]); w2 = min(w2, time.time() - t)
+        qps = (blocks * block - small) / max(w2 - w1, 1e-9)
+        print(json.dumps({
+            "codec": f"pq{m}+pca{rdim}:dual{w_adc}", "n": n, "bytes_per_vec": m + rdim,
+            "recall10": round(recall, 4), "qps": round(qps),
+        }), flush=True)
 
     for vname, index in variants.items():
         out = pq_search(index, SearchQueries(vector=jq), top_k=k)
