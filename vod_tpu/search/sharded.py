@@ -315,7 +315,10 @@ def sharded_pq_search(
     rows = index.rows_per_shard
     exhaustive = index.coarse_codes is None
     if exhaustive:
-        chunk = min(chunk, 65536)  # bound the decoded [chunk, d] HBM temp
+        if index.refine_codes is not None:
+            chunk = min(chunk, 8192)  # one-hot decode: [chunk, M, 256] temp
+        else:
+            chunk = min(chunk, 65536)  # bound the decoded [chunk, d] HBM temp
     chunk = min(chunk, rows)
     while rows % chunk != 0:
         chunk -= 128
@@ -355,7 +358,9 @@ def sharded_pq_search(
 
             def score_chunk(start):
                 c = jax.lax.dynamic_slice_in_dim(codes, start, chunk, axis=0)
-                dec = decode_rows(index.codebooks, c, dtype=mm_dtype)
+                # gather-free one-hot decode when a refine stage follows
+                # (bit-identical, 1.75x faster at 8.8M — see dense.decode_rows)
+                dec = decode_rows(index.codebooks, c, dtype=mm_dtype, onehot=do_refine)
                 s = jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
                 return _mask_chunk(s, start)
 
