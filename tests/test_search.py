@@ -839,3 +839,19 @@ def test_pq_refine_dim_truncated_pca() -> None:
     got = np.asarray(out.indices)
     r_shard = float(np.mean([len(set(got[i].tolist()) & set(expected[i])) / k for i in range(b)]))
     assert r_shard >= r_trunc - 0.1, (r_trunc, r_shard)
+
+
+def test_decode_rows_onehot_matches_gather() -> None:
+    """The one-hot MXU decode is bit-identical to the gather decode at any
+    dtype (exact selection; summing the 255 zero terms is a no-op)."""
+    from vod_tpu.search.dense import decode_rows
+
+    rng = np.random.default_rng(3)
+    m, ksub, dsub, c = 8, 256, 12, 300
+    codebooks = jnp.asarray(rng.standard_normal((m, ksub, dsub)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, ksub, size=(c, m)).astype(np.uint8))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        a = np.asarray(decode_rows(codebooks, codes, dtype=dtype))
+        b = np.asarray(decode_rows(codebooks, codes, dtype=dtype, onehot=True))
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(a, b)
