@@ -337,16 +337,23 @@ def bench_flat() -> None:
     from vod_tpu.search import SearchQueries, build_dense_index
     from vod_tpu.search.dense import dense_search
 
-    rng = np.random.default_rng(0)
     n, d, b, k = 1_000_000, 768, 64, 10
+    corpus = None
     if pathlib.Path(_CORPUS_CACHE).exists():
         corpus = np.load(_CORPUS_CACHE)
-        _log(f"corpus loaded from {_CORPUS_CACHE}")
-    else:
-        corpus = rng.standard_normal((n, d), dtype=np.float32)
+        if corpus.shape != (n, d):  # stale cache from different constants
+            _log(f"cached corpus has shape {corpus.shape}, want {(n, d)}; regenerating")
+            corpus = None
+        else:
+            _log(f"corpus loaded from {_CORPUS_CACHE}")
+    if corpus is None:
+        corpus = np.random.default_rng(0).standard_normal((n, d), dtype=np.float32)
         corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
         np.save(_CORPUS_CACHE, corpus)
         _log("corpus generated + cached")
+    # query RNG is SEPARATE from the corpus generator so cached and uncached
+    # runs draw identical queries (a shared stream would shift by n*d draws)
+    rng = np.random.default_rng(12345)
     q = corpus[rng.choice(n, b, replace=False)] + 0.1 * rng.standard_normal((b, d)).astype(np.float32)
     q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
 

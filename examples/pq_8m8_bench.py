@@ -131,7 +131,12 @@ def main() -> None:
     # --- queries + exact f32 ground truth -----------------------------------
     rng = np.random.default_rng(0)
     s0 = np.asarray(gen_slab(keys[0])[: args.n_eval])
-    q = s0 + 0.1 * rng.standard_normal((args.n_eval, d)).astype(np.float32) * np.asarray(spec)
+    # noise is spectrum-shaped AND rotated through `basis` like the corpus:
+    # real queries are encoder outputs on the same manifold (unrotated noise
+    # puts energy off-manifold and pessimizes subspace codecs)
+    noise = (rng.standard_normal((args.n_eval, d)).astype(np.float32)
+             * np.asarray(spec)) @ np.asarray(basis)
+    q = s0 + 0.1 * noise
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     jq = jnp.asarray(q)
 

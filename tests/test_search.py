@@ -855,3 +855,34 @@ def test_decode_rows_onehot_matches_gather() -> None:
         b = np.asarray(decode_rows(codebooks, codes, dtype=dtype, onehot=True))
         assert a.dtype == b.dtype
         np.testing.assert_array_equal(a, b)
+
+
+def test_pq_subset_filter_concentrated_candidates() -> None:
+    """Subset filtering can put every finite score in ONE chunk of a dataset-
+    contiguous corpus; proportional candidate collection must not truncate
+    (lossless per-chunk share when filtering is active)."""
+    rng = np.random.default_rng(11)
+    n, d, k = 4096, 64, 48
+    corpus = _corpus(rng, n, d)
+    # dataset-contiguous subsets: rows 0..255 are subset 7, the rest subset 0
+    subset_ids = np.zeros(n, np.int32)
+    subset_ids[:256] = 7
+    index = build_pq_index(
+        jax.random.PRNGKey(0), jnp.asarray(corpus),
+        n_subquantizers=16, coarse_dim=None, kmeans_iters=3,
+        refine="float32", k_factor=4, subset_ids=jnp.asarray(subset_ids),
+    )
+    q = jnp.asarray(_corpus(rng, 2, d))
+    out = pq_search(
+        index,
+        SearchQueries(vector=q, subset_ids=jnp.full((2, 1), 7, jnp.int32)),
+        top_k=k,
+        chunk=256,  # 16 chunks; all subset-7 rows live in chunk 0
+    )
+    got = np.asarray(out.indices)
+    # every returned hit is from subset 7, and the full subset is recoverable:
+    # 48 of the 256 subset rows must come back (not capped by a 32-floor)
+    for row in got:
+        valid = row[row >= 0]
+        assert len(valid) == k, "truncated candidate collection under filtering"
+        assert np.all(valid < 256)

@@ -7,6 +7,7 @@ config + checkpoint (parity: `train.py:38-47`).
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import typing as typ
 
@@ -33,7 +34,7 @@ from vod_tpu.runtime import DeviceCorpus, TrainerState
 from vod_tpu.runtime.collate import device_collate
 from vod_tpu.runtime.train import make_train_step
 from vod_tpu.exps.recipes import PeriodicTrainingConfig, periodic_training
-from vod_tpu.search import HybridEngines, build_dense_index, build_sparse_index
+from vod_tpu.search import HybridEngines, build_dense_index
 
 
 def build_model(cfg: ModelConfig, *, proposal_temperature: float = 1.0) -> typ.Any:
@@ -188,12 +189,17 @@ def run_experiment(
         attention_mask=jnp.asarray(enc["attention_mask"]),
         subset_ids=jnp.asarray(enc["subset_ids"]),
     )
-    sparse_engine = build_sparse_index(
+    # route the O(tokens) C++ postings builder (python fallback inside), same
+    # as the factory path — the pure-Python build is hours-slow at MSMARCO scale
+    from vod_tpu.search.factory import build_sparse_from_config
+
+    sparse_engine = build_sparse_from_config(
+        sparse_cfg,
         [enc["terms"][i, : enc["term_counts"][i]].tolist() for i in range(len(sections))],
         n_terms=1 << 18,
-        max_postings=sparse_cfg.max_postings,
-        k1=sparse_cfg.k1,
-        b=sparse_cfg.b,
+        mesh=mesh if (sparse_cfg.sharded and mesh is not None
+                      and sparse_cfg.shard_axis in mesh.axis_names) else None,
+        shard_axis=sparse_cfg.shard_axis,
     )
 
     # --- dataloaders ---------------------------------------------------------
@@ -365,7 +371,12 @@ def main(argv: typ.Optional[list[str]] = None) -> None:
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
-    if args.coordinator or args.num_processes:
+    if (
+        args.coordinator
+        or args.num_processes
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("JAX_NUM_PROCESSES")
+    ):
         from vod_tpu.parallel import init_distributed
 
         pi, pc = init_distributed(args.coordinator, args.num_processes, args.process_id)

@@ -172,7 +172,7 @@ def train_opq(
     # polish at the final rotation with a longer k-means run
     codebooks = train_pq(
         jax.random.fold_in(rng, n_iters), x @ r, n_subquantizers, n_codes=n_codes,
-        n_iters=max(kmeans_iters, 2 * kmeans_iters), init_codebooks=codebooks,
+        n_iters=2 * kmeans_iters, init_codebooks=codebooks,
     )
     return r, codebooks
 

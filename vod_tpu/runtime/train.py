@@ -284,7 +284,6 @@ def training_loop(
                     _prof_on = False
             _prof_n += 1
             weights = state.get_parameters()  # schedules -> traced scalars each step
-            call_callbacks(callbacks, "on_train_batch_start", batch=queries, step=state.step)
             if accum > 1:
                 # grad accumulation (parity: `loops/train.py:76-86` `no_backward_sync`):
                 # gather `accum` micro-batches and scan them in ONE optimizer step.
@@ -298,12 +297,15 @@ def training_loop(
                     # fixed accumulation window (parity: `loops/train.py:76-86` —
                     # pending grads at iterator exhaustion are never applied).
                     # Stacking a short tail would silently change the effective
-                    # batch size AND retrace the scan at a new length.
+                    # batch size AND retrace the scan at a new length. Break
+                    # BEFORE on_train_batch_start so start/end callbacks pair.
                     break
+                call_callbacks(callbacks, "on_train_batch_start", batch=queries, step=state.step)
                 params, opt_state, m, rel, scores = step_fn.train_step_accum(
                     params, opt_state, engines, corpus, micro, step_rng, weights
                 )
             else:
+                call_callbacks(callbacks, "on_train_batch_start", batch=queries, step=state.step)
                 params, opt_state, m, rel, scores = step_fn.train_step(
                     params, opt_state, engines, corpus, _shard(queries), step_rng, weights
                 )

@@ -308,21 +308,31 @@ def _scan_collect_topk(
     chunk: int,
     per_chunk_k: typ.Optional[int] = None,
     approx_recall: typ.Optional[float] = 0.95,
+    concentrated: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Candidate selection for LARGE k (e.g. the PQ coarse stage's thousands of
     candidates): a running top-k carry would re-sort a k-wide buffer per chunk
     (measured 6 s/query-batch at 8.8M with k=8192). Instead: per-chunk keep a
     PROPORTIONAL share (oversampled ~2x), stack, and do ONE final top-k — the
     standard distributed-top-k approximation (each global winner is almost
-    surely in its chunk's proportional top share)."""
+    surely in its chunk's proportional top share).
+
+    `concentrated=True` (callers set it when subset/shard filtering is active,
+    i.e. finite scores may all live in ONE chunk of a dataset-contiguous
+    corpus) and exact mode (`approx_recall=None`) both force the lossless
+    `per_chunk_k = top_k`: the proportional-share argument assumes winners
+    spread ~Poisson across chunks, which filtering violates."""
     n_chunks = n_rows // chunk
     if per_chunk_k is None:
-        # 4x proportional oversampling, floor 32: for a random row layout the
-        # per-chunk share of the global top-k is ~Poisson(k/n_chunks), so 32 is
-        # already vanishingly unlikely to truncate a winner. (The old floor of
-        # 128 made a 160-wide pool over 540 chunks collect 69k candidates —
-        # 800 QPS at 8.8M; floor 32 keeps the final top-k input ~17k.)
-        per_chunk_k = min(chunk, max(32, -(-4 * top_k // n_chunks)))
+        if concentrated or approx_recall is None:
+            per_chunk_k = min(chunk, top_k)
+        else:
+            # 4x proportional oversampling, floor 32: for a random row layout
+            # the per-chunk share of the global top-k is ~Poisson(k/n_chunks),
+            # so 32 is already vanishingly unlikely to truncate a winner. (The
+            # old floor of 128 made a 160-wide pool over 540 chunks collect
+            # 69k candidates — 800 QPS at 8.8M; floor 32 keeps it ~17k.)
+            per_chunk_k = min(chunk, max(32, -(-4 * top_k // n_chunks)))
 
     def body(_, ci):
         start = ci * chunk
@@ -590,6 +600,10 @@ def pq_search(
     if index.rotation is not None:  # OPQ: rotate queries into codebook space
         q_eff = q_eff @ index.rotation
     allowed = queries.subset_ids
+    # subset filtering can concentrate every finite score into one chunk of a
+    # dataset-contiguous corpus — proportional candidate collection must not
+    # truncate there (see _scan_collect_topk)
+    filtered = allowed is not None and index.subset_ids is not None
 
     def _mask_chunk(s: jax.Array, start: jax.Array) -> jax.Array:
         if allowed is not None and index.subset_ids is not None:
@@ -622,7 +636,8 @@ def pq_search(
             # 200k exhaustive scan from 266k to 6k QPS). Proportional per-chunk
             # collection + ONE final top-k is the cheap way to a large pool.
             pool_s, pool_i = _scan_collect_topk(
-                score_chunk, n, index.n_real, b, n_pool, chunk, approx_recall=approx_recall
+                score_chunk, n, index.n_real, b, n_pool, chunk,
+                approx_recall=approx_recall, concentrated=filtered,
             )
         else:
             pool_s, pool_i = _scan_topk(
@@ -638,7 +653,8 @@ def pq_search(
             return _mask_chunk(s, start)
 
         cand_s, cand_i = _scan_collect_topk(
-            score_chunk, n, index.n_real, b, n_cand, chunk, approx_recall=approx_recall
+            score_chunk, n, index.n_real, b, n_cand, chunk,
+            approx_recall=approx_recall, concentrated=filtered,
         )
 
         # Stage 2: ADC rescore of the candidates (B * n_cand * M bytes gather).

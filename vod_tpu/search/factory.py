@@ -193,6 +193,18 @@ def build_dense_from_host(
 
     if cfg.codec == "pq":
         refine = cfg.refine if cfg.refine in ("none", "int8") else "int8"
+        if refine != cfg.refine:
+            # a full-precision refine store (N x D x 2-4 B) cannot fit by this
+            # path's premise (the corpus exceeds the HBM budget) — downgrade
+            # LOUDLY so `RFlat`-style configs don't silently change semantics
+            # when the periodic recipe crosses `embed_hbm_budget_bytes`.
+            import warnings
+
+            warnings.warn(
+                f"build_dense_from_host: refine={cfg.refine!r} does not fit the "
+                f"over-HBM build path; using int8 refine rows instead",
+                stacklevel=2,
+            )
         index = build_pq_index_from_host(
             rng, vectors_np,
             n_subquantizers=cfg.n_subquantizers,

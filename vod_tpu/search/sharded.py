@@ -332,6 +332,8 @@ def sharded_pq_search(
     n_pool = min(index.k_factor * top_k, rows) if do_refine else k_local
     allowed = queries.subset_ids
     route = queries.shard
+    # subset/shard filtering concentrates finite scores (see dense._scan_collect_topk)
+    filtered = (allowed is not None and index.subset_ids is not None) or route is not None
 
     def local_fn(codes, coarse, sub, cshard, refine, qv, allow, rt):
         my = jax.lax.axis_index(axis)
@@ -369,7 +371,7 @@ def sharded_pq_search(
                 # running carry (see pq_search; measured 40x at pool 320)
                 pool_s, pool_i = _scan_collect_topk(
                     score_chunk, rows, rows, b, n_pool, chunk,
-                    approx_recall=index.approx_recall,
+                    approx_recall=index.approx_recall, concentrated=filtered,
                 )
             else:
                 pool_s, pool_i = _scan_topk(
@@ -385,7 +387,8 @@ def sharded_pq_search(
                 return _mask_chunk(s, start)
 
             cand_s, cand_i = _scan_collect_topk(
-                score_chunk, rows, rows, b, n_cand, chunk, approx_recall=index.approx_recall
+                score_chunk, rows, rows, b, n_cand, chunk,
+                approx_recall=index.approx_recall, concentrated=filtered,
             )
             # ADC rescore of the local candidates against the local codes
             safe_i = jnp.clip(cand_i, 0, rows - 1)
