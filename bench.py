@@ -208,18 +208,44 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
         out_q = base + 1e-3 * r.standard_normal((nq, d)).astype(np.float32)
         return out_q / np.linalg.norm(out_q, axis=1, keepdims=True)
 
-    _log("msmarco: timing")
+    _log("msmarco: timing (scan)")
     qps = _qps(
         lambda ix, v: dense_search(ix, SearchQueries(vector=v), top_k=k).indices,
         index, make_queries, big_blocks=4,
     )
+    # Pallas fused matmul+binned-top-k path over the same int8 codes (r2
+    # measured 26.5k vs 22.7k scan at this shape; recall dips slightly from
+    # the kernel's binned selection)
+    results = {"scan": (qps, recall)}
+    try:
+        index_fused = index.replace(kernel="fused")
+        out_f = dense_search(index_fused, SearchQueries(vector=jq), top_k=k)
+        got_f = np.asarray(out_f.indices)
+        recall_f = float(np.mean(
+            [len(set(got_f[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(n_eval)]
+        ))
+        _log("msmarco: timing (fused)")
+        qps_f = _qps(
+            lambda ix, v: dense_search(ix, SearchQueries(vector=v), top_k=k).indices,
+            index_fused, make_queries, big_blocks=4,
+        )
+        results["fused"] = (qps_f, recall_f)
+    except Exception as exc:  # noqa: BLE001 - keep the scan number if fused regresses
+        _log(f"fused int8 path failed: {exc}")
+        results["fused"] = (0.0, 0.0)
+    (scan_qps, scan_recall), (fused_qps, fused_recall) = results["scan"], results["fused"]
+    if fused_qps > scan_qps:
+        qps, recall, path = fused_qps, fused_recall, "pallas-fused"
+    else:
+        qps, recall, path = scan_qps, scan_recall, "scan"
     mem_gb = n_pad * d / 2**30
     # faiss-CPU extrapolation: measured flat-CPU QPS at 1M (see flat config)
     # scales ~1/n; int8-768B/vec is the qdrant-scalar-quantization shape
     result = {
         "metric": (
-            f"8.8M x 768 int8 index (768 B/vec, {mem_gb:.1f} GB HBM): "
-            f"recall@10={recall:.3f} vs exact f32"
+            f"8.8M x 768 int8 index (768 B/vec, {mem_gb:.1f} GB HBM, {path}): "
+            f"recall@10={recall:.3f} vs exact f32; "
+            f"scan={scan_qps:,.0f}@{scan_recall:.3f} fused={fused_qps:,.0f}@{fused_recall:.3f}"
         ),
         "value": round(qps, 1),
         "unit": "QPS",
