@@ -504,6 +504,42 @@ def decode_rows(
     return flat[idx].reshape(codes.shape[0], m * dsub)
 
 
+def _int8_adc_scan_inputs(
+    codebooks: jax.Array, q_eff: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Prepare the int8 exhaustive-ADC scan: per-subspace-quantized codebooks
+    and row-quantized queries with the codebook scale folded in.
+
+    Because a one-hot matmul SELECTS codebook entries, `onehot_i8 @ cb_i8`
+    reproduces the int8-quantized codebook exactly; the only approximation is
+    the per-subspace codebook quantization plus the per-row query
+    quantization (<1% — erased by the exact refine stage this path requires).
+    Returns (cb_i8 [M,256,dsub], q_i8 [B,D], q_row_scale [B,1])."""
+    cb_absmax = jnp.max(jnp.abs(codebooks), axis=(1, 2), keepdims=True)
+    cb_scale = jnp.maximum(cb_absmax, 1e-8) / 127.0
+    cb_i8 = jnp.clip(jnp.round(codebooks / cb_scale), -127, 127).astype(jnp.int8)
+    scale_vec = jnp.repeat(cb_scale[:, 0, 0], codebooks.shape[-1])
+    q_f = q_eff.astype(jnp.float32) * scale_vec
+    q_row = jnp.maximum(jnp.max(jnp.abs(q_f), axis=-1, keepdims=True), 1e-8) / 127.0
+    q_i8 = jnp.clip(jnp.round(q_f / q_row), -127, 127).astype(jnp.int8)
+    return cb_i8, q_i8, q_row
+
+
+def _int8_onehot_adc_chunk(
+    cb_i8: jax.Array, q_i8: jax.Array, q_row: jax.Array, c: jax.Array
+) -> jax.Array:
+    """Score one code chunk: int8 one-hot decode (MXU, gather-free) + int8
+    matmul with int32 accumulation; scores rescaled to f32."""
+    iota = jnp.arange(256, dtype=jnp.int32)
+    oh = (c.astype(jnp.int32)[:, :, None] == iota[None, None, :]).astype(jnp.int8)
+    dec = jnp.einsum("cmk,mkd->cmd", oh, cb_i8, preferred_element_type=jnp.int32)
+    dec = dec.reshape(c.shape[0], -1).astype(jnp.int8)  # values are int8-ranged
+    acc = jax.lax.dot_general(
+        q_i8, dec, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * q_row
+
+
 def _refine_rerank(
     index: PQIndex, q_orig: jax.Array, cand_s: jax.Array, cand_i: jax.Array, top_k: int
 ) -> tuple[jax.Array, jax.Array]:
@@ -553,9 +589,11 @@ def pq_search(
     do_refine = index.refine_codes is not None
     if exhaustive:
         if do_refine:
-            # one-hot decode path: bound the [chunk, M, 256] one-hot temp
-            # (256MB bf16 at 8192 x 64); measured fastest at 8.8M
-            chunk = min(chunk, 8192)
+            # int8 one-hot decode path: [chunk, M, 256] int8 temp (512MB at
+            # 32768 x 64); measured fastest at 8.8M (see
+            # examples/pq_decode_variants_bench.py: 4728 QPS vs 2878 at 8192
+            # bf16, identical recall)
+            chunk = min(chunk, 32768)
         else:
             # gather-decode path: bound the decoded [chunk, d] HBM temp
             # (~96MB bf16 at 65536 x 768)
@@ -615,20 +653,27 @@ def pq_search(
 
     if exhaustive:
         # Exhaustive ADC == q_rot . decode(codes): a streaming decode+matmul
-        # scan with NO candidate-recall loss. bf16 matmul when a refine stage
-        # will fix the ordering anyway; f32 when the ADC order is final. With
-        # a refine stage the decode runs as a one-hot MXU matmul (gather-free
-        # — 1.75x faster at 8.8M; bit-identical to the gather decode).
-        mm_dtype = jnp.bfloat16 if do_refine else jnp.float32
-        q_mm = q_eff.astype(mm_dtype)
+        # scan with NO candidate-recall loss. With a refine stage fixing the
+        # final order, the whole scan runs int8 (one-hot MXU decode + int8
+        # matmul with the codebook scale folded into the query): the one-hot
+        # temp halves and both matmuls run at 2x the bf16 MXU rate — 4728 vs
+        # 1641 QPS at 8.8M x pq64, identical recall (the <1% codebook
+        # quantization error is erased by the exact re-rank). Without refine
+        # the ADC order is final: f32 gather decode.
+        if do_refine:
+            cb_i8, q_i8, q_row = _int8_adc_scan_inputs(index.codebooks, q_eff)
 
-        def score_chunk(start: jax.Array) -> jax.Array:
-            c = jax.lax.dynamic_slice_in_dim(index.codes, start, chunk, axis=0)
-            dec = decode_rows(
-                index.codebooks, c, dtype=mm_dtype, onehot=do_refine
-            )  # [chunk, d]
-            s = jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
-            return _mask_chunk(s, start)
+            def score_chunk(start: jax.Array) -> jax.Array:
+                c = jax.lax.dynamic_slice_in_dim(index.codes, start, chunk, axis=0)
+                return _mask_chunk(_int8_onehot_adc_chunk(cb_i8, q_i8, q_row, c), start)
+        else:
+            q_mm = q_eff.astype(jnp.float32)
+
+            def score_chunk(start: jax.Array) -> jax.Array:
+                c = jax.lax.dynamic_slice_in_dim(index.codes, start, chunk, axis=0)
+                dec = decode_rows(index.codebooks, c, dtype=jnp.float32)  # [chunk, d]
+                s = jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
+                return _mask_chunk(s, start)
 
         if approx_recall is not None and n_pool > 64:
             # wide refine pools: a running n_pool-wide carry re-sorts 2*n_pool

@@ -316,7 +316,7 @@ def sharded_pq_search(
     exhaustive = index.coarse_codes is None
     if exhaustive:
         if index.refine_codes is not None:
-            chunk = min(chunk, 8192)  # one-hot decode: [chunk, M, 256] temp
+            chunk = min(chunk, 32768)  # int8 one-hot decode: [chunk, M, 256] temp
         else:
             chunk = min(chunk, 65536)  # bound the decoded [chunk, d] HBM temp
     chunk = min(chunk, rows)
@@ -355,16 +355,26 @@ def sharded_pq_search(
             return jnp.where(grow < index.n_real, s, -jnp.inf)
 
         if exhaustive:
-            mm_dtype = jnp.bfloat16 if do_refine else jnp.float32
-            q_mm = q_eff.astype(mm_dtype)
+            if do_refine:
+                # int8 one-hot decode + int8 scan (4728 vs 1641 QPS at 8.8M,
+                # identical recall — see dense._int8_adc_scan_inputs)
+                from .dense import _int8_adc_scan_inputs, _int8_onehot_adc_chunk
 
-            def score_chunk(start):
-                c = jax.lax.dynamic_slice_in_dim(codes, start, chunk, axis=0)
-                # gather-free one-hot decode when a refine stage follows
-                # (bit-identical, 1.75x faster at 8.8M — see dense.decode_rows)
-                dec = decode_rows(index.codebooks, c, dtype=mm_dtype, onehot=do_refine)
-                s = jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
-                return _mask_chunk(s, start)
+                cb_i8, q_i8, q_row = _int8_adc_scan_inputs(index.codebooks, q_eff)
+
+                def score_chunk(start):
+                    c = jax.lax.dynamic_slice_in_dim(codes, start, chunk, axis=0)
+                    return _mask_chunk(
+                        _int8_onehot_adc_chunk(cb_i8, q_i8, q_row, c), start
+                    )
+            else:
+                q_mm = q_eff.astype(jnp.float32)
+
+                def score_chunk(start):
+                    c = jax.lax.dynamic_slice_in_dim(codes, start, chunk, axis=0)
+                    dec = decode_rows(index.codebooks, c, dtype=jnp.float32)
+                    s = jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
+                    return _mask_chunk(s, start)
 
             if index.approx_recall is not None and n_pool > 64:
                 # wide refine pools: collect-then-one-top-k beats an n_pool-wide
