@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8_841_823)
     ap.add_argument("--d", type=int, default=768)
     ap.add_argument("--m", type=int, default=64, help="PQ subquantizers")
+    ap.add_argument("--code_bits", type=int, default=8, choices=(8, 4),
+                    help="4 = fast-scan PQ{M}x4 (nibble-packed codes, 16-entry codebooks)")
     ap.add_argument("--refine_dim", type=int, default=128)
     ap.add_argument("--k_factor", type=int, default=16)
     ap.add_argument("--train", type=int, default=262_144)
@@ -52,6 +54,7 @@ def main() -> None:
     from vod_tpu.search.dense import PQIndex, pq_search
 
     n, d, m, rdim, k = args.n, args.d, args.m, args.refine_dim, 10
+    cb_bytes = m // 2 if args.code_bits == 4 else m  # code bytes/vector
     n_slabs = 8
     slab = -(-(-(-n // n_slabs)) // 8192) * 8192
     n_pad = slab * n_slabs
@@ -76,7 +79,10 @@ def main() -> None:
     # --- train on a device-generated sample ---------------------------------
     t0 = time.time()
     train = gen_slab(keys[0])[: args.train]
-    codebooks = pq_ops.train_pq(jax.random.PRNGKey(0), train, m, n_iters=args.kmeans_iters)
+    codebooks = pq_ops.train_pq(
+        jax.random.PRNGKey(0), train, m, n_codes=1 << args.code_bits,
+        n_iters=args.kmeans_iters,
+    )
     refine_proj, _mean = pq_ops.train_projection(train, rdim)
     ref_sample = train @ refine_proj
     refine_scale = jnp.maximum(jnp.max(jnp.abs(ref_sample), axis=0, keepdims=True), 1e-8) / 127.0
@@ -85,10 +91,14 @@ def main() -> None:
           flush=True)
 
     # --- encode slabs on device, assemble with donation ---------------------
+    from vod_tpu.search.dense import _pack_codes4
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def fill(codes, refine, key, row0):
         x = gen_slab(key)
         c = pq_ops.encode_pq(codebooks, x)
+        if args.code_bits == 4:
+            c = _pack_codes4(c)
         r = jnp.clip(jnp.round((x @ refine_proj) / refine_scale), -127, 127).astype(jnp.int8)
         return (
             jax.lax.dynamic_update_slice(codes, c, (row0, 0)),
@@ -96,14 +106,14 @@ def main() -> None:
         )
 
     t0 = time.time()
-    codes = jnp.zeros((n_pad, m), jnp.uint8)
+    codes = jnp.zeros((n_pad, cb_bytes), jnp.uint8)
     refine = jnp.zeros((n_pad, rdim), jnp.int8)
     for i, kk in enumerate(keys):
         codes, refine = fill(codes, refine, kk, jnp.int32(i * slab))
     codes.block_until_ready()
     build_s = time.time() - t0
     print(f"# encoded {n_pad} rows in {build_s:.0f}s "
-          f"({(n_pad * (m + rdim)) / 2**30:.2f} GB on device)", flush=True)
+          f"({(n_pad * (cb_bytes + rdim)) / 2**30:.2f} GB on device)", flush=True)
 
     # three pipelines over the SAME arrays (all 192 B/vec on device):
     #   exh+ref  — exhaustive decode+matmul ADC pool -> exact PCA-int8 re-rank
@@ -112,18 +122,20 @@ def main() -> None:
     #   coarse+ref — coarse scan -> ADC -> exact re-rank, sharing the PCA rows
     #              as BOTH the coarse scanner and the refine store
     variants = {
-        "exh": PQIndex(  # pure streaming ADC, zero gathers (M B/vec only)
+        "exh": PQIndex(  # pure streaming ADC, zero gathers (code bytes only)
             codebooks=codebooks, codes=codes, n_real=n, approx_recall=0.95,
+            code_bits=args.code_bits,
         ),
         "exh+ref8": PQIndex(
             codebooks=codebooks, codes=codes,
             refine_codes=refine, refine_scale=refine_scale, refine_proj=refine_proj,
-            n_real=n, k_factor=8, approx_recall=0.95,
+            n_real=n, k_factor=8, approx_recall=0.95, code_bits=args.code_bits,
         ),
         "exh+ref": PQIndex(
             codebooks=codebooks, codes=codes,
             refine_codes=refine, refine_scale=refine_scale, refine_proj=refine_proj,
             n_real=n, k_factor=args.k_factor, approx_recall=0.95,
+            code_bits=args.code_bits,
         ),
     }
     index = variants["exh+ref"]
@@ -217,25 +229,29 @@ def main() -> None:
 
         return _scan_topk(score_chunk, n_pad, n, b, k, chunk, approx_recall=0.95)[1]
 
-    f = jax.jit(exh_onehot_indices)
-    got = np.asarray(f((codes, refine), jq))
-    recall = float(np.mean(
-        [len(set(got[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(args.n_eval)]
-    ))
-    fb = jax.jit(lambda arrs, qb: jax.lax.map(lambda v: exh_onehot_indices(arrs, v), qb))
-    np.asarray(f((codes, refine), p1[0])[0, 0])
-    np.asarray(fb((codes, refine), p2[0])[0, 0, 0])
-    w1 = w2 = float("inf")
-    for i in range(3):
-        t = time.time(); np.asarray(f((codes, refine), p1[i])[-1]); w1 = min(w1, time.time() - t)
-        t = time.time(); np.asarray(fb((codes, refine), p2[i])[-1, -1]); w2 = min(w2, time.time() - t)
-    qps = (blocks * block - small) / max(w2 - w1, 1e-9)
-    print(json.dumps({
-        "codec": f"pq{m}:exh-onehot", "n": n, "bytes_per_vec": m,
-        "recall10": round(recall, 4), "qps": round(qps),
-    }), flush=True)
+    # the prototype scans above assume 8-bit (256-entry) codebooks and
+    # unpacked codes; the production `pq_search` path below handles both widths
+    prototype_wadcs = (0.3, 0.5) if args.code_bits == 8 else ()
+    if args.code_bits == 8:
+        f = jax.jit(exh_onehot_indices)
+        got = np.asarray(f((codes, refine), jq))
+        recall = float(np.mean(
+            [len(set(got[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(args.n_eval)]
+        ))
+        fb = jax.jit(lambda arrs, qb: jax.lax.map(lambda v: exh_onehot_indices(arrs, v), qb))
+        np.asarray(f((codes, refine), p1[0])[0, 0])
+        np.asarray(fb((codes, refine), p2[0])[0, 0, 0])
+        w1 = w2 = float("inf")
+        for i in range(3):
+            t = time.time(); np.asarray(f((codes, refine), p1[i])[-1]); w1 = min(w1, time.time() - t)
+            t = time.time(); np.asarray(fb((codes, refine), p2[i])[-1, -1]); w2 = min(w2, time.time() - t)
+        qps = (blocks * block - small) / max(w2 - w1, 1e-9)
+        print(json.dumps({
+            "codec": f"pq{m}:exh-onehot", "n": n, "bytes_per_vec": m,
+            "recall10": round(recall, 4), "qps": round(qps),
+        }), flush=True)
 
-    for w_adc in (0.3, 0.5):
+    for w_adc in prototype_wadcs:
         f = jax.jit(functools.partial(dual_search_indices, w_adc=w_adc))
         got = np.asarray(f((codes, refine), jq))
         recall = float(np.mean(
@@ -275,10 +291,11 @@ def main() -> None:
             t = time.time(); np.asarray(sfn(index, p1[i])[-1]); w1 = min(w1, time.time() - t)
             t = time.time(); np.asarray(sfn_blocks(index, p2[i])[-1, -1]); w2 = min(w2, time.time() - t)
         qps = (blocks * block - small) / max(w2 - w1, 1e-9)
+        bits_tag = "x4" if args.code_bits == 4 else ""
         print(json.dumps({
-            "codec": f"pq{m}+pca{rdim}:{vname}",
-            "n": n, "bytes_per_vec": m + rdim,
-            "hbm_gb": round((n_pad * (m + rdim)) / 2**30, 2),
+            "codec": f"pq{m}{bits_tag}+pca{rdim}:{vname}",
+            "n": n, "bytes_per_vec": cb_bytes + rdim,
+            "hbm_gb": round((n_pad * (cb_bytes + rdim)) / 2**30, 2),
             "recall10": round(recall, 4), "qps": round(qps), "build_s": round(build_s, 1),
             "k_factor": args.k_factor,
         }), flush=True)

@@ -886,3 +886,110 @@ def test_pq_subset_filter_concentrated_candidates() -> None:
         valid = row[row >= 0]
         assert len(valid) == k, "truncated candidate collection under filtering"
         assert np.all(valid < 256)
+
+
+def test_pq4_pack_roundtrip() -> None:
+    """Nibble packing is lossless for code values < 16 (any leading shape)."""
+    from vod_tpu.search.dense import _pack_codes4, _unpack_codes4
+
+    rng = np.random.default_rng(7)
+    codes = jnp.asarray(rng.integers(0, 16, size=(37, 12)).astype("uint8"))
+    packed = _pack_codes4(codes)
+    assert packed.shape == (37, 6) and packed.dtype == jnp.uint8
+    assert np.array_equal(np.asarray(_unpack_codes4(packed)), np.asarray(codes))
+    codes3 = jnp.asarray(rng.integers(0, 16, size=(4, 9, 8)).astype("uint8"))
+    assert np.array_equal(
+        np.asarray(_unpack_codes4(_pack_codes4(codes3))), np.asarray(codes3)
+    )
+
+
+def test_pq4_exhaustive_refine_recall() -> None:
+    """4-bit fast-scan codec (faiss `PQ{M}x4fs` parity): nibble-packed codes at
+    M/2 B/vec, 16-entry codebooks; with int8 refine the recall approaches the
+    8-bit codec's."""
+    rng = np.random.default_rng(31)
+    n, d, b, k = 4000, 64, 8, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    index = build_pq_index(
+        jax.random.PRNGKey(5), jnp.asarray(corpus),
+        n_subquantizers=32, code_bits=4, coarse_dim=None, kmeans_iters=4,
+        refine="int8", k_factor=8, approx_recall=None,
+    )
+    assert index.code_bits == 4
+    assert index.codes.shape[-1] == 16  # 32 subquantizers nibble-packed
+    assert index.codebooks.shape[1] == 16
+    out = pq_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=256)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+    got = np.asarray(out.indices)
+    recall = float(np.mean([len(set(got[i]) & set(expected[i])) / k for i in range(b)]))
+    assert recall >= 0.8, recall
+
+
+def test_pq4_coarse_path_unpacks_candidates() -> None:
+    """The coarse-scan + ADC-rescore path unpacks gathered 4-bit codes."""
+    rng = np.random.default_rng(33)
+    n, d, b, k = 2000, 32, 4, 5
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    index = build_pq_index(
+        jax.random.PRNGKey(6), jnp.asarray(corpus),
+        n_subquantizers=8, code_bits=4, coarse_dim=16, n_candidates=256,
+        kmeans_iters=4, approx_recall=None,
+    )
+    out = pq_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=256)
+    got = np.asarray(out.indices)
+    assert got.shape == (b, k) and (got >= 0).all()
+    # ADC order must match the unpacked-codes ADC reference
+    from vod_tpu.ops import pq as pq_ops
+    from vod_tpu.search.dense import _unpack_codes4
+
+    lut = pq_ops.adc_lut(index.codebooks, jnp.asarray(q))
+    all_codes = _unpack_codes4(index.codes)[None, :n].repeat(b, axis=0)
+    adc_ref = np.asarray(pq_ops.adc_score_codes(lut, all_codes))
+    for i in range(b):
+        ref_top = set(np.argsort(-adc_ref[i])[: 3 * k].tolist())
+        assert len(set(got[i].tolist()) & ref_top) >= k - 1
+
+
+def test_faiss_factory_pq4_fastscan() -> None:
+    """`PQ{M}x4fs[r]` factory strings select the 4-bit codec."""
+    from vod_tpu.configs.search import DenseFactoryConfig
+
+    cfg = DenseFactoryConfig.from_faiss_factory("OPQ64_128,PQ128x4fs")
+    assert cfg.codec == "pq" and cfg.code_bits == 4
+    assert cfg.n_subquantizers == 128 and cfg.use_opq
+    cfg = DenseFactoryConfig.from_faiss_factory("PQ64x4fs,RFlat")
+    assert cfg.code_bits == 4 and cfg.refine == "float32"
+    cfg = DenseFactoryConfig.from_faiss_factory("OPQ32_512,IVFauto,PQ32x8")
+    assert cfg.code_bits == 8 and cfg.n_subquantizers == 32
+
+
+@pytest.mark.slow
+def test_sharded_pq4_matches_unsharded() -> None:
+    """4-bit exhaustive ADC + int8 refine: sharded recall >= unsharded."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import shard_pq_index, sharded_pq_search
+
+    mesh = make_mesh((8,), ("shard",))
+    rng = np.random.default_rng(35)
+    n, d, b, k = 3000, 32, 4, 8
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    pq = build_pq_index(
+        jax.random.PRNGKey(8), jnp.asarray(corpus),
+        n_subquantizers=8, code_bits=4, coarse_dim=None, kmeans_iters=4,
+        refine="int8", k_factor=4, approx_recall=None,
+    )
+    ref = pq_search(pq, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=256)
+    spq = shard_pq_index(pq, mesh)
+    assert spq.code_bits == 4
+    out = sharded_pq_search(spq, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=128)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+
+    def recall(ind: np.ndarray) -> float:
+        return float(np.mean([len(set(ind[i]) & set(expected[i])) / k for i in range(b)]))
+
+    r_ref, r_shard = recall(np.asarray(ref.indices)), recall(np.asarray(out.indices))
+    assert r_shard >= r_ref - 0.13, (r_ref, r_shard)
+    assert r_shard >= 0.7, r_shard

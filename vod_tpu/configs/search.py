@@ -41,6 +41,9 @@ class DenseFactoryConfig(StrictModel):
     # pq codec; coarse_dim=None = exhaustive ADC (decode+matmul scan, no
     # candidate-recall loss, M B/vector)
     n_subquantizers: int = 32
+    # 8 = classic PQ{M}x8; 4 = fast-scan PQ{M}x4 (16-entry codebooks,
+    # nibble-packed codes at M/2 B/vec — parity: faiss `PQ{M}x4fs`)
+    code_bits: typ.Literal[8, 4] = 8
     coarse_dim: typ.Optional[int] = 32
     n_candidates: int = 1024
     train_size: typ.Optional[int] = None
@@ -72,10 +75,11 @@ class DenseFactoryConfig(StrictModel):
 
         `Flat` -> flat/f32; `IVF{n},Flat`/`IVFauto,Flat` -> ivf codec (n_clusters
         inferred for `auto`, `support.py:13`); `...PQ{M}x8...` -> pq codec with M
-        subquantizers; an `OPQ{M}_{d},` prefix enables the OPQ rotation and feeds
-        the coarse projection dim.
+        subquantizers; `...PQ{M}x4fs[r]...` -> the 4-bit fast-scan codec
+        (16-entry codebooks, nibble-packed codes); an `OPQ{M}_{d},` prefix
+        enables the OPQ rotation and feeds the coarse projection dim.
         """
-        m_pq = re.search(r"PQ(\d+)x8", factory)
+        m_pq = re.search(r"PQ(\d+)x(8|4)", factory)
         if m_pq:
             m_opq = re.search(r"OPQ\d+_(\d+)", factory)
             # faiss refine suffixes: `...,RFlat` = f32 re-rank, `...,Refine(SQ8)`
@@ -88,6 +92,7 @@ class DenseFactoryConfig(StrictModel):
             return cls(
                 codec="pq",
                 n_subquantizers=int(m_pq.group(1)),
+                code_bits=int(m_pq.group(2)),
                 coarse_dim=min(64, int(m_opq.group(1)) if m_opq else 32),
                 use_opq=m_opq is not None,
                 refine=refine,

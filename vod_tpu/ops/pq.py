@@ -46,20 +46,35 @@ def train_pq(
     x_sub = x.reshape(n, m, dsub).transpose(1, 0, 2)  # [M, n, dsub]
     rngs = jax.random.split(rng, m)
 
+    # Batch subspaces through a vmapped kmeans: per-subspace matmuls are tiny
+    # ([chunk, dsub] x [dsub, n_codes]) and a sequential map over M subspaces
+    # is dispatch-overhead-bound (measured 832s for 128x16 codebooks at 262k
+    # rows; ~30x faster vmapped). Group size bounds the [g, chunk, n_codes]
+    # distance temps AND the [g, n, n_codes]-free segment sums at ~1GB.
+    g = max(1, min(m, (1 << 30) // max(1, n * n_codes * 4)))
+    while m % g != 0:
+        g -= 1
+
     if init_codebooks is not None:
+        vk_warm = jax.vmap(
+            lambda r, xs, c0: kmeans(r, xs, n_clusters=n_codes, n_iters=n_iters, init=c0)[0]
+        )
+        out = jax.lax.map(
+            lambda args: vk_warm(*args),
+            (
+                rngs.reshape(m // g, g, -1),
+                x_sub.reshape(m // g, g, n, dsub),
+                init_codebooks.reshape(m // g, g, n_codes, dsub),
+            ),
+        )
+        return out.reshape(m, n_codes, dsub)
 
-        def train_warm(args: tuple) -> jax.Array:
-            r, xs, c0 = args
-            c, _ = kmeans(r, xs, n_clusters=n_codes, n_iters=n_iters, init=c0)
-            return c
-
-        return jax.lax.map(train_warm, (rngs, x_sub, init_codebooks))
-
-    def train_one(r: jax.Array, xs: jax.Array) -> jax.Array:
-        c, _ = kmeans(r, xs, n_clusters=n_codes, n_iters=n_iters)
-        return c
-
-    return jax.lax.map(lambda args: train_one(*args), (rngs, x_sub))
+    vk = jax.vmap(lambda r, xs: kmeans(r, xs, n_clusters=n_codes, n_iters=n_iters)[0])
+    out = jax.lax.map(
+        lambda args: vk(*args),
+        (rngs.reshape(m // g, g, -1), x_sub.reshape(m // g, g, n, dsub)),
+    )
+    return out.reshape(m, n_codes, dsub)
 
 
 def encode_pq(codebooks: jax.Array, x: jax.Array, chunk: int = 8192) -> jax.Array:

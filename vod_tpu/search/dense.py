@@ -65,8 +65,8 @@ class PQIndex:
     of recall@10).
     """
 
-    codebooks: jax.Array  # [M, 256, dsub] f32
-    codes: jax.Array  # [N, M] uint8
+    codebooks: jax.Array  # [M, n_codes, dsub] f32 (n_codes = 1 << code_bits)
+    codes: jax.Array  # [N, M] uint8, or [N, M//2] nibble-packed when code_bits=4
     coarse_codes: typ.Optional[jax.Array] = None  # [N, dc] int8 (None = exhaustive ADC)
     coarse_scale: typ.Optional[jax.Array] = None  # [1, dc] f32
     proj: typ.Optional[jax.Array] = None  # [D, dc] f32 (PCA projection, coarse stage)
@@ -80,6 +80,10 @@ class PQIndex:
     n_candidates: int = struct.field(pytree_node=False, default=1024)
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
     k_factor: int = struct.field(pytree_node=False, default=4)  # refine pool = k_factor*k
+    # 8 = classic PQ{M}x8; 4 = fast-scan PQ{M}x4 (16-entry codebooks, codes
+    # nibble-packed two-per-byte — parity: faiss `PQ{M}x4fs`). The 4-bit
+    # one-hot decode temp is 16x smaller, which is the 8-bit scan's HBM wall.
+    code_bits: int = struct.field(pytree_node=False, default=8)
 
 
 def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:
@@ -183,8 +187,11 @@ def build_pq_index(
     offset: int = 0,
     pad_multiple: typ.Optional[int] = None,
     approx_recall: typ.Optional[float] = 0.95,
+    code_bits: int = 8,
 ) -> PQIndex:
-    """Build a PQ index (parity: faiss `OPQ{M}_{d},IVFauto,PQ{M}x8[,RFlat]`).
+    """Build a PQ index (parity: faiss `OPQ{M}_{d},IVFauto,PQ{M}x8[,RFlat]`;
+    code_bits=4 is the fast-scan `PQ{M}x4fs` codec — 16-entry codebooks,
+    nibble-packed codes at M/2 bytes/vector).
 
     coarse_dim=None builds the EXHAUSTIVE-ADC index (M bytes/vector, no coarse
     stage, no candidate-recall loss); an int coarse_dim adds the int8 coarse
@@ -200,6 +207,11 @@ def build_pq_index(
     Rule of thumb: coarse_dim >= the #components covering ~60% variance.
     """
     n_real = int(vectors.shape[0])
+    if code_bits not in (8, 4):
+        raise ValueError(f"code_bits must be 8 or 4, got {code_bits}")
+    if code_bits == 4 and n_subquantizers % 2:
+        raise ValueError("code_bits=4 requires an even n_subquantizers (nibble packing)")
+    n_codes = 1 << code_bits
     pad_multiple = _auto_pad_multiple(n_real, pad_multiple)
     x = vectors.astype(jnp.float32)
     train = x if train_size is None or train_size >= n_real else x[:train_size]
@@ -208,13 +220,16 @@ def build_pq_index(
     if use_opq:
         # OPQ rotation balances subspace energies (faiss OPQ{M}_{d} parity)
         rotation, codebooks = pq_ops.train_opq(
-            rng, train, n_subquantizers, n_iters=opq_iters, kmeans_iters=max(2, kmeans_iters // 2)
+            rng, train, n_subquantizers, n_codes=n_codes, n_iters=opq_iters,
+            kmeans_iters=max(2, kmeans_iters // 2),
         )
         x_rot = x @ rotation
         train_rot = train @ rotation
     else:
         x_rot, train_rot = x, train
-        codebooks = pq_ops.train_pq(rng, train_rot, n_subquantizers, n_iters=kmeans_iters)
+        codebooks = pq_ops.train_pq(
+            rng, train_rot, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
+        )
 
     coarse_codes = coarse_scale = proj = None
     if coarse_dim is not None:
@@ -226,6 +241,8 @@ def build_pq_index(
         coarse_codes = _pad_rows(coarse_codes, pad_multiple)
 
     codes = pq_ops.encode_pq(codebooks, x_rot)
+    if code_bits == 4:
+        codes = _pack_codes4(codes)
     codes = _pad_rows(codes, pad_multiple)
     refine_codes, refine_scale, refine_proj = _build_refine(
         x, refine, pad_multiple, refine_dim=refine_dim, train=train
@@ -248,6 +265,7 @@ def build_pq_index(
         n_candidates=n_candidates,
         approx_recall=approx_recall,
         k_factor=k_factor,
+        code_bits=code_bits,
     )
 
 
@@ -504,6 +522,20 @@ def decode_rows(
     return flat[idx].reshape(codes.shape[0], m * dsub)
 
 
+def _pack_codes4(codes: jax.Array) -> jax.Array:
+    """Nibble-pack 4-bit PQ codes two-per-byte: [..., M] (values < 16) -> [..., M//2]."""
+    lo = codes[..., 0::2].astype(jnp.uint8)
+    hi = codes[..., 1::2].astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def _unpack_codes4(packed: jax.Array) -> jax.Array:
+    """Inverse of `_pack_codes4`: [..., M//2] -> [..., M] (values < 16)."""
+    lo = packed & jnp.uint8(15)
+    hi = packed >> 4
+    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+
+
 def _int8_adc_scan_inputs(
     codebooks: jax.Array, q_eff: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -529,8 +561,9 @@ def _int8_onehot_adc_chunk(
     cb_i8: jax.Array, q_i8: jax.Array, q_row: jax.Array, c: jax.Array
 ) -> jax.Array:
     """Score one code chunk: int8 one-hot decode (MXU, gather-free) + int8
-    matmul with int32 accumulation; scores rescaled to f32."""
-    iota = jnp.arange(256, dtype=jnp.int32)
+    matmul with int32 accumulation; scores rescaled to f32. `c` must be
+    UNPACKED codes [chunk, M] with values < cb_i8.shape[1]."""
+    iota = jnp.arange(cb_i8.shape[1], dtype=jnp.int32)
     oh = (c.astype(jnp.int32)[:, :, None] == iota[None, None, :]).astype(jnp.int8)
     dec = jnp.einsum("cmk,mkd->cmd", oh, cb_i8, preferred_element_type=jnp.int32)
     dec = dec.reshape(c.shape[0], -1).astype(jnp.int8)  # values are int8-ranged
@@ -588,12 +621,16 @@ def pq_search(
     exhaustive = index.coarse_codes is None
     do_refine = index.refine_codes is not None
     if exhaustive:
-        if do_refine:
+        if do_refine and index.code_bits == 8:
             # int8 one-hot decode path: [chunk, M, 256] int8 temp (512MB at
             # 32768 x 64); measured fastest at 8.8M (see
             # examples/pq_decode_variants_bench.py: 4728 QPS vs 2878 at 8192
             # bf16, identical recall)
             chunk = min(chunk, 32768)
+        elif do_refine:
+            # 4-bit one-hot temp is 16x smaller ([chunk, M, 16] = 128MB at
+            # 65536 x 128); measured optimum at 8.8M (131072 was ~4% slower)
+            chunk = min(chunk, 65536)
         else:
             # gather-decode path: bound the decoded [chunk, d] HBM temp
             # (~96MB bf16 at 65536 x 768)
@@ -608,7 +645,7 @@ def pq_search(
     # [B, n_pool, D] block; cap the total at ~512MB by mapping over query
     # chunks (measured: B=4096 x n_cand=4096 x M=32 asked XLA for an 8GB temp
     # and OOMed HBM).
-    m_sub = index.codes.shape[-1]
+    m_sub = index.codebooks.shape[0]
     r_dim = index.refine_codes.shape[-1] if do_refine else 0
     per_q = (n_cand * m_sub if not exhaustive else 0) + n_pool * r_dim
     qchunk = max(8, _PQ_RESCORE_ELEMS // max(1, per_q))
@@ -660,17 +697,18 @@ def pq_search(
         # 1641 QPS at 8.8M x pq64, identical recall (the <1% codebook
         # quantization error is erased by the exact re-rank). Without refine
         # the ADC order is final: f32 gather decode.
+        unpack = _unpack_codes4 if index.code_bits == 4 else (lambda c: c)
         if do_refine:
             cb_i8, q_i8, q_row = _int8_adc_scan_inputs(index.codebooks, q_eff)
 
             def score_chunk(start: jax.Array) -> jax.Array:
-                c = jax.lax.dynamic_slice_in_dim(index.codes, start, chunk, axis=0)
+                c = unpack(jax.lax.dynamic_slice_in_dim(index.codes, start, chunk, axis=0))
                 return _mask_chunk(_int8_onehot_adc_chunk(cb_i8, q_i8, q_row, c), start)
         else:
             q_mm = q_eff.astype(jnp.float32)
 
             def score_chunk(start: jax.Array) -> jax.Array:
-                c = jax.lax.dynamic_slice_in_dim(index.codes, start, chunk, axis=0)
+                c = unpack(jax.lax.dynamic_slice_in_dim(index.codes, start, chunk, axis=0))
                 dec = decode_rows(index.codebooks, c, dtype=jnp.float32)  # [chunk, d]
                 s = jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
                 return _mask_chunk(s, start)
@@ -704,7 +742,9 @@ def pq_search(
 
         # Stage 2: ADC rescore of the candidates (B * n_cand * M bytes gather).
         safe_i = jnp.clip(cand_i, 0, n - 1)
-        cand_codes = index.codes[safe_i]  # [B, n_cand, M]
+        cand_codes = index.codes[safe_i]  # [B, n_cand, M (or M//2 packed)]
+        if index.code_bits == 4:
+            cand_codes = _unpack_codes4(cand_codes)
         lut = pq_ops.adc_lut(index.codebooks, q_eff)
         adc = pq_ops.adc_score_codes(lut, cand_codes)  # [B, n_cand]
         adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
@@ -859,6 +899,7 @@ def build_pq_index_from_host(
     subset_ids: typ.Optional[jax.Array] = None,
     offset: int = 0,
     approx_recall: typ.Optional[float] = 0.95,
+    code_bits: int = 8,
 ) -> PQIndex:
     """PQ build for corpora larger than device HBM: train on a sample, then
     encode host slabs on device one at a time (parity: faiss's chunked
@@ -876,18 +917,26 @@ def build_pq_index_from_host(
 
     if refine not in ("none", "int8"):
         raise ValueError(f"host-slab PQ build supports refine none|int8, got {refine!r}")
+    if code_bits not in (8, 4):
+        raise ValueError(f"code_bits must be 8 or 4, got {code_bits}")
+    if code_bits == 4 and n_subquantizers % 2:
+        raise ValueError("code_bits=4 requires an even n_subquantizers (nibble packing)")
+    n_codes = 1 << code_bits
     n_real, d = vectors_np.shape
     train = jnp.asarray(np.ascontiguousarray(vectors_np[:train_size]), dtype=jnp.float32)
 
     rotation = None
     if use_opq:
         rotation, codebooks = pq_ops.train_opq(
-            rng, train, n_subquantizers, n_iters=4, kmeans_iters=max(2, kmeans_iters // 2)
+            rng, train, n_subquantizers, n_codes=n_codes, n_iters=4,
+            kmeans_iters=max(2, kmeans_iters // 2),
         )
         train_rot = train @ rotation
     else:
         train_rot = train
-        codebooks = pq_ops.train_pq(rng, train_rot, n_subquantizers, n_iters=kmeans_iters)
+        codebooks = pq_ops.train_pq(
+            rng, train_rot, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
+        )
     proj = coarse_scale = None
     if coarse_dim is not None:
         proj, _mean = pq_ops.train_projection(train_rot, coarse_dim)
@@ -910,6 +959,8 @@ def build_pq_index_from_host(
     def encode_slab(x):
         xr = x @ rotation if rotation is not None else x
         codes = pq_ops.encode_pq(codebooks, xr)
+        if code_bits == 4:
+            codes = _pack_codes4(codes)
         coarse = None
         if proj is not None:
             coarse = jnp.clip(jnp.round((xr @ proj) / coarse_scale), -127, 127).astype(jnp.int8)
@@ -921,7 +972,8 @@ def build_pq_index_from_host(
 
     pad_multiple = _auto_pad_multiple(n_real, None)
     n_pad = -(-n_real // pad_multiple) * pad_multiple
-    codes_np = np.zeros((n_pad, n_subquantizers), np.uint8)
+    code_cols = n_subquantizers // 2 if code_bits == 4 else n_subquantizers
+    codes_np = np.zeros((n_pad, code_cols), np.uint8)
     coarse_np = np.zeros((n_pad, coarse_dim), np.int8) if coarse_dim is not None else None
     r_dim = d if refine_dim is None else min(refine_dim, d)
     refine_np = np.zeros((n_pad, r_dim), np.int8) if refine == "int8" else None
@@ -953,4 +1005,5 @@ def build_pq_index_from_host(
         n_candidates=n_candidates,
         approx_recall=approx_recall,
         k_factor=k_factor,
+        code_bits=code_bits,
     )

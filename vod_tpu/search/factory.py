@@ -112,6 +112,7 @@ def build_dense_from_config(
         index = build_pq_index(
             rng, vectors,
             n_subquantizers=cfg.n_subquantizers,
+            code_bits=cfg.code_bits,
             coarse_dim=cfg.coarse_dim,
             n_candidates=cfg.n_candidates,
             train_size=cfg.train_size,
@@ -208,6 +209,7 @@ def build_dense_from_host(
         index = build_pq_index_from_host(
             rng, vectors_np,
             n_subquantizers=cfg.n_subquantizers,
+            code_bits=cfg.code_bits,
             coarse_dim=cfg.coarse_dim,
             n_candidates=cfg.n_candidates,
             train_size=min(cfg.train_size or 500_000, n),

@@ -232,6 +232,7 @@ class ShardedPQIndex:
     n_candidates: int = struct.field(pytree_node=False, default=1024)
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
     k_factor: int = struct.field(pytree_node=False, default=4)
+    code_bits: int = struct.field(pytree_node=False, default=8)  # 4 = nibble-packed fast-scan
 
 
 def shard_pq_index(
@@ -289,6 +290,7 @@ def shard_pq_index(
         n_candidates=index.n_candidates,
         approx_recall=index.approx_recall,
         k_factor=index.k_factor,
+        code_bits=index.code_bits,
     )
 
 
@@ -315,8 +317,10 @@ def sharded_pq_search(
     rows = index.rows_per_shard
     exhaustive = index.coarse_codes is None
     if exhaustive:
-        if index.refine_codes is not None:
+        if index.refine_codes is not None and index.code_bits == 8:
             chunk = min(chunk, 32768)  # int8 one-hot decode: [chunk, M, 256] temp
+        elif index.refine_codes is not None:
+            chunk = min(chunk, 65536)  # 4-bit one-hot temp is 16x smaller
         else:
             chunk = min(chunk, 65536)  # bound the decoded [chunk, d] HBM temp
     chunk = min(chunk, rows)
@@ -354,6 +358,9 @@ def sharded_pq_search(
             grow = g_offset + start + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
             return jnp.where(grow < index.n_real, s, -jnp.inf)
 
+        from .dense import _unpack_codes4
+
+        unpack = _unpack_codes4 if index.code_bits == 4 else (lambda c: c)
         if exhaustive:
             if do_refine:
                 # int8 one-hot decode + int8 scan (4728 vs 1641 QPS at 8.8M,
@@ -363,7 +370,7 @@ def sharded_pq_search(
                 cb_i8, q_i8, q_row = _int8_adc_scan_inputs(index.codebooks, q_eff)
 
                 def score_chunk(start):
-                    c = jax.lax.dynamic_slice_in_dim(codes, start, chunk, axis=0)
+                    c = unpack(jax.lax.dynamic_slice_in_dim(codes, start, chunk, axis=0))
                     return _mask_chunk(
                         _int8_onehot_adc_chunk(cb_i8, q_i8, q_row, c), start
                     )
@@ -371,7 +378,7 @@ def sharded_pq_search(
                 q_mm = q_eff.astype(jnp.float32)
 
                 def score_chunk(start):
-                    c = jax.lax.dynamic_slice_in_dim(codes, start, chunk, axis=0)
+                    c = unpack(jax.lax.dynamic_slice_in_dim(codes, start, chunk, axis=0))
                     dec = decode_rows(index.codebooks, c, dtype=jnp.float32)
                     s = jnp.dot(q_mm, dec.T, preferred_element_type=jnp.float32)
                     return _mask_chunk(s, start)
@@ -402,7 +409,7 @@ def sharded_pq_search(
             )
             # ADC rescore of the local candidates against the local codes
             safe_i = jnp.clip(cand_i, 0, rows - 1)
-            cand_codes = codes[safe_i]  # [B, n_cand, M]
+            cand_codes = unpack(codes[safe_i])  # [B, n_cand, M (unpacked)]
             lut = pq_ops.adc_lut(index.codebooks, q_eff)
             adc = pq_ops.adc_score_codes(lut, cand_codes)
             adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
