@@ -230,6 +230,7 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
             index_fused, make_queries, big_blocks=4,
         )
         results["fused"] = (qps_f, recall_f)
+        del index_fused  # drops the (shared) 6.3 GB int8 buffer ref
     except Exception as exc:  # noqa: BLE001 - keep the scan number if fused regresses
         _log(f"fused int8 path failed: {exc}")
         results["fused"] = (0.0, 0.0)
@@ -261,6 +262,9 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     # the one-hot decode temp 16x, which was the 8-bit scan's HBM wall:
     # measured 12.5k QPS vs 4.2k (pq64x8) vs 2.7k (bf16 one-hot) at 8.8M.
     # Trained on device-generated rows; same exact-f32 ground truth.
+    # Free the 6.3 GB int8 corpus first: training temps (slab gen 3.4 GB f32 +
+    # vmapped-kmeans groups) plus the live int8 buffer exceed the 16 GB chip.
+    del index, out, got, codes
     _log("msmarco: training pq128x4 + pca128 refine")
     m_sub, rdim = 128, 128
     t0 = time.time()

@@ -208,6 +208,15 @@ def main() -> dict:
         ("pq32+coarse64+ref8", dict(n_subquantizers=32, coarse_dim=64,
                                     n_candidates=args.n_candidates, refine="int8", k_factor=8),
          32 + 64 + args.dim),
+        # 4-bit fast-scan (faiss PQ{M}x4fs parity): equal code bytes, 16x
+        # smaller one-hot decode temps -> much faster exhaustive scan
+        ("pq64x4fs-exh+ref8", dict(n_subquantizers=64, code_bits=4, coarse_dim=None,
+                                   refine="int8", k_factor=8), 32 + args.dim),
+        ("pq128x4fs-exh+ref8", dict(n_subquantizers=128, code_bits=4, coarse_dim=None,
+                                    refine="int8", k_factor=8), 64 + args.dim),
+        ("pq128x4fs-exh+pca128ref16", dict(n_subquantizers=128, code_bits=4, coarse_dim=None,
+                                           refine="int8", refine_dim=128, k_factor=16),
+         64 + 128),
     ]:
         t0 = time.time()
         idx = build_pq_index(
