@@ -1,0 +1,215 @@
+"""IVF-PQ: cell-pruned PQ search (faiss `OPQ,IVF,PQ[,Refine]` parity).
+
+Covers: lossless probing (nprobe=C matches exhaustive PQ), pruned-probe
+recall, subset filtering, window-budget truncation, the factory string
+`IVF…,PQ…` translation, and the config-driven build path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vod_tpu.configs.search import DenseFactoryConfig
+from vod_tpu.search import SearchQueries, build_ivfpq_index, build_pq_index, ivfpq_search
+from vod_tpu.search.dense import pq_search
+from vod_tpu.search.factory import build_dense_from_config
+from vod_tpu.search.hybrid import _dense_dispatch
+
+
+def _corpus(n=4096, d=64, seed=0):
+    """Decaying-spectrum vectors (PQ's realistic regime, not its worst case)."""
+    rng = np.random.default_rng(seed)
+    spec = np.exp(-np.arange(d) / 12.0).astype(np.float32)
+    x = rng.standard_normal((n, d), dtype=np.float32) * spec
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    return jnp.asarray(x)
+
+
+def _queries(x, b=16, seed=1):
+    rng = np.random.default_rng(seed)
+    q = np.asarray(x[:b]) + 0.05 * rng.standard_normal((b, x.shape[1])).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return jnp.asarray(q)
+
+
+def _exact_topk(x, q, k):
+    s = np.asarray(q) @ np.asarray(x).T
+    return np.argsort(-s, axis=-1)[:, :k]
+
+
+def test_ivfpq_full_probe_is_exact_with_f32_rows():
+    """nprobe=C + untruncated windows = every row probed; scoring against f32
+    rerank rows is then EXACT brute force — recall vs ground truth ~ 1.0."""
+    x = _corpus()
+    q = _queries(x)
+    k = 10
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=16, nprobe=16, window=128,
+        n_subquantizers=8, kmeans_iters=4, refine="float32",
+    )
+    out = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), k))(ivf, q)
+    a = np.asarray(out.indices)
+    gt = _exact_topk(x, q, k)
+    rec = np.mean([len(set(a[i]) & set(gt[i])) / k for i in range(a.shape[0])])
+    assert rec >= 0.95, rec  # < 1.0 only for score ties
+
+
+@pytest.mark.parametrize("code_bits", [8, 4])
+def test_ivfpq_adc_path_matches_pq_candidates(code_bits):
+    """Without a refine store the search falls back to one-hot ADC decode of
+    the gathered codes; at full probe with shared codebooks (same rng) it must
+    track exhaustive no-refine pq_search closely."""
+    x = _corpus()
+    q = _queries(x)
+    k = 10
+    rng = jax.random.PRNGKey(0)
+    kwargs = dict(
+        # equal code bytes: 8x8-bit = 16x4-bit = 8 B/vec on the 64-d corpus
+        n_subquantizers=8 if code_bits == 8 else 16,
+        code_bits=code_bits, kmeans_iters=4,
+    )
+    ivf = build_ivfpq_index(rng, x, n_clusters=16, nprobe=16, window=128, **kwargs)
+    pq = build_pq_index(rng, x, coarse_dim=None, **kwargs)
+    got_ivf = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), k))(ivf, q)
+    got_pq = jax.jit(lambda ix, v: pq_search(ix, SearchQueries(vector=v), k))(pq, q)
+    a, b_ = np.asarray(got_ivf.indices), np.asarray(got_pq.indices)
+    overlap = np.mean([len(set(a[i]) & set(b_[i])) / k for i in range(a.shape[0])])
+    # both rank by the same ADC scores (bf16 vs int8-free f32 LUT rounding
+    # differs slightly near ties)
+    assert overlap >= 0.8, overlap
+
+
+def test_ivfpq_keep_codes_false_is_ivf_sq():
+    """keep_codes=False drops PQ entirely: IVF + (PCA-)SQ rows only."""
+    x = _corpus()
+    q = _queries(x)
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=16, nprobe=16, window=128,
+        kmeans_iters=4, refine="int8", refine_dim=32, keep_codes=False,
+    )
+    assert ivf.codes is None
+    out = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), 10))(ivf, q)
+    a = np.asarray(out.indices)
+    gt = _exact_topk(x, q, 10)
+    rec = np.mean([len(set(a[i]) & set(gt[i])) / 10 for i in range(a.shape[0])])
+    assert rec >= 0.8, rec
+
+
+def test_ivfpq_pruned_probe_recall():
+    """Pruned probing (nprobe << C) keeps most of the recall on clustered data."""
+    x = _corpus(n=8192)
+    q = _queries(x, b=32)
+    k = 10
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=64, nprobe=8, window=128,
+        n_subquantizers=8, kmeans_iters=6, refine="float32", k_factor=8,
+    )
+    out = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), k))(ivf, q)
+    got = np.asarray(out.indices)
+    gt = _exact_topk(x, q, k)
+    rec = np.mean([len(set(got[i]) & set(gt[i])) / k for i in range(got.shape[0])])
+    # scanning ~1/8 of the cells
+    assert rec >= 0.6, rec
+    # contract: valid ids, descending scores, -inf/-1 padding alignment
+    scores = np.asarray(out.scores)
+    assert ((got >= -1) & (got < x.shape[0])).all()
+    assert (np.diff(scores, axis=-1) <= 1e-5).all()
+    assert ((got == -1) == ~np.isfinite(scores)).all()
+
+
+def test_ivfpq_subset_filtering():
+    x = _corpus(n=2048)
+    q = _queries(x, b=8)
+    n = x.shape[0]
+    groups = jnp.asarray(np.arange(n) % 7, dtype=jnp.int32)
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=16, nprobe=16, window=128,
+        n_subquantizers=8, kmeans_iters=4, refine="float32",
+        subset_ids=groups,
+    )
+    allowed = jnp.asarray([[3]] * 8, dtype=jnp.int32)
+    out = jax.jit(
+        lambda ix, v, a: ivfpq_search(ix, SearchQueries(vector=v, subset_ids=a), 10)
+    )(ivf, q, allowed)
+    got = np.asarray(out.indices)
+    valid = got[got >= 0]
+    assert valid.size > 0
+    assert (valid % 7 == 3).all()
+
+
+def test_ivfpq_window_budget_truncation():
+    """A tiny max_windows budget still returns valid, well-formed results."""
+    x = _corpus(n=2048)
+    q = _queries(x, b=8)
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=16, nprobe=8, window=128,
+        max_windows=2, n_subquantizers=8, kmeans_iters=4, refine="float32",
+    )
+    out = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), 10))(ivf, q)
+    got = np.asarray(out.indices)
+    scores = np.asarray(out.scores)
+    assert ((got == -1) == ~np.isfinite(scores)).all()
+    # 2 windows x 128 rows >= 10 finite results per query on a full corpus
+    assert (np.isfinite(scores).sum(-1) >= 10).all()
+
+
+def test_device_parts_matches_host_parts():
+    """The device-scatter assembly (slab-scale path) must produce the same
+    layout and search results as the host assembly."""
+    from vod_tpu.ops import pq as pq_ops
+    from vod_tpu.ops.kmeans import _assign_chunked, kmeans
+    from vod_tpu.search import build_ivfpq_from_device_parts, build_ivfpq_from_parts
+
+    x = _corpus(n=1024)
+    q = _queries(x, b=8)
+    rng = jax.random.PRNGKey(0)
+    codebooks = pq_ops.train_pq(rng, x, 8, n_iters=4)
+    centroids, _ = kmeans(rng, x, n_clusters=8, n_iters=4)
+    assign = np.asarray(_assign_chunked(x, centroids)).astype(np.int32)
+    codes = pq_ops.encode_pq(codebooks, x)
+    refine, scale = pq_ops.quantize_int8(x, axis=0)
+    common = dict(window=128, nprobe=8, refine_scale=scale)
+    host = build_ivfpq_from_parts(
+        centroids, codebooks, assign, np.asarray(codes),
+        refine_np=np.asarray(refine), **common,
+    )
+    dev = build_ivfpq_from_device_parts(
+        centroids, codebooks, assign, codes, refine_dev=refine, **common,
+    )
+    np.testing.assert_array_equal(np.asarray(host.row_ids), np.asarray(dev.row_ids))
+    np.testing.assert_array_equal(np.asarray(host.codes), np.asarray(dev.codes))
+    np.testing.assert_array_equal(
+        np.asarray(host.refine_codes), np.asarray(dev.refine_codes)
+    )
+    out_h = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), 10))(host, q)
+    out_d = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), 10))(dev, q)
+    np.testing.assert_array_equal(np.asarray(out_h.indices), np.asarray(out_d.indices))
+
+
+def test_factory_string_ivfpq():
+    cfg = DenseFactoryConfig.from_faiss_factory("OPQ32_512,IVFauto,PQ32x8")
+    assert cfg.codec == "ivfpq" and cfg.use_opq and cfg.n_clusters is None
+    assert cfg.n_subquantizers == 32 and cfg.code_bits == 8 and cfg.refine == "none"
+    cfg = DenseFactoryConfig.from_faiss_factory("IVF4096,PQ64x4fs,Refine(SQ8)")
+    assert cfg.codec == "ivfpq" and cfg.n_clusters == 4096
+    assert cfg.code_bits == 4 and cfg.n_subquantizers == 64 and cfg.refine == "int8"
+    # plain IVF / plain PQ still parse to their own codecs
+    assert DenseFactoryConfig.from_faiss_factory("IVFauto,Flat").codec == "ivf"
+    assert DenseFactoryConfig.from_faiss_factory("PQ32x8").codec == "pq"
+
+
+def test_ivfpq_from_config_and_dispatch():
+    x = _corpus(n=2048)
+    q = _queries(x, b=8)
+    cfg = DenseFactoryConfig(
+        codec="ivfpq", n_clusters=16, nprobe=16, ivf_window=128,
+        n_subquantizers=16, code_bits=4, kmeans_iters=4,
+        refine="int8", refine_dim=32, k_factor=16,
+    )
+    index = build_dense_from_config(cfg, x, rng=jax.random.PRNGKey(0))
+    out = jax.jit(lambda ix, v: _dense_dispatch(ix, SearchQueries(vector=v), 10))(index, q)
+    got = np.asarray(out.indices)
+    gt = _exact_topk(x, q, 10)
+    rec = np.mean([len(set(got[i]) & set(gt[i])) / 10 for i in range(got.shape[0])])
+    assert rec >= 0.7, rec

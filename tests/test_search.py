@@ -491,12 +491,19 @@ def test_factory_ivf_opq_sharded_reachable() -> None:
 def test_factory_faiss_string_ivf_and_opq() -> None:
     from vod_tpu.configs.search import DenseFactoryConfig
 
+    # IVF…,PQ… now maps to the cell-pruned ivfpq codec (the reference's
+    # default factory shape); PQ without IVF maps to the exhaustive codec.
     cfg = DenseFactoryConfig.from_faiss_factory("OPQ32_64,IVFauto,PQ32x8")
-    assert cfg.codec == "pq" and cfg.use_opq and cfg.n_subquantizers == 32
+    assert cfg.codec == "ivfpq" and cfg.use_opq and cfg.n_subquantizers == 32
+    assert cfg.n_clusters is None
+    cfg1 = DenseFactoryConfig.from_faiss_factory("OPQ32_64,PQ32x8")
+    assert cfg1.codec == "pq" and cfg1.use_opq and cfg1.n_subquantizers == 32
     cfg2 = DenseFactoryConfig.from_faiss_factory("IVF256,Flat")
     assert cfg2.codec == "ivf" and cfg2.n_clusters == 256
     cfg3 = DenseFactoryConfig.from_faiss_factory("IVFauto,Flat")
     assert cfg3.codec == "ivf" and cfg3.n_clusters is None
+    cfg4 = DenseFactoryConfig.from_faiss_factory("IVF512,PQ64x4")
+    assert cfg4.codec == "ivfpq" and cfg4.n_clusters == 512 and cfg4.code_bits == 4
 
 
 def test_factory_sparse_subset_ids_passthrough() -> None:
@@ -672,11 +679,13 @@ def test_faiss_factory_refine_suffixes() -> None:
     from vod_tpu.configs.search import DenseFactoryConfig
 
     cfg = DenseFactoryConfig.from_faiss_factory("OPQ32_128,IVFauto,PQ32x8,RFlat")
-    assert cfg.codec == "pq" and cfg.refine == "float32" and cfg.use_opq
+    assert cfg.codec == "ivfpq" and cfg.refine == "float32" and cfg.use_opq
     cfg = DenseFactoryConfig.from_faiss_factory("IVFauto,PQ16x8,Refine(SQ8)")
-    assert cfg.codec == "pq" and cfg.refine == "int8" and cfg.n_subquantizers == 16
+    assert cfg.codec == "ivfpq" and cfg.refine == "int8" and cfg.n_subquantizers == 16
     cfg = DenseFactoryConfig.from_faiss_factory("IVFauto,PQ32x8")
     assert cfg.refine == "none"
+    cfg = DenseFactoryConfig.from_faiss_factory("PQ16x8,Refine(SQ8)")
+    assert cfg.codec == "pq" and cfg.refine == "int8"
 
 
 def test_native_sparse_build_matches_python() -> None:

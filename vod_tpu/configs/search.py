@@ -20,7 +20,7 @@ import pydantic
 
 from .base import StrictModel, apply_diff
 
-DenseCodec = typ.Literal["flat", "int8", "pq", "ivf"]
+DenseCodec = typ.Literal["flat", "int8", "pq", "ivf", "ivfpq"]
 DenseDtype = typ.Literal["float32", "bfloat16", "int8"]
 
 
@@ -56,9 +56,15 @@ class DenseFactoryConfig(StrictModel):
     refine: typ.Literal["none", "int8", "bfloat16", "float32"] = "none"
     refine_dim: typ.Optional[int] = None
     k_factor: int = 4
-    # ivf codec
+    # ivf / ivfpq codecs. `ivfpq` = cell-pruned PQ (faiss `IVF{n},PQ{M}x{b}`
+    # parity, the reference's default factory shape) in the cluster-sorted
+    # window layout — see `search/ivfpq.py`. `ivf_window` is the fixed window
+    # granularity; `max_windows` the static per-query window budget
+    # (None = ~1.5x mean cell size x nprobe, computed at build).
     n_clusters: typ.Optional[int] = None  # None = IVFauto inference
     nprobe: int = 8
+    ivf_window: int = 512
+    max_windows: typ.Optional[int] = None
     # sharding over a device mesh (index sharding, SURVEY §2.10)
     sharded: bool = False
     shard_axis: str = "shard"
@@ -80,6 +86,7 @@ class DenseFactoryConfig(StrictModel):
         enables the OPQ rotation and feeds the coarse projection dim.
         """
         m_pq = re.search(r"PQ(\d+)x(8|4)", factory)
+        m_ivf = re.search(r"IVF(\d+|auto)", factory)
         if m_pq:
             m_opq = re.search(r"OPQ\d+_(\d+)", factory)
             # faiss refine suffixes: `...,RFlat` = f32 re-rank, `...,Refine(SQ8)`
@@ -89,6 +96,21 @@ class DenseFactoryConfig(StrictModel):
                 refine = "int8"
             elif re.search(r",RFlat", factory):
                 refine = "float32"
+            if m_ivf:
+                # `OPQ…,IVF{n},PQ{M}x{b}` — the reference's default factory
+                # shape (`hydra/datasets/search_defaults/faiss/default.yaml:2`)
+                # -> the cell-pruned ivfpq codec (exhaustive ADC has no coarse
+                # stage, so the OPQ dim feeds nothing here)
+                n_c = None if m_ivf.group(1) == "auto" else int(m_ivf.group(1))
+                return cls(
+                    codec="ivfpq",
+                    n_clusters=n_c,
+                    n_subquantizers=int(m_pq.group(1)),
+                    code_bits=int(m_pq.group(2)),
+                    use_opq=m_opq is not None,
+                    refine=refine,
+                    train_size=train_size,
+                )
             return cls(
                 codec="pq",
                 n_subquantizers=int(m_pq.group(1)),
@@ -100,7 +122,6 @@ class DenseFactoryConfig(StrictModel):
             )
         if "Flat" in factory and factory.strip() == "Flat":
             return cls(codec="flat", dtype="float32")
-        m_ivf = re.search(r"IVF(\d+|auto)", factory)
         if m_ivf:
             n_c = None if m_ivf.group(1) == "auto" else int(m_ivf.group(1))
             return cls(codec="ivf", n_clusters=n_c, train_size=train_size)

@@ -11,6 +11,13 @@ from .dense import (
     build_pq_index,
     build_pq_index_from_host,
 )
+from .ivfpq import (
+    IVFPQIndex,
+    build_ivfpq_from_device_parts,
+    build_ivfpq_from_parts,
+    build_ivfpq_index,
+    ivfpq_search,
+)
 from .lookup import lookup_search
 from .sharded import (
     ShardedDenseIndex,
@@ -29,6 +36,7 @@ from .hybrid import HybridEngines, hybrid_search_and_sample, hybrid_search
 __all__ = [
     "DenseIndex",
     "IVFIndex",
+    "IVFPQIndex",
     "HybridEngines",
     "PQIndex",
     "SearchQueries",
@@ -38,6 +46,10 @@ __all__ = [
     "SparseIndex",
     "build_dense_index",
     "build_ivf_index",
+    "build_ivfpq_from_device_parts",
+    "build_ivfpq_from_parts",
+    "build_ivfpq_index",
+    "ivfpq_search",
     "build_pq_index",
     "build_pq_index_from_host",
     "build_sharded_dense_index",

@@ -20,10 +20,17 @@ import numpy as np
 from vod_tpu.configs.search import DenseFactoryConfig, HybridSearchFactoryConfig, SparseFactoryConfig
 from .dense import DenseIndex, IVFIndex, PQIndex, build_dense_index, build_ivf_index, build_pq_index
 from .hybrid import HybridEngines
+from .ivfpq import IVFPQIndex, build_ivfpq_index
 from .sharded import build_sharded_dense_index, shard_ivf_index, shard_pq_index
 from .sparse import SparseIndex, build_sparse_index
 
-_INDEX_TYPES = {"DenseIndex": DenseIndex, "PQIndex": PQIndex, "IVFIndex": IVFIndex, "SparseIndex": SparseIndex}
+_INDEX_TYPES = {
+    "DenseIndex": DenseIndex,
+    "PQIndex": PQIndex,
+    "IVFIndex": IVFIndex,
+    "IVFPQIndex": IVFPQIndex,
+    "SparseIndex": SparseIndex,
+}
 
 
 def _index_fingerprint(kind: str, cfg: typ.Any, data_fp: str) -> str:
@@ -115,6 +122,25 @@ def build_dense_from_config(
             code_bits=cfg.code_bits,
             coarse_dim=cfg.coarse_dim,
             n_candidates=cfg.n_candidates,
+            train_size=cfg.train_size,
+            kmeans_iters=cfg.kmeans_iters,
+            use_opq=cfg.use_opq,
+            opq_iters=cfg.opq_iters,
+            refine=cfg.refine,
+            refine_dim=cfg.refine_dim,
+            k_factor=cfg.k_factor,
+            subset_ids=subset_ids,
+            approx_recall=cfg.approx_recall,
+        )
+    elif cfg.codec == "ivfpq":
+        index = build_ivfpq_index(
+            rng, vectors,
+            n_clusters=cfg.n_clusters,
+            nprobe=cfg.nprobe,
+            window=cfg.ivf_window,
+            max_windows=cfg.max_windows,
+            n_subquantizers=cfg.n_subquantizers,
+            code_bits=cfg.code_bits,
             train_size=cfg.train_size,
             kmeans_iters=cfg.kmeans_iters,
             use_opq=cfg.use_opq,

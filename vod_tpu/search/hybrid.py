@@ -22,6 +22,7 @@ from vod_tpu.ops.sample import PrioritySampledSections, sample_search_results
 from vod_tpu.types.retrieval import RetrievalBatch
 from .base import SearchQueries
 from .dense import DenseIndex, IVFIndex, PQIndex, dense_search, ivf_search, pq_search
+from .ivfpq import IVFPQIndex, ivfpq_search
 from .lookup import lookup_search
 from .sharded import (
     ShardedDenseIndex,
@@ -41,7 +42,7 @@ class HybridEngines:
     """Named engine bundle (parity: `HybridSearchFactoryConfig.engines`)."""
 
     dense: typ.Optional[
-        typ.Union[DenseIndex, IVFIndex, PQIndex, ShardedDenseIndex, ShardedPQIndex]
+        typ.Union[DenseIndex, IVFIndex, IVFPQIndex, PQIndex, ShardedDenseIndex, ShardedPQIndex]
     ] = None
     sparse: typ.Optional[typ.Union[SparseIndex, ShardedSparseIndex]] = None
 
@@ -57,6 +58,8 @@ def _dense_dispatch(index, queries: SearchQueries, top_k: int) -> RetrievalBatch
         return sharded_ivf_search(index, queries, top_k)
     if isinstance(index, PQIndex):
         return pq_search(index, queries, top_k)
+    if isinstance(index, IVFPQIndex):
+        return ivfpq_search(index, queries, top_k)
     if isinstance(index, IVFIndex):
         return ivf_search(index, queries, top_k)
     return dense_search(index, queries, top_k)

@@ -1,0 +1,550 @@
+"""IVF-PQ: cell-pruned PQ search (parity: faiss `OPQ{M},IVF{n},PQ{M}x{b}[,Refine]`).
+
+The reference's default dense factory is `OPQ32_512,IVFauto,PQ32x8`
+(`/root/reference/src/vod_exps/hydra/datasets/search_defaults/faiss/default.yaml:2`,
+built in `/root/reference/src/vod_search/faiss_search/build_gpu.py:103-153`): an
+inverted file prunes the candidate set to `nprobe` cells before ADC scoring.
+The repo's exhaustive-ADC `PQIndex` deliberately skips the IVF stage — on TPU a
+streaming MXU scan beats cell-probing for LARGE query batches, where the scan
+cost is shared across the whole batch. But at serving batch sizes the scan's
+fixed decode cost dominates (measured 61 ms per 64-query block at 8.8M —
+`examples/pq4_adc_variants_bench.py`), and there cell pruning is the answer:
+scan ~nprobe/C of the corpus per query instead of all of it.
+
+TPU-first design (vs faiss's per-cell variable-length inverted lists):
+
+  * Cluster-sorted FLAT layout. Rows are reordered by k-means cell; each
+    cell is padded up to a multiple of a fixed `window` (e.g. 512 rows) inside
+    the same flat arrays. No per-cell max-size padding (a 2-3x HBM blowup for
+    skewed k-means at scale) — total padding is < `window` rows per cell.
+  * Static window probing. A probed cell is a [win_start, win_start+win_count)
+    range of fixed-size windows; a query's candidate set is the FIRST
+    `max_windows` windows of its `nprobe` best cells (probe order = descending
+    centroid score, so truncation drops the least promising cells). The
+    window-id list is computed with a vmapped searchsorted over the cumulative
+    window counts — fully static shapes, jit-friendly.
+  * Gathered-window scoring. Windows are rows of a [n_windows, window, ...]
+    view of the stored rows, so candidate generation is ONE gather of large
+    contiguous blocks per scoring chunk.
+  * Refine rows ARE the scoring rows. With per-query candidate sets, a
+    one-hot ADC decode costs B x rows x (M x n_codes) temp bytes — the
+    nprobe/C pruning factor exactly cancels the batch sharing that makes the
+    exhaustive scan fast, so IVF + per-query ADC never beats the exhaustive
+    scan. Instead, when rerank rows exist (int8, optionally truncated-PCA —
+    the production `refine` store), probed windows are scored DIRECTLY
+    against them: R gathered bytes per (query, row) instead of M*n_codes
+    one-hot bytes (128 vs 2048 at pq128x4), no ADC stage, and no ADC
+    candidate loss inside probed cells. PQ codes are then optional
+    (`keep_codes=False` drops them); the ADC decode path remains for
+    no-refine indexes.
+
+Centroids, codes and the coarse assignment all live in the OPQ-rotated space;
+refine rows live in the original space (as in `dense.py:_build_refine`).
+"""
+
+from __future__ import annotations
+
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from vod_tpu.ops import pq as pq_ops
+from vod_tpu.types.retrieval import RetrievalBatch
+from .base import SearchQueries
+from .dense import _FROM_INDEX, _pack_codes4, _unpack_codes4
+
+# one-hot decode temp budget (bytes): bounds B*rows_per_chunk*M*n_codes
+_OH_BUDGET = 1 << 28
+
+
+@struct.dataclass
+class IVFPQIndex:
+    """Cell-pruned PQ index in the cluster-sorted window layout."""
+
+    centroids: jax.Array  # [C, D] f32 (rotated space)
+    codebooks: jax.Array  # [M, n_codes, dsub] f32
+    # [N_sorted, M] uint8 (or [N_sorted, M//2] packed, 4-bit); None when the
+    # refine rows are the scoring store (`keep_codes=False`)
+    codes: typ.Optional[jax.Array]
+    row_ids: jax.Array  # [N_sorted] int32 original row id, -1 for cell padding
+    win_start: jax.Array  # [C] int32 first window of each cell
+    win_count: jax.Array  # [C] int32 windows in each cell
+    rotation: typ.Optional[jax.Array] = None  # [D, D] OPQ (None = identity)
+    subset_ids: typ.Optional[jax.Array] = None  # [N_sorted] int32 (sorted layout)
+    refine_codes: typ.Optional[jax.Array] = None  # [N_sorted, R] (sorted layout)
+    refine_scale: typ.Optional[jax.Array] = None  # [1, R] f32 when int8 refine
+    refine_proj: typ.Optional[jax.Array] = None  # [D, R] truncated-PCA (None = raw)
+    n_real: int = struct.field(pytree_node=False, default=0)
+    offset: int = struct.field(pytree_node=False, default=0)
+    window: int = struct.field(pytree_node=False, default=512)
+    nprobe: int = struct.field(pytree_node=False, default=32)
+    max_windows: int = struct.field(pytree_node=False, default=0)  # 0 = nprobe cells, untruncated
+    k_factor: int = struct.field(pytree_node=False, default=4)
+    code_bits: int = struct.field(pytree_node=False, default=8)
+    approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
+
+
+def build_ivfpq_from_parts(
+    centroids: jax.Array,
+    codebooks: jax.Array,
+    assign_np: np.ndarray,  # [N] int32 cell id per row
+    codes_np: typ.Optional[np.ndarray],  # [N, M or M//2] uint8; None = refine rows only
+    *,
+    rotation: typ.Optional[jax.Array] = None,
+    refine_np: typ.Optional[np.ndarray] = None,  # [N, R] int8 (original order)
+    refine_scale: typ.Optional[jax.Array] = None,
+    refine_proj: typ.Optional[jax.Array] = None,
+    subset_ids_np: typ.Optional[np.ndarray] = None,
+    window: int = 512,
+    nprobe: int = 32,
+    max_windows: typ.Optional[int] = None,
+    k_factor: int = 4,
+    code_bits: int = 8,
+    offset: int = 0,
+    approx_recall: typ.Optional[float] = 0.95,
+) -> IVFPQIndex:
+    """Assemble the sorted window layout from precomputed parts (host-side).
+
+    Shared by the on-device build and slab-wise builds at beyond-HBM scale
+    (parity: faiss's chunked `index.add`, `faiss_search/build.py:51-81`).
+    `max_windows=None` sizes the per-query window budget as nprobe cells of
+    ~1.5x the mean cell's windows (truncation then only bites pathologically
+    skewed probes; the probe order drops the least promising cells first).
+    """
+    n_real = int(assign_np.shape[0])
+    c = int(centroids.shape[0])
+    order = np.argsort(assign_np, kind="stable")
+    counts = np.bincount(assign_np, minlength=c)
+    wcounts = -(-counts // window)  # ceil; 0 for empty cells
+    pad_lens = wcounts * window
+    starts_pad = np.concatenate([[0], np.cumsum(pad_lens)])
+    total = int(starts_pad[-1])
+
+    if codes_np is None and refine_np is None:
+        raise ValueError("need codes_np and/or refine_np to score against")
+    codes_sorted = None if codes_np is None else np.zeros((total, codes_np.shape[1]), np.uint8)
+    row_ids = np.full((total,), -1, np.int32)
+    subs = np.full((total,), -1, np.int32) if subset_ids_np is not None else None
+    refine_sorted = (
+        np.zeros((total, refine_np.shape[1]), refine_np.dtype) if refine_np is not None else None
+    )
+    src0 = 0
+    for ci in range(c):
+        cnt = int(counts[ci])
+        if cnt == 0:
+            continue
+        rows = order[src0 : src0 + cnt]
+        dst = int(starts_pad[ci])
+        if codes_sorted is not None:
+            codes_sorted[dst : dst + cnt] = codes_np[rows]
+        row_ids[dst : dst + cnt] = rows
+        if subs is not None:
+            subs[dst : dst + cnt] = subset_ids_np[rows]
+        if refine_sorted is not None:
+            refine_sorted[dst : dst + cnt] = refine_np[rows]
+        src0 += cnt
+
+    win_start = (starts_pad[:-1] // window).astype(np.int32)
+    win_count = wcounts.astype(np.int32)
+    if max_windows is None:
+        nonempty = wcounts[wcounts > 0]
+        mean_w = float(nonempty.mean()) if nonempty.size else 1.0
+        max_windows = int(min(int(wcounts.sum()), nprobe * max(1, int(np.ceil(1.5 * mean_w)))))
+    return IVFPQIndex(
+        centroids=jnp.asarray(centroids, dtype=jnp.float32),
+        codebooks=codebooks,
+        codes=None if codes_sorted is None else jax.device_put(codes_sorted),
+        row_ids=jax.device_put(row_ids),
+        win_start=jax.device_put(win_start),
+        win_count=jax.device_put(win_count),
+        rotation=rotation,
+        subset_ids=None if subs is None else jax.device_put(subs),
+        refine_codes=None if refine_sorted is None else jax.device_put(refine_sorted),
+        refine_scale=refine_scale,
+        refine_proj=refine_proj,
+        n_real=n_real,
+        offset=offset,
+        window=window,
+        nprobe=nprobe,
+        max_windows=int(max_windows),
+        k_factor=k_factor,
+        code_bits=code_bits,
+        approx_recall=approx_recall,
+    )
+
+
+def build_ivfpq_index(
+    rng: jax.Array,
+    vectors: jax.Array,
+    *,
+    n_clusters: typ.Optional[int] = None,
+    nprobe: int = 32,
+    window: int = 512,
+    max_windows: typ.Optional[int] = None,
+    n_subquantizers: int = 32,
+    code_bits: int = 8,
+    train_size: typ.Optional[int] = None,
+    kmeans_iters: int = 10,
+    use_opq: bool = False,
+    opq_iters: int = 4,
+    refine: str = "none",
+    refine_dim: typ.Optional[int] = None,
+    k_factor: int = 4,
+    keep_codes: bool = True,
+    subset_ids: typ.Optional[jax.Array] = None,
+    offset: int = 0,
+    approx_recall: typ.Optional[float] = 0.95,
+) -> IVFPQIndex:
+    """On-device IVF-PQ build (parity: `build_gpu.py:103` `_train_ivf` +
+    PQ training; `IVFauto` centroid inference as `support.py:13`).
+
+    refine='int8' (optionally with `refine_dim` truncated-PCA rows) stores
+    rerank rows in the sorted layout; bf16/f32 refine also supported. With a
+    refine store the search scores those rows directly, so `keep_codes=False`
+    skips PQ training entirely and drops the codes — an IVF + (PCA-)SQ index
+    at R + 4 bytes/row.
+    """
+    from vod_tpu.ops.kmeans import _assign_chunked, infer_n_clusters, kmeans
+
+    if code_bits not in (8, 4):
+        raise ValueError(f"code_bits must be 8 or 4, got {code_bits}")
+    if code_bits == 4 and n_subquantizers % 2:
+        raise ValueError("code_bits=4 requires an even n_subquantizers (nibble packing)")
+    if not keep_codes and refine == "none":
+        raise ValueError("keep_codes=False requires a refine store to score against")
+    n_codes = 1 << code_bits
+    n_real, d = vectors.shape
+    x = vectors.astype(jnp.float32)
+    train = x if train_size is None or train_size >= n_real else x[:train_size]
+
+    rotation = None
+    if not keep_codes:
+        # refine rows are the scoring store; skip PQ/OPQ training outright
+        x_rot, train_rot = x, train
+        codebooks = jnp.zeros((1, 1, d), jnp.float32)
+    elif use_opq:
+        rotation, codebooks = pq_ops.train_opq(
+            rng, train, n_subquantizers, n_codes=n_codes, n_iters=opq_iters,
+            kmeans_iters=max(2, kmeans_iters // 2),
+        )
+        x_rot = x @ rotation
+        train_rot = train @ rotation
+    else:
+        x_rot, train_rot = x, train
+        codebooks = pq_ops.train_pq(
+            rng, train_rot, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
+        )
+
+    c = n_clusters or infer_n_clusters(n_real)
+    centroids, _ = kmeans(jax.random.fold_in(rng, 17), train_rot, n_clusters=c, n_iters=kmeans_iters)
+    assign_np = np.asarray(_assign_chunked(x_rot, centroids)).astype(np.int32)
+
+    codes_np = None
+    if keep_codes:
+        codes = pq_ops.encode_pq(codebooks, x_rot)
+        if code_bits == 4:
+            codes = _pack_codes4(codes)
+        codes_np = np.asarray(codes)
+
+    refine_np = refine_scale = refine_proj = None
+    if refine != "none":
+        from .dense import _build_refine
+
+        rc, refine_scale, refine_proj = _build_refine(x, refine, 1, refine_dim=refine_dim, train=train)
+        refine_np = np.asarray(rc)
+    return build_ivfpq_from_parts(
+        centroids,
+        codebooks,
+        assign_np,
+        codes_np,
+        rotation=rotation,
+        refine_np=refine_np,
+        refine_scale=refine_scale,
+        refine_proj=refine_proj,
+        subset_ids_np=None if subset_ids is None else np.asarray(subset_ids).astype(np.int32),
+        window=window,
+        nprobe=nprobe,
+        max_windows=max_windows,
+        k_factor=k_factor,
+        code_bits=code_bits,
+        offset=offset,
+        approx_recall=approx_recall,
+    )
+
+
+def build_ivfpq_from_device_parts(
+    centroids: jax.Array,
+    codebooks: jax.Array,
+    assign_np: np.ndarray,  # [N] int32 (host; sizes the layout)
+    codes_dev: typ.Optional[jax.Array],  # [N, Mc] uint8 ON DEVICE (None = refine only)
+    *,
+    refine_dev: typ.Optional[jax.Array] = None,  # [N, R] int8 ON DEVICE
+    refine_scale: typ.Optional[jax.Array] = None,
+    refine_proj: typ.Optional[jax.Array] = None,
+    rotation: typ.Optional[jax.Array] = None,
+    subset_ids_np: typ.Optional[np.ndarray] = None,
+    window: int = 512,
+    nprobe: int = 32,
+    max_windows: typ.Optional[int] = None,
+    k_factor: int = 4,
+    code_bits: int = 8,
+    offset: int = 0,
+    approx_recall: typ.Optional[float] = 0.95,
+) -> IVFPQIndex:
+    """Assemble the sorted window layout when the big arrays already live in
+    HBM (slab-wise builds at 8.8M+ scale — a host round-trip of the code/refine
+    matrices is the expensive part; parity: `faiss_search/build.py:51-81`
+    chunked add). Only the [N] assignment vector crosses to the host; the
+    permutation into the padded layout runs as one device scatter per array.
+    """
+    n_real = int(assign_np.shape[0])
+    c = int(centroids.shape[0])
+    order = np.argsort(assign_np, kind="stable")
+    counts = np.bincount(assign_np, minlength=c)
+    wcounts = -(-counts // window)
+    pad_lens = wcounts * window
+    starts_pad = np.concatenate([[0], np.cumsum(pad_lens)])
+    total = int(starts_pad[-1])
+    # dst[i] = padded-layout position of original row i
+    sorted_assign = assign_np[order]
+    cell_first = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    within = np.arange(n_real, dtype=np.int64) - cell_first[sorted_assign]
+    dst = np.empty(n_real, np.int64)
+    dst[order] = starts_pad[sorted_assign] + within
+    dst_dev = jnp.asarray(dst.astype(np.int32))
+
+    @jax.jit
+    def scatter_rows(src):
+        out = jnp.zeros((total, src.shape[1]), src.dtype)
+        return out.at[dst_dev].set(src)
+
+    @jax.jit
+    def scatter_ids(src):
+        out = jnp.full((total,), -1, jnp.int32)
+        return out.at[dst_dev].set(src)
+
+    codes_sorted = None if codes_dev is None else scatter_rows(codes_dev)
+    refine_sorted = None if refine_dev is None else scatter_rows(refine_dev)
+    row_ids = scatter_ids(jnp.arange(n_real, dtype=jnp.int32))
+    subs = None
+    if subset_ids_np is not None:
+        subs = scatter_ids(jnp.asarray(subset_ids_np.astype(np.int32)))
+
+    win_start = (starts_pad[:-1] // window).astype(np.int32)
+    win_count = wcounts.astype(np.int32)
+    if max_windows is None:
+        nonempty = wcounts[wcounts > 0]
+        mean_w = float(nonempty.mean()) if nonempty.size else 1.0
+        max_windows = int(min(int(wcounts.sum()), nprobe * max(1, int(np.ceil(1.5 * mean_w)))))
+    return IVFPQIndex(
+        centroids=jnp.asarray(centroids, dtype=jnp.float32),
+        codebooks=codebooks,
+        codes=codes_sorted,
+        row_ids=row_ids,
+        win_start=jax.device_put(win_start),
+        win_count=jax.device_put(win_count),
+        rotation=rotation,
+        subset_ids=subs,
+        refine_codes=refine_sorted,
+        refine_scale=refine_scale,
+        refine_proj=refine_proj,
+        n_real=n_real,
+        offset=offset,
+        window=window,
+        nprobe=nprobe,
+        max_windows=int(max_windows),
+        k_factor=k_factor,
+        code_bits=code_bits,
+        approx_recall=approx_recall,
+    )
+
+
+def _probe_window_ids(
+    index: IVFPQIndex, q_eff: jax.Array, w_max: int
+) -> tuple[jax.Array, jax.Array]:
+    """Per-query window-id lists: [B, W] window ids + [B, W] validity.
+
+    Probes the `nprobe` best cells (descending centroid score) and emits their
+    windows in probe order until the static `w_max` budget fills — a vmapped
+    searchsorted over the per-query cumulative window counts.
+    """
+    c = index.centroids.shape[0]
+    nprobe = min(index.nprobe, c)
+    cscores = jnp.dot(q_eff, index.centroids.T, preferred_element_type=jnp.float32)
+    _, cells = jax.lax.top_k(cscores, nprobe)  # [B, P] descending
+    ws = index.win_start[cells]  # [B, P]
+    wc = index.win_count[cells]  # [B, P]
+    cum = jnp.cumsum(wc, axis=-1)  # [B, P]
+    slots = jnp.arange(w_max, dtype=wc.dtype)
+    p = jax.vmap(lambda cr: jnp.searchsorted(cr, slots, side="right"))(cum)  # [B, W]
+    p_safe = jnp.clip(p, 0, nprobe - 1)
+    prev = jnp.where(p_safe > 0, jnp.take_along_axis(cum, jnp.maximum(p_safe - 1, 0), axis=-1), 0)
+    off = slots[None, :] - prev
+    win_id = jnp.take_along_axis(ws, p_safe, axis=-1) + off
+    valid = slots[None, :] < cum[:, -1:]
+    return jnp.where(valid, win_id, 0).astype(jnp.int32), valid
+
+
+def ivfpq_search(
+    index: IVFPQIndex,
+    queries: SearchQueries,
+    top_k: int,
+    *,
+    approx_recall: typ.Any = _FROM_INDEX,
+) -> RetrievalBatch:
+    """Cell-pruned ADC search + optional exact re-rank.
+
+    Parity: faiss IVFPQ `search` with `nprobe` (`faiss_search/server.py:77`
+    serving path). Large batches are mapped over sub-batches so the one-hot
+    decode temp stays bounded — IVF's sweet spot is small serving batches;
+    exhaustive `pq_search` wins for batch-embedding workloads.
+    """
+    if approx_recall is _FROM_INDEX:
+        approx_recall = index.approx_recall
+    q = queries.vector
+    if q is None:
+        raise ValueError("ivfpq_search requires queries.vector")
+    b, d = q.shape
+    m = index.codebooks.shape[0]
+    n_codes = index.codebooks.shape[1]
+    window = index.window
+    do_refine = index.refine_codes is not None
+    if not do_refine and index.codes is None:
+        raise ValueError("IVFPQIndex built with keep_codes=False requires refine rows")
+
+    # per-(query, row) gathered/temp bytes of the scoring stage: R rerank
+    # bytes on the refine path, the M x n_codes one-hot on the ADC path
+    if do_refine:
+        row_cost = index.refine_codes.shape[-1] * index.refine_codes.dtype.itemsize
+    else:
+        row_cost = m * n_codes
+    # bound the per-chunk gather/temp: chunk queries first, then windows
+    qchunk = max(8, _OH_BUDGET // (window * row_cost))
+    if b > qchunk:
+        pad = (-b) % qchunk
+        qp = jnp.pad(q, ((0, pad), (0, 0))) if pad else q
+        sub = queries.subset_ids
+        subp = None
+        if sub is not None:
+            subp = jnp.pad(sub, ((0, pad), (0, 0)), constant_values=-1) if pad else sub
+            subp = subp.reshape((b + pad) // qchunk, qchunk, -1)
+
+        def one(args):
+            vec, ss = args
+            return ivfpq_search(
+                index, SearchQueries(vector=vec, subset_ids=ss), top_k,
+                approx_recall=approx_recall,
+            )
+
+        out = jax.lax.map(one, (qp.reshape((b + pad) // qchunk, qchunk, d), subp))
+        return RetrievalBatch(
+            scores=out.scores.reshape(b + pad, top_k)[:b],
+            indices=out.indices.reshape(b + pad, top_k)[:b],
+        )
+
+    q_eff = q.astype(jnp.float32)
+    if index.rotation is not None:
+        q_eff = q_eff @ index.rotation
+
+    n_sorted = index.row_ids.shape[0]
+    n_windows = n_sorted // window
+    w_max = index.max_windows if index.max_windows > 0 else n_windows
+    w_max = min(w_max, n_windows)
+    # windows per scoring chunk, bounded by the gather/temp budget
+    wchunk = max(1, _OH_BUDGET // (b * window * row_cost))
+    wchunk = min(wchunk, w_max)
+    w_pad = -(-w_max // wchunk) * wchunk
+    n_wchunks = w_pad // wchunk
+
+    win_id, valid = _probe_window_ids(index, q_eff, w_max)
+    if w_pad > w_max:
+        win_id = jnp.pad(win_id, ((0, 0), (0, w_pad - w_max)))
+        valid = jnp.pad(valid, ((0, 0), (0, w_pad - w_max)))
+
+    rows_w = index.row_ids.reshape(n_windows, window)
+    subs_w = None
+    allowed = queries.subset_ids
+    if allowed is not None and index.subset_ids is not None:
+        subs_w = index.subset_ids.reshape(n_windows, window)
+
+    rc = wchunk * window  # rows per scoring chunk
+    kc = min(rc, top_k)  # scoring order is final on both paths (see below)
+
+    if do_refine:
+        # Score gathered windows DIRECTLY against the rerank rows — the
+        # ordering the ADC+refine pipeline would produce, minus the ADC
+        # candidate loss, at R gathered bytes/row. int8 rows ride the int8
+        # MXU with the per-dim scale folded into a row-quantized query.
+        refine_w = index.refine_codes.reshape(n_windows, window, -1)
+        q_ref = q.astype(jnp.float32)
+        if index.refine_proj is not None:
+            q_ref = q_ref @ index.refine_proj
+        if index.refine_scale is not None:
+            q_f = q_ref * index.refine_scale
+            q_row = jnp.maximum(jnp.max(jnp.abs(q_f), axis=-1, keepdims=True), 1e-8) / 127.0
+            q_i8 = jnp.clip(jnp.round(q_f / q_row), -127, 127).astype(jnp.int8)
+    else:
+        codes_w = index.codes.reshape(n_windows, window, -1)
+        unpack = _unpack_codes4 if index.code_bits == 4 else (lambda cc: cc)
+        iota = jnp.arange(n_codes, dtype=jnp.int32)
+
+    def score_wchunk(_, wi):
+        ids_c = jax.lax.dynamic_slice(win_id, (0, wi * wchunk), (b, wchunk))  # [B, Wc]
+        val_c = jax.lax.dynamic_slice(valid, (0, wi * wchunk), (b, wchunk))
+        rid = rows_w[ids_c].reshape(b, rc)
+        if do_refine:
+            raw = refine_w[ids_c].reshape(b, rc, -1)  # [B, rc, R]
+            if index.refine_scale is not None:
+                acc = jnp.einsum("bd,brd->br", q_i8, raw, preferred_element_type=jnp.int32)
+                s = acc.astype(jnp.float32) * q_row
+            else:
+                s = jnp.einsum(
+                    "bd,brd->br", q_ref.astype(raw.dtype), raw,
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            # no rerank rows stored: one-hot ADC decode of the gathered codes
+            cand = unpack(codes_w[ids_c]).reshape(b * rc, m)
+            oh = (cand.astype(jnp.int32)[:, :, None] == iota[None, None, :])
+            dec = jnp.einsum(
+                "cmk,mkd->cmd", oh.astype(jnp.bfloat16), index.codebooks.astype(jnp.bfloat16),
+                preferred_element_type=jnp.bfloat16,
+            ).reshape(b, rc, d)
+            s = jnp.einsum(
+                "bd,brd->br", q_eff.astype(jnp.bfloat16), dec, preferred_element_type=jnp.float32
+            )
+        ok = val_c[:, :, None].repeat(window, axis=-1).reshape(b, rc) & (rid >= 0)
+        if subs_w is not None:
+            sub = subs_w[ids_c].reshape(b, rc)
+            ok &= jnp.any(sub[:, :, None] == allowed[:, None, :], axis=-1) | jnp.all(
+                allowed < 0, axis=-1, keepdims=True
+            )
+        s = jnp.where(ok, s, -jnp.inf)
+        pos = ids_c[:, :, None].repeat(window, axis=-1).reshape(b, rc) * window
+        pos = pos + jnp.tile(jnp.arange(window, dtype=jnp.int32), wchunk)[None, :]
+        if approx_recall is not None and kc < rc:
+            c_s, c_p = jax.lax.approx_max_k(s, kc, recall_target=approx_recall)
+        else:
+            c_s, c_p = jax.lax.top_k(s, kc)
+        return None, (c_s, jnp.take_along_axis(pos, c_p, axis=-1))
+
+    _, (all_s, all_p) = jax.lax.scan(score_wchunk, None, jnp.arange(n_wchunks))
+    all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_wchunks * kc)
+    all_p = jnp.moveaxis(all_p, 0, 1).reshape(b, n_wchunks * kc)
+    k_eff = min(top_k, all_s.shape[-1])
+    top_s, sel = jax.lax.top_k(all_s, k_eff)
+    top_p = jnp.take_along_axis(all_p, sel, axis=-1)
+
+    if top_s.shape[-1] < top_k:
+        padk = top_k - top_s.shape[-1]
+        top_s = jnp.pad(top_s, ((0, 0), (0, padk)), constant_values=-jnp.inf)
+        top_p = jnp.pad(top_p, ((0, 0), (0, padk)), constant_values=-1)
+
+    # sorted-layout positions -> original row ids
+    top_i = index.row_ids[jnp.clip(top_p, 0, n_sorted - 1)]
+    ok = jnp.isfinite(top_s) & (top_p >= 0) & (top_i >= 0)
+    top_i = jnp.where(ok, top_i + index.offset, -1)
+    return RetrievalBatch(scores=jnp.where(ok, top_s, -jnp.inf), indices=top_i)
