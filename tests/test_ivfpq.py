@@ -199,6 +199,31 @@ def test_factory_string_ivfpq():
     assert DenseFactoryConfig.from_faiss_factory("PQ32x8").codec == "pq"
 
 
+def test_ivfpq_cache_roundtrip(tmp_path):
+    """Factory cache save/load round-trip, incl. the codes=None (keep_codes
+    =False) layout where the required `codes` field must restore as None."""
+    x = _corpus(n=1024)
+    q = _queries(x, b=8)
+    cfg = DenseFactoryConfig(
+        codec="ivfpq", n_clusters=8, nprobe=8, ivf_window=128,
+        kmeans_iters=3, refine="int8", refine_dim=32, keep_codes=False,
+    )
+    built = build_dense_from_config(
+        cfg, x, rng=jax.random.PRNGKey(0),
+        cache_dir=str(tmp_path), data_fingerprint="fpA",
+    )
+    assert built.codes is None
+    loaded = build_dense_from_config(
+        cfg, x, rng=jax.random.PRNGKey(0),
+        cache_dir=str(tmp_path), data_fingerprint="fpA",
+    )
+    assert loaded.codes is None and loaded.nprobe == built.nprobe
+    fn = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), 10))
+    np.testing.assert_array_equal(
+        np.asarray(fn(built, q).indices), np.asarray(fn(loaded, q).indices)
+    )
+
+
 def test_ivfpq_from_config_and_dispatch():
     x = _corpus(n=2048)
     q = _queries(x, b=8)
@@ -213,3 +238,57 @@ def test_ivfpq_from_config_and_dispatch():
     gt = _exact_topk(x, q, 10)
     rec = np.mean([len(set(got[i]) & set(gt[i])) / 10 for i in range(got.shape[0])])
     assert rec >= 0.7, rec
+
+
+@pytest.mark.slow
+def test_sharded_ivfpq_matches_unsharded():
+    """Cell-sharded IVF-PQ over a virtual 4-device mesh returns the same ids
+    as the unsharded engine: probing is replicated (same top-nprobe cells on
+    every shard), window budgets untruncated, exact selection."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import shard_ivfpq_index, sharded_ivfpq_search
+
+    mesh = make_mesh((4,), ("shard",))
+    x = _corpus(n=4096)
+    q = _queries(x, b=8)
+    k = 10
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=32, nprobe=8, window=128,
+        n_subquantizers=8, kmeans_iters=4, refine="float32",
+        approx_recall=None,
+    )
+    ref = ivfpq_search(ivf, SearchQueries(vector=q), k)
+    sh = shard_ivfpq_index(ivf, mesh)
+    out = sharded_ivfpq_search(sh, SearchQueries(vector=q), k)
+    ref_i, got_i = np.asarray(ref.indices), np.asarray(out.indices)
+    for i in range(q.shape[0]):
+        assert set(got_i[i].tolist()) == set(ref_i[i].tolist()), i
+    assert np.allclose(np.asarray(out.scores), np.asarray(ref.scores), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_ivfpq_subset_filtering_and_factory():
+    """Subset filters survive the cell-sharded layout; the factory's
+    `sharded: true` knob routes the ivfpq codec through shard_ivfpq_index."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import ShardedIVFPQIndex, sharded_ivfpq_search
+
+    mesh = make_mesh((4,), ("shard",))
+    x = _corpus(n=2048)
+    q = _queries(x, b=8)
+    n = x.shape[0]
+    groups = jnp.asarray(np.arange(n) % 5, dtype=jnp.int32)
+    cfg = DenseFactoryConfig(
+        codec="ivfpq", n_clusters=16, nprobe=16, ivf_window=128,
+        n_subquantizers=8, kmeans_iters=4, refine="float32", sharded=True,
+    )
+    sh = build_dense_from_config(
+        cfg, x, rng=jax.random.PRNGKey(0), subset_ids=groups, mesh=mesh
+    )
+    assert isinstance(sh, ShardedIVFPQIndex)
+    allowed = jnp.asarray([[2]] * 8, dtype=jnp.int32)
+    out = sharded_ivfpq_search(sh, SearchQueries(vector=q, subset_ids=allowed), 10)
+    got = np.asarray(out.indices)
+    valid = got[got >= 0]
+    assert valid.size > 0
+    assert (valid % 5 == 2).all()

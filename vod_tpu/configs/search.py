@@ -65,6 +65,9 @@ class DenseFactoryConfig(StrictModel):
     nprobe: int = 8
     ivf_window: int = 512
     max_windows: typ.Optional[int] = None
+    # ivfpq only: False drops the PQ codes and scores probed windows directly
+    # against the refine rows (IVF + (PCA-)SQ index; requires `refine`)
+    keep_codes: bool = True
     # sharding over a device mesh (index sharding, SURVEY §2.10)
     sharded: bool = False
     shard_axis: str = "shard"

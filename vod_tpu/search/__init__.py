@@ -21,6 +21,9 @@ from .ivfpq import (
 from .lookup import lookup_search
 from .sharded import (
     ShardedDenseIndex,
+    ShardedIVFPQIndex,
+    shard_ivfpq_index,
+    sharded_ivfpq_search,
     ShardedPQIndex,
     ShardedSparseIndex,
     build_sharded_dense_index,
@@ -41,6 +44,7 @@ __all__ = [
     "PQIndex",
     "SearchQueries",
     "ShardedDenseIndex",
+    "ShardedIVFPQIndex",
     "ShardedPQIndex",
     "ShardedSparseIndex",
     "SparseIndex",
@@ -61,6 +65,8 @@ __all__ = [
     "shard_pq_index",
     "shard_sparse_index",
     "sharded_dense_search",
+    "sharded_ivfpq_search",
+    "shard_ivfpq_index",
     "sharded_pq_search",
     "sharded_sparse_search",
     "sparse_search",

@@ -21,7 +21,7 @@ from vod_tpu.configs.search import DenseFactoryConfig, HybridSearchFactoryConfig
 from .dense import DenseIndex, IVFIndex, PQIndex, build_dense_index, build_ivf_index, build_pq_index
 from .hybrid import HybridEngines
 from .ivfpq import IVFPQIndex, build_ivfpq_index
-from .sharded import build_sharded_dense_index, shard_ivf_index, shard_pq_index
+from .sharded import build_sharded_dense_index, shard_ivf_index, shard_ivfpq_index, shard_pq_index
 from .sparse import SparseIndex, build_sparse_index
 
 _INDEX_TYPES = {
@@ -66,7 +66,11 @@ def _load_index(path: pathlib.Path) -> typ.Any:
     cls = _INDEX_TYPES[spec["type"]]
     with ocp.PyTreeCheckpointer() as ckptr:
         arrays = ckptr.restore(path.absolute() / "arrays")
-    return cls(**arrays, **{k: v for k, v in spec["meta"].items() if v is not None or k in ("scale", "subset_ids", "corpus_shard", "rotation", "approx_recall")})
+    # meta holds every non-array field, including None-valued ones — any field
+    # that was None in the live instance is Optional by construction, and some
+    # (e.g. IVFPQIndex.codes with keep_codes=False) have no default to fall
+    # back on, so None must be passed through rather than dropped.
+    return cls(**arrays, **spec["meta"])
 
 
 def build_dense_from_config(
@@ -148,6 +152,7 @@ def build_dense_from_config(
             refine=cfg.refine,
             refine_dim=cfg.refine_dim,
             k_factor=cfg.k_factor,
+            keep_codes=cfg.keep_codes,
             subset_ids=subset_ids,
             approx_recall=cfg.approx_recall,
         )
@@ -173,6 +178,8 @@ def build_dense_from_config(
 
 
 def _shard_from_config(cfg: DenseFactoryConfig, index, vectors, subset_ids, mesh):
+    if isinstance(index, IVFPQIndex):
+        return shard_ivfpq_index(index, mesh, axis=cfg.shard_axis)
     if isinstance(index, PQIndex):
         return shard_pq_index(index, mesh, axis=cfg.shard_axis)
     if isinstance(index, IVFIndex):

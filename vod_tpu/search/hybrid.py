@@ -26,6 +26,8 @@ from .ivfpq import IVFPQIndex, ivfpq_search
 from .lookup import lookup_search
 from .sharded import (
     ShardedDenseIndex,
+    ShardedIVFPQIndex,
+    sharded_ivfpq_search,
     ShardedIVFIndex,
     ShardedPQIndex,
     ShardedSparseIndex,
@@ -42,7 +44,10 @@ class HybridEngines:
     """Named engine bundle (parity: `HybridSearchFactoryConfig.engines`)."""
 
     dense: typ.Optional[
-        typ.Union[DenseIndex, IVFIndex, IVFPQIndex, PQIndex, ShardedDenseIndex, ShardedPQIndex]
+        typ.Union[
+            DenseIndex, IVFIndex, IVFPQIndex, PQIndex,
+            ShardedDenseIndex, ShardedIVFPQIndex, ShardedPQIndex,
+        ]
     ] = None
     sparse: typ.Optional[typ.Union[SparseIndex, ShardedSparseIndex]] = None
 
@@ -54,6 +59,8 @@ def _dense_dispatch(index, queries: SearchQueries, top_k: int) -> RetrievalBatch
         return sharded_dense_search(index, queries, top_k)
     if isinstance(index, ShardedPQIndex):
         return sharded_pq_search(index, queries, top_k)
+    if isinstance(index, ShardedIVFPQIndex):
+        return sharded_ivfpq_search(index, queries, top_k)
     if isinstance(index, ShardedIVFIndex):
         return sharded_ivf_search(index, queries, top_k)
     if isinstance(index, PQIndex):

@@ -730,3 +730,197 @@ def sharded_sparse_search(
     ok = jnp.isfinite(out_s)
     out_d = jnp.where(ok, out_d + index.offset, -1)
     return RetrievalBatch(scores=out_s, indices=out_d.astype(jnp.int32))
+
+
+@struct.dataclass
+class ShardedIVFPQIndex:
+    """IVF-PQ cell-sharded over a mesh axis (parity: `sharded_search.py:28`
+    wrapping faiss IVF indexes).
+
+    Cells are assigned round-robin to shards and each shard holds its OWN
+    cluster-sorted window layout over its cells; `win_start`/`win_count` are
+    per-shard [C] tables with zero counts for non-local cells, so the probe
+    stage (replicated centroids, identical top-nprobe cells on every device)
+    naturally emits only local windows on each shard. Unlike row-striping the
+    flat layout, this divides the probed-window scan itself ~n_shards ways.
+    Row ids in the local layouts are ORIGINAL global ids — the all_gather(k)
+    merge needs no offset arithmetic.
+    """
+
+    centroids: jax.Array  # [C, D] replicated
+    codebooks: jax.Array  # [M, n_codes, dsub] replicated
+    codes: typ.Optional[jax.Array]  # [S*slots, Mc] row-sharded (None = refine-only)
+    row_ids: jax.Array  # [S*slots] row-sharded, ORIGINAL ids, -1 padding
+    win_start: jax.Array  # [S*C] sharded: per-shard local window starts
+    win_count: jax.Array  # [S*C] sharded: zero for non-local cells
+    rotation: typ.Optional[jax.Array] = None  # replicated
+    subset_ids: typ.Optional[jax.Array] = None  # [S*slots] row-sharded
+    refine_codes: typ.Optional[jax.Array] = None  # [S*slots, R] row-sharded
+    refine_scale: typ.Optional[jax.Array] = None  # replicated
+    refine_proj: typ.Optional[jax.Array] = None  # replicated
+    n_real: int = struct.field(pytree_node=False, default=0)
+    offset: int = struct.field(pytree_node=False, default=0)
+    slots_per_shard: int = struct.field(pytree_node=False, default=0)
+    axis: str = struct.field(pytree_node=False, default="shard")
+    mesh: typ.Any = struct.field(pytree_node=False, default=None)
+    window: int = struct.field(pytree_node=False, default=512)
+    nprobe: int = struct.field(pytree_node=False, default=32)
+    max_windows: int = struct.field(pytree_node=False, default=0)  # per-shard budget
+    k_factor: int = struct.field(pytree_node=False, default=4)
+    code_bits: int = struct.field(pytree_node=False, default=8)
+    approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
+
+
+def shard_ivfpq_index(
+    index,  # IVFPQIndex
+    mesh: Mesh,
+    *,
+    axis: str = "shard",
+    max_windows_local: typ.Optional[int] = None,
+) -> ShardedIVFPQIndex:
+    """Re-layout an (already-built) IVFPQIndex as per-shard window layouts.
+
+    Host-side assembly: pulls the sorted arrays once, permutes each shard's
+    cells' windows into a contiguous local layout, pads every shard to the
+    largest local slot count (SPMD equal shapes).
+    """
+    import numpy as np
+
+    n_shards = mesh.shape[axis]
+    window = index.window
+    c = int(index.centroids.shape[0])
+    wc = np.asarray(index.win_count).astype(np.int64)  # [C]
+    ws = np.asarray(index.win_start).astype(np.int64)
+    shard_of = np.arange(c) % n_shards
+
+    # per-shard window tables: local starts via cumsum over local counts
+    wc_l = np.zeros((n_shards, c), np.int32)
+    ws_l = np.zeros((n_shards, c), np.int32)
+    n_w_local = np.zeros((n_shards,), np.int64)
+    for s in range(n_shards):
+        cells = np.where(shard_of == s)[0]
+        cum = np.concatenate([[0], np.cumsum(wc[cells])])
+        wc_l[s, cells] = wc[cells]
+        ws_l[s, cells] = cum[:-1]
+        n_w_local[s] = cum[-1]
+    n_w_max = int(n_w_local.max())
+    slots = n_w_max * window
+
+    # per-shard global slot ids (into the unsharded sorted layout)
+    def shard_slots(s: int) -> np.ndarray:
+        cells = np.where((shard_of == s) & (wc > 0))[0]
+        return np.concatenate(
+            [np.arange(ws[ci] * window, (ws[ci] + wc[ci]) * window) for ci in cells]
+        ) if cells.size else np.zeros((0,), np.int64)
+
+    sel = [shard_slots(s) for s in range(n_shards)]
+
+    def gather(x: typ.Optional[jax.Array], fill) -> typ.Optional[jax.Array]:
+        if x is None:
+            return None
+        xn = np.asarray(x)
+        out = np.full((n_shards, slots) + xn.shape[1:], fill, xn.dtype)
+        for s in range(n_shards):
+            out[s, : sel[s].size] = xn[sel[s]]
+        flat = out.reshape((n_shards * slots,) + xn.shape[1:])
+        spec = P(axis, None) if xn.ndim > 1 else P(axis)
+        return jax.device_put(jnp.asarray(flat), NamedSharding(mesh, spec))
+
+    rep = NamedSharding(mesh, P())
+
+    def rep_opt(x):
+        return None if x is None else jax.device_put(x, rep)
+
+    n_total_w = int(wc.sum())
+    if max_windows_local is None:
+        if index.max_windows <= 0 or index.max_windows >= n_total_w:
+            max_windows_local = n_w_max  # untruncated stays untruncated
+        else:
+            # probe budget divides ~evenly across shards; 1.5x slack for skew
+            max_windows_local = min(
+                n_w_max, max(1, -(-3 * index.max_windows // (2 * n_shards)))
+            )
+
+    return ShardedIVFPQIndex(
+        centroids=jax.device_put(index.centroids, rep),
+        codebooks=jax.device_put(index.codebooks, rep),
+        codes=gather(index.codes, 0),
+        row_ids=gather(index.row_ids, -1),
+        win_start=jax.device_put(
+            jnp.asarray(ws_l.reshape(-1)), NamedSharding(mesh, P(axis))
+        ),
+        win_count=jax.device_put(
+            jnp.asarray(wc_l.reshape(-1)), NamedSharding(mesh, P(axis))
+        ),
+        rotation=rep_opt(index.rotation),
+        subset_ids=gather(index.subset_ids, -1),
+        refine_codes=gather(index.refine_codes, 0),
+        refine_scale=rep_opt(index.refine_scale),
+        refine_proj=rep_opt(index.refine_proj),
+        n_real=index.n_real,
+        offset=index.offset,
+        slots_per_shard=slots,
+        axis=axis,
+        mesh=mesh,
+        window=window,
+        nprobe=index.nprobe,
+        max_windows=int(max_windows_local),
+        k_factor=index.k_factor,
+        code_bits=index.code_bits,
+        approx_recall=index.approx_recall,
+    )
+
+
+def sharded_ivfpq_search(
+    index: ShardedIVFPQIndex,
+    queries: SearchQueries,
+    top_k: int,
+) -> RetrievalBatch:
+    """SPMD IVF-PQ: every shard probes the SAME top-nprobe cells (replicated
+    centroids) but its window table only yields local windows; each runs the
+    single-device `ivfpq_search` on its local layout, then the all_gather(k)
+    merge. Local row ids are already global, so no offset pass is needed."""
+    from .ivfpq import IVFPQIndex, ivfpq_search
+
+    mesh, axis = index.mesh, index.axis
+    n_shards = mesh.shape[axis]
+    q = queries.vector
+    b = q.shape[0]
+    allowed = queries.subset_ids
+
+    def local_fn(cent, cb, codes, rid, ws, wcnt, rot, sub, ref, rsc, rpj, qv, allow):
+        local = IVFPQIndex(
+            centroids=cent, codebooks=cb, codes=codes, row_ids=rid,
+            win_start=ws, win_count=wcnt, rotation=rot, subset_ids=sub,
+            refine_codes=ref, refine_scale=rsc, refine_proj=rpj,
+            n_real=index.n_real, offset=index.offset, window=index.window,
+            nprobe=index.nprobe, max_windows=index.max_windows,
+            k_factor=index.k_factor, code_bits=index.code_bits,
+            approx_recall=index.approx_recall,
+        )
+        out = ivfpq_search(local, SearchQueries(vector=qv, subset_ids=allow), top_k)
+        return _merge_across_shards(out.scores, out.indices, axis, n_shards, b, top_k)
+
+    def spec2(x):
+        return P(axis, None) if x is not None else None
+
+    def spec1(x):
+        return P(axis) if x is not None else None
+
+    in_specs = (
+        P(), P(), spec2(index.codes), P(axis), P(axis), P(axis),
+        P() if index.rotation is not None else None,
+        spec1(index.subset_ids), spec2(index.refine_codes),
+        P() if index.refine_scale is not None else None,
+        P() if index.refine_proj is not None else None,
+        P(), P() if allowed is not None else None,
+    )
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()), check_vma=False
+    )
+    out_s, out_i = fn(
+        index.centroids, index.codebooks, index.codes, index.row_ids,
+        index.win_start, index.win_count, index.rotation, index.subset_ids,
+        index.refine_codes, index.refine_scale, index.refine_proj, q, allowed,
+    )
+    return RetrievalBatch(scores=out_s, indices=out_i.astype(jnp.int32))
