@@ -192,13 +192,15 @@ def test_config_diff_algebra_and_faiss_translation() -> None:
     assert hybrid.sparse is None
     assert defaults.dense.codec == "flat"  # defaults untouched
 
+    # IVF…,PQ… maps to the cell-pruned ivfpq codec (the reference's default
+    # factory shape); PQ without an IVF stage keeps the exhaustive codec.
     c = DenseFactoryConfig.from_faiss_factory("OPQ32_512,IVFauto,PQ32x8", train_size=1_000_000)
-    assert c.codec == "pq" and c.n_subquantizers == 32 and c.train_size == 1_000_000
+    assert c.codec == "ivfpq" and c.n_subquantizers == 32 and c.train_size == 1_000_000
     assert DenseFactoryConfig.from_faiss_factory("Flat").dtype == "float32"
     assert DenseFactoryConfig.from_faiss_factory("IVFauto,Flat").codec == "ivf"
 
     c2 = c + {"n_candidates": 4096}
-    assert c2.n_candidates == 4096 and c2.codec == "pq"
+    assert c2.n_candidates == 4096 and c2.codec == "ivfpq"
 
 
 def test_fingerprints_and_template_and_schedule() -> None:

@@ -292,3 +292,37 @@ def test_sharded_ivfpq_subset_filtering_and_factory():
     valid = got[got >= 0]
     assert valid.size > 0
     assert (valid % 5 == 2).all()
+
+
+@pytest.mark.slow
+def test_kmeans_sharded_matches_single_device():
+    """Mesh-sharded Lloyd iterations (one [k,d]+[k] psum per iter) converge to
+    the single-device solution: same init + same reseed keys -> near-identical
+    centroids (fp reduction order differs across the shard split), and the
+    quantization objective matches within 1%."""
+    from vod_tpu.ops.kmeans import _assign_chunked, kmeans, kmeans_sharded
+    from vod_tpu.parallel import make_mesh
+
+    mesh = make_mesh((4,), ("shard",))
+    rng_np = np.random.default_rng(7)
+    k, d = 16, 32
+    blobs = rng_np.standard_normal((k, d)).astype(np.float32) * 3
+    x = (blobs[rng_np.integers(0, k, 4000)]
+         + rng_np.standard_normal((4000, d)).astype(np.float32))
+    xj = jnp.asarray(x)
+    key = jax.random.PRNGKey(3)
+    c1, a1 = kmeans(key, xj, n_clusters=k, n_iters=8)
+    c2, a2 = kmeans_sharded(key, xj, n_clusters=k, mesh=mesh, n_iters=8)
+
+    def qerr(c):
+        a = np.asarray(_assign_chunked(xj, c))
+        return float(np.mean(np.sum((x - np.asarray(c)[a]) ** 2, axis=-1)))
+
+    e1, e2 = qerr(c1), qerr(c2)
+    assert e2 <= e1 * 1.01, (e1, e2)
+    # same rng path -> same init and reseeds; centroids should coincide
+    # up to reduction-order noise
+    assert np.allclose(np.asarray(c1), np.asarray(c2), atol=1e-3), (
+        np.abs(np.asarray(c1) - np.asarray(c2)).max()
+    )
+    assert (np.asarray(a1) == np.asarray(a2)).mean() > 0.99

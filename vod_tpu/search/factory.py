@@ -155,6 +155,8 @@ def build_dense_from_config(
             keep_codes=cfg.keep_codes,
             subset_ids=subset_ids,
             approx_recall=cfg.approx_recall,
+            mesh=mesh if cfg.sharded else None,
+            mesh_axis=cfg.shard_axis,
         )
     elif cfg.codec == "ivf":
         index = build_ivf_index(

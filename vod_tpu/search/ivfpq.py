@@ -197,9 +197,14 @@ def build_ivfpq_index(
     subset_ids: typ.Optional[jax.Array] = None,
     offset: int = 0,
     approx_recall: typ.Optional[float] = 0.95,
+    mesh: typ.Any = None,
+    mesh_axis: str = "shard",
 ) -> IVFPQIndex:
     """On-device IVF-PQ build (parity: `build_gpu.py:103` `_train_ivf` +
     PQ training; `IVFauto` centroid inference as `support.py:13`).
+    With a `mesh`, the coarse quantizer trains via multi-device Lloyd
+    iterations (`ops/kmeans.kmeans_sharded`, faiss multi-GPU clustering
+    parity `build_gpu.py:103-144`).
 
     refine='int8' (optionally with `refine_dim` truncated-PCA rows) stores
     rerank rows in the sorted layout; bf16/f32 refine also supported. With a
@@ -239,7 +244,17 @@ def build_ivfpq_index(
         )
 
     c = n_clusters or infer_n_clusters(n_real)
-    centroids, _ = kmeans(jax.random.fold_in(rng, 17), train_rot, n_clusters=c, n_iters=kmeans_iters)
+    if mesh is not None:
+        from vod_tpu.ops.kmeans import kmeans_sharded
+
+        centroids, _ = kmeans_sharded(
+            jax.random.fold_in(rng, 17), train_rot, n_clusters=c, mesh=mesh,
+            axis=mesh_axis, n_iters=kmeans_iters,
+        )
+    else:
+        centroids, _ = kmeans(
+            jax.random.fold_in(rng, 17), train_rot, n_clusters=c, n_iters=kmeans_iters
+        )
     assign_np = np.asarray(_assign_chunked(x_rot, centroids)).astype(np.int32)
 
     codes_np = None
