@@ -4,11 +4,12 @@ per config (VERDICT r2 #4), headline (flat 1M dense MIPS) LAST.
 Configs (select with VOD_BENCH_CONFIGS=csv of {hybrid,msmarco,realm,flat}):
   hybrid  — #3: dense+BM25 sharded over 2 devices w/ subset filtering
             (2-device virtual CPU mesh subprocess; correctness + shard ratio)
-  msmarco — #4: 8.8M x 768 compressed indexes — int8 (768 B/vec) AND
-            pq64+pca128-refine (192 B/vec) — recall@10 vs exact f32 + QPS
-            (spectrum-matched corpus generated slab-wise ON DEVICE; GT by
-            regenerating slabs from the same PRNG keys — the 27GB f32
-            matrix never exists)
+  msmarco — #4: 8.8M x 768 compressed indexes — int8 (768 B/vec),
+            pq128x4fs+pca128-refine (192 B/vec), and the IVF-PQ serving
+            line (IVF4096+PCA-SQ, B=64 marginal-block latency) — recall@10
+            vs exact f32 + QPS (spectrum-matched corpus generated slab-wise
+            ON DEVICE; GT by regenerating slabs from the same PRNG keys —
+            the 27GB f32 matrix never exists)
   realm   — #5: seq2seq REALM train step ms + periodic reindex seconds
             (subprocess: examples/seq2seq_realm_bench.py)
   flat    — headline: 1M x 768 bf16 flat QPS/chip vs CPU brute force
@@ -322,6 +323,81 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
         "value": round(pq_qps, 1),
         "unit": "QPS",
         "vs_baseline": round(pq_recall, 4),
+    })
+
+    # ---- IVF-PQ serving latency (small-batch regime) -----------------------
+    # The exhaustive scans above amortize their fixed decode/matmul cost over
+    # 2048-query blocks — at SERVING batch (64) that fixed cost dominates.
+    # IVF-PQ (faiss `IVFauto,PQ…` parity, the reference's default factory
+    # shape) probes nprobe/4096 cells and scores the probed windows directly
+    # against the SAME pca128 int8 refine rows (keep_codes=False production
+    # mode: IVF + PCA-SQ at 132 B/vec). Reuses refine_rows/proj/scale from
+    # the pq section; same exact-f32 ground truth.
+    del pq_index, pq_codes, out, got
+    _log("msmarco: ivfpq — kmeans4096 + slab assignment")
+    from vod_tpu.ops.kmeans import kmeans
+    from vod_tpu.search import build_ivfpq_from_device_parts, ivfpq_search
+
+    t0 = time.time()
+    train = gen_slab(keys[0])[:262_144]
+    centroids, _ = kmeans(jax.random.PRNGKey(11), train, n_clusters=4096, n_iters=8)
+    del train
+    c_sq = jnp.sum(centroids**2, axis=-1)
+
+    @jax.jit
+    def assign_slab(key):
+        x = gen_slab(key)
+
+        def one(xc):
+            ip = jnp.dot(xc, centroids.T, preferred_element_type=jnp.float32)
+            return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=-1).astype(jnp.int32)
+
+        return jax.lax.map(one, x.reshape(slab // 8192, 8192, d)).reshape(-1)
+
+    assign_np = np.zeros((n_pad,), np.int32)
+    for i, kk in enumerate(keys):
+        assign_np[i * slab : (i + 1) * slab] = np.asarray(assign_slab(kk))
+    ivf_index = build_ivfpq_from_device_parts(
+        centroids, jnp.zeros((1, 1, d), jnp.float32), assign_np[:n], None,
+        refine_dev=refine_rows[:n], refine_scale=refine_scale,
+        refine_proj=refine_proj, window=512, nprobe=64,
+    )
+    del refine_rows
+    ivf_build_s = time.time() - t0
+    ivf_slots = int(ivf_index.row_ids.shape[0])
+    ivf_gb = ivf_slots * (rdim + 4) / 2**30
+
+    sfn = lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), k).indices
+    got_ivf = np.asarray(jax.jit(sfn)(ivf_index, jq))
+    ivf_recall = float(np.mean(
+        [len(set(got_ivf[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(n_eval)]
+    ))
+    _log(f"msmarco ivfpq: recall@10={ivf_recall:.3f} (built in {ivf_build_s:.0f}s); serving timing")
+    # marginal 64-query block: 9-block vs 1-block lax.map walls (RTT cancels)
+    sb = 64
+    p_one = [jnp.asarray(make_queries(sb, seed=100 + i)[None]) for i in range(3)]
+    p_nine = [
+        jnp.asarray(np.stack([make_queries(sb, seed=200 + 9 * i + j) for j in range(9)]))
+        for i in range(3)
+    ]
+    fb = jax.jit(lambda ix, qb: jax.lax.map(lambda v: sfn(ix, v), qb))
+    np.asarray(fb(ivf_index, p_one[0])[0, 0, 0])
+    np.asarray(fb(ivf_index, p_nine[0])[0, 0, 0])
+    w1 = w9 = float("inf")
+    for i in range(3):
+        t = time.time(); np.asarray(fb(ivf_index, p_one[i])[-1, -1]); w1 = min(w1, time.time() - t)
+        t = time.time(); np.asarray(fb(ivf_index, p_nine[i])[-1, -1]); w9 = min(w9, time.time() - t)
+    ms_block = max((w9 - w1) / 8 * 1000, 1e-6)
+    scan_frac = ivf_index.max_windows * 512 / n
+    _emit({
+        "metric": (
+            f"8.8M ivfpq serving (IVF4096+PCA-SQ128, 132 B/vec, {ivf_gb:.2f} GB HBM, "
+            f"nprobe=64 scans {100*scan_frac:.1f}%, build {ivf_build_s:.0f}s): "
+            f"recall@10={ivf_recall:.3f}; {ms_block:.2f} ms per 64-query block"
+        ),
+        "value": round(sb / (ms_block / 1000), 1),
+        "unit": "serving QPS (B=64)",
+        "vs_baseline": round(ivf_recall, 4),
     })
 
 
