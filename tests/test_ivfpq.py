@@ -326,3 +326,34 @@ def test_kmeans_sharded_matches_single_device():
         np.abs(np.asarray(c1) - np.asarray(c2)).max()
     )
     assert (np.asarray(a1) == np.asarray(a2)).mean() > 0.99
+
+
+def test_ivfpq_host_slab_build_matches_device_build():
+    """build_dense_from_host(codec=ivfpq) — the beyond-HBM path — produces the
+    same results as the in-HBM build with the same rng (train sample ==
+    corpus here, so centroids/codebooks/refine stats coincide)."""
+    from vod_tpu.search.factory import build_dense_from_host
+
+    x = _corpus(n=1536)
+    q = _queries(x, b=8)
+    cfg = DenseFactoryConfig(
+        codec="ivfpq", n_clusters=8, nprobe=8, ivf_window=128,
+        n_subquantizers=8, kmeans_iters=4, refine="int8", refine_dim=32,
+        train_size=1536, approx_recall=None,
+    )
+    dev = build_dense_from_config(cfg, x, rng=jax.random.PRNGKey(0))
+    host = build_dense_from_host(
+        cfg, np.asarray(x), rng=jax.random.PRNGKey(0), slab=500
+    )
+    fn = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), 10))
+    out_d, out_h = fn(dev, q), fn(host, q)
+    np.testing.assert_array_equal(np.asarray(out_d.indices), np.asarray(out_h.indices))
+
+    # keep_codes=False variant builds and searches sanely from host slabs
+    cfg2 = cfg.model_copy(update={"keep_codes": False})
+    host2 = build_dense_from_host(cfg2, np.asarray(x), rng=jax.random.PRNGKey(0), slab=700)
+    assert host2.codes is None
+    got = np.asarray(fn(host2, q).indices)
+    gt = _exact_topk(x, q, 10)
+    rec = np.mean([len(set(got[i]) & set(gt[i])) / 10 for i in range(8)])
+    assert rec >= 0.8, rec

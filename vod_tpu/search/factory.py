@@ -320,9 +320,113 @@ def build_dense_from_host(
             n_real=n, approx_recall=cfg.approx_recall, kernel=cfg.kernel,
         )
 
+    if cfg.codec == "ivfpq":
+        from vod_tpu.ops import pq as pq_ops
+        from vod_tpu.ops.kmeans import _assign_chunked, infer_n_clusters, kmeans
+        from .dense import _pack_codes4
+        from .ivfpq import build_ivfpq_from_parts
+        from .sharded import shard_ivfpq_index
+
+        refine = cfg.refine
+        if refine in ("bfloat16", "float32"):
+            import warnings
+
+            warnings.warn(
+                f"build_dense_from_host: refine={cfg.refine!r} does not fit the "
+                f"over-HBM build path; using int8 refine rows instead",
+                stacklevel=2,
+            )
+            refine = "int8"
+        if not cfg.keep_codes and refine == "none":
+            raise ValueError("ivfpq keep_codes=False requires a refine store")
+
+        n_codes = 1 << cfg.code_bits
+        sample = jnp.asarray(
+            np.ascontiguousarray(vectors_np[: min(n, cfg.train_size or 500_000)]),
+            dtype=jnp.float32,
+        )
+        rotation = None
+        codebooks = jnp.zeros((1, 1, d), jnp.float32)
+        if cfg.keep_codes:
+            if cfg.use_opq:
+                rotation, codebooks = pq_ops.train_opq(
+                    rng, sample, cfg.n_subquantizers, n_codes=n_codes,
+                    n_iters=cfg.opq_iters, kmeans_iters=max(2, cfg.kmeans_iters // 2),
+                )
+            else:
+                codebooks = pq_ops.train_pq(
+                    rng, sample, cfg.n_subquantizers, n_codes=n_codes,
+                    n_iters=cfg.kmeans_iters,
+                )
+        train_rot = sample if rotation is None else sample @ rotation
+        c = cfg.n_clusters or infer_n_clusters(n)
+        centroids, _ = kmeans(
+            jax.random.fold_in(rng, 17), train_rot, n_clusters=c,
+            n_iters=cfg.kmeans_iters,
+        )
+        refine_proj = refine_scale = None
+        if refine == "int8":
+            if cfg.refine_dim is not None and cfg.refine_dim < d:
+                refine_proj, _mean = pq_ops.train_projection(sample, cfg.refine_dim)
+                ref_sample = sample @ refine_proj
+            else:
+                ref_sample = sample
+            refine_scale = (
+                jnp.maximum(jnp.max(jnp.abs(ref_sample), axis=0, keepdims=True), 1e-8)
+                / 127.0
+            )
+            del ref_sample
+        del sample, train_rot
+
+        @jax.jit
+        def enc_slab(x):
+            x_rot = x if rotation is None else x @ rotation
+            a = _assign_chunked(x_rot, centroids)
+            codes = None
+            if cfg.keep_codes:
+                codes = pq_ops.encode_pq(codebooks, x_rot)
+                if cfg.code_bits == 4:
+                    codes = _pack_codes4(codes)
+            rows = None
+            if refine == "int8":
+                xr = x if refine_proj is None else x @ refine_proj
+                rows = jnp.clip(jnp.round(xr / refine_scale), -127, 127).astype(jnp.int8)
+            return a, codes, rows
+
+        assign_np = np.zeros((n,), np.int32)
+        m_bytes = cfg.n_subquantizers // (2 if cfg.code_bits == 4 else 1)
+        codes_np = np.zeros((n, m_bytes), np.uint8) if cfg.keep_codes else None
+        rdim = cfg.refine_dim if (refine == "int8" and cfg.refine_dim) else d
+        refine_np = np.zeros((n, rdim), np.int8) if refine == "int8" else None
+        for s0 in range(0, n, slab):
+            x = jnp.asarray(
+                np.ascontiguousarray(vectors_np[s0 : s0 + slab]), dtype=jnp.float32
+            )
+            a, codes, rows = enc_slab(x)
+            assign_np[s0 : s0 + x.shape[0]] = np.asarray(a)
+            if codes is not None:
+                codes_np[s0 : s0 + x.shape[0]] = np.asarray(codes)
+            if rows is not None:
+                refine_np[s0 : s0 + x.shape[0]] = np.asarray(rows)
+            del x, a, codes, rows
+
+        index = build_ivfpq_from_parts(
+            centroids, codebooks, assign_np, codes_np,
+            rotation=rotation,
+            refine_np=refine_np, refine_scale=refine_scale, refine_proj=refine_proj,
+            subset_ids_np=None if subset_ids is None
+            else np.asarray(subset_ids).astype(np.int32),
+            window=cfg.ivf_window, nprobe=cfg.nprobe, max_windows=cfg.max_windows,
+            k_factor=cfg.k_factor, code_bits=cfg.code_bits,
+            approx_recall=cfg.approx_recall,
+        )
+        if cfg.sharded and mesh is not None:
+            return shard_ivfpq_index(index, mesh, axis=cfg.shard_axis)
+        return index
+
     raise ValueError(
-        f"host-slab build supports codecs pq|int8; {cfg.codec!r} requires the full "
-        "matrix in HBM (use build_dense_from_config when it fits)"
+        f"host-slab build supports codecs pq|int8|ivfpq; {cfg.codec!r} requires the "
+        "full matrix in HBM (use build_dense_from_config when it fits)"
     )
 
 
