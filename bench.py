@@ -335,24 +335,17 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     # the pq section; same exact-f32 ground truth.
     del pq_index, pq_codes, out, got
     _log("msmarco: ivfpq — kmeans4096 + slab assignment")
-    from vod_tpu.ops.kmeans import kmeans
+    from vod_tpu.ops.kmeans import _assign_chunked, kmeans
     from vod_tpu.search import build_ivfpq_from_device_parts, ivfpq_search
 
     t0 = time.time()
     train = gen_slab(keys[0])[:262_144]
     centroids, _ = kmeans(jax.random.PRNGKey(11), train, n_clusters=4096, n_iters=8)
     del train
-    c_sq = jnp.sum(centroids**2, axis=-1)
 
     @jax.jit
     def assign_slab(key):
-        x = gen_slab(key)
-
-        def one(xc):
-            ip = jnp.dot(xc, centroids.T, preferred_element_type=jnp.float32)
-            return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=-1).astype(jnp.int32)
-
-        return jax.lax.map(one, x.reshape(slab // 8192, 8192, d)).reshape(-1)
+        return _assign_chunked(gen_slab(key), centroids, chunk=8192)
 
     assign_np = np.zeros((n_pad,), np.int32)
     for i, kk in enumerate(keys):

@@ -49,7 +49,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from vod_tpu.ops import pq as pq_ops
-    from vod_tpu.ops.kmeans import kmeans
+    from vod_tpu.ops.kmeans import _assign_chunked, kmeans
     from vod_tpu.search import SearchQueries, build_ivfpq_from_device_parts, ivfpq_search
 
     n, d, k = args.n, args.d, 10
@@ -83,7 +83,6 @@ def main() -> None:
     del train, ref_sample
     print(f"# trained pca{args.refine_dim} + kmeans{args.c} in {time.time()-t0:.0f}s", flush=True)
 
-    c_sq = jnp.sum(centroids**2, axis=-1)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def fill(refine_rows, key, row0):
@@ -93,13 +92,7 @@ def main() -> None:
 
     @jax.jit
     def assign_slab(key):
-        x = gen_slab(key)
-        # chunked nearest-centroid (f32; ||c||^2 - 2 x.c argmin)
-        def one(xc):
-            ip = jnp.dot(xc, centroids.T, preferred_element_type=jnp.float32)
-            return jnp.argmin(c_sq[None, :] - 2.0 * ip, axis=-1).astype(jnp.int32)
-
-        return jax.lax.map(one, x.reshape(slab // 16384, 16384, d)).reshape(-1)
+        return _assign_chunked(gen_slab(key), centroids, chunk=16384)
 
     t0 = time.time()
     refine_rows = jnp.zeros((n_pad, args.refine_dim), jnp.int8)
@@ -197,7 +190,7 @@ def main() -> None:
             one, nine = p_small[i]
             t = time.time(); np.asarray(fb(ix, one)[-1, -1]); w1 = min(w1, time.time() - t)
             t = time.time(); np.asarray(fb(ix, nine)[-1, -1]); w9 = min(w9, time.time() - t)
-        ms_block = (w9 - w1) / 8 * 1000
+        ms_block = max((w9 - w1) / 8 * 1000, 1e-6)
 
         # throughput: 4x2048 blocks vs 256 (bench.py methodology)
         f = jax.jit(sfn)

@@ -103,7 +103,7 @@ def test_ivfpq_pruned_probe_recall():
     k = 10
     ivf = build_ivfpq_index(
         jax.random.PRNGKey(0), x, n_clusters=64, nprobe=8, window=128,
-        n_subquantizers=8, kmeans_iters=6, refine="float32", k_factor=8,
+        n_subquantizers=8, kmeans_iters=6, refine="float32",
     )
     out = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), k))(ivf, q)
     got = np.asarray(out.indices)
@@ -230,7 +230,7 @@ def test_ivfpq_from_config_and_dispatch():
     cfg = DenseFactoryConfig(
         codec="ivfpq", n_clusters=16, nprobe=16, ivf_window=128,
         n_subquantizers=16, code_bits=4, kmeans_iters=4,
-        refine="int8", refine_dim=32, k_factor=16,
+        refine="int8", refine_dim=32,
     )
     index = build_dense_from_config(cfg, x, rng=jax.random.PRNGKey(0))
     out = jax.jit(lambda ix, v: _dense_dispatch(ix, SearchQueries(vector=v), 10))(index, q)

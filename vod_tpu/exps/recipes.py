@@ -93,7 +93,7 @@ def periodic_training(
         rng, build_rng = jax.random.split(rng)
         probe = encode(params, corpus.input_ids[:1], corpus.attention_mask[:1])
         est_bytes = corpus.size * int(probe.shape[-1]) * 4
-        if est_bytes > cfg.embed_hbm_budget_bytes and cfg.dense.codec in ("pq", "int8"):
+        if est_bytes > cfg.embed_hbm_budget_bytes and cfg.dense.codec in ("pq", "int8", "ivfpq"):
             # scale path: stream embeddings to host RAM, build compressed codes
             from vod_tpu.runtime.predict import compute_embeddings_to_host
             from vod_tpu.search.factory import build_dense_from_host

@@ -126,7 +126,9 @@ def kmeans_sharded(
     rows = (n + pad) // n_shards
     xs = jax.device_put(x_pad, NamedSharding(mesh, P(axis, None)))
     cent0 = jax.device_put(centroids, NamedSharding(mesh, P()))
-    rngs = jax.random.split(jax.random.fold_in(rng, 1), n_iters)
+    # same reseed stream as the single-device `kmeans` (split(rng), no fold_in)
+    # so sharded == unsharded holds even when a cluster goes empty mid-run
+    rngs = jax.random.split(rng, n_iters)
 
     def local_fn(xl, cent, rr):
         my = jax.lax.axis_index(axis)

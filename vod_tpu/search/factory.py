@@ -151,7 +151,6 @@ def build_dense_from_config(
             opq_iters=cfg.opq_iters,
             refine=cfg.refine,
             refine_dim=cfg.refine_dim,
-            k_factor=cfg.k_factor,
             keep_codes=cfg.keep_codes,
             subset_ids=subset_ids,
             approx_recall=cfg.approx_recall,
@@ -396,7 +395,7 @@ def build_dense_from_host(
         assign_np = np.zeros((n,), np.int32)
         m_bytes = cfg.n_subquantizers // (2 if cfg.code_bits == 4 else 1)
         codes_np = np.zeros((n, m_bytes), np.uint8) if cfg.keep_codes else None
-        rdim = cfg.refine_dim if (refine == "int8" and cfg.refine_dim) else d
+        rdim = cfg.refine_dim if (refine == "int8" and cfg.refine_dim and cfg.refine_dim < d) else d
         refine_np = np.zeros((n, rdim), np.int8) if refine == "int8" else None
         for s0 in range(0, n, slab):
             x = jnp.asarray(
@@ -417,7 +416,7 @@ def build_dense_from_host(
             subset_ids_np=None if subset_ids is None
             else np.asarray(subset_ids).astype(np.int32),
             window=cfg.ivf_window, nprobe=cfg.nprobe, max_windows=cfg.max_windows,
-            k_factor=cfg.k_factor, code_bits=cfg.code_bits,
+            code_bits=cfg.code_bits,
             approx_recall=cfg.approx_recall,
         )
         if cfg.sharded and mesh is not None:

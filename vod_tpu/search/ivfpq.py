@@ -82,9 +82,46 @@ class IVFPQIndex:
     window: int = struct.field(pytree_node=False, default=512)
     nprobe: int = struct.field(pytree_node=False, default=32)
     max_windows: int = struct.field(pytree_node=False, default=0)  # 0 = nprobe cells, untruncated
-    k_factor: int = struct.field(pytree_node=False, default=4)
+    # NOTE: no `k_factor` here — the refine rows ARE the scoring store, so
+    # there is no ADC-pool-then-rerank stage to widen (see module docstring)
     code_bits: int = struct.field(pytree_node=False, default=8)
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
+
+
+def _sorted_window_layout(
+    assign_np: np.ndarray,
+    n_cells: int,
+    window: int,
+    nprobe: int,
+    max_windows: typ.Optional[int],
+) -> tuple[np.ndarray, int, np.ndarray, np.ndarray, int]:
+    """Cluster-sorted padded-window layout shared by the host/device builders.
+
+    Returns `(dst, total, win_start, win_count, max_windows)` where `dst[i]`
+    is the padded-layout slot of original row `i` and `total` the slot count.
+    `max_windows=None` sizes the per-query window budget as nprobe cells of
+    ~1.5x the mean cell's windows (truncation then only bites pathologically
+    skewed probes; the probe order drops the least promising cells first).
+    """
+    n_real = int(assign_np.shape[0])
+    order = np.argsort(assign_np, kind="stable")
+    counts = np.bincount(assign_np, minlength=n_cells)
+    wcounts = -(-counts // window)  # ceil; 0 for empty cells
+    starts_pad = np.concatenate([[0], np.cumsum(wcounts * window)])
+    total = int(starts_pad[-1])
+    # dst[i] = padded-layout position of original row i (vectorized scatter map)
+    sorted_assign = assign_np[order]
+    cell_first = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    within = np.arange(n_real, dtype=np.int64) - cell_first[sorted_assign]
+    dst = np.empty(n_real, np.int64)
+    dst[order] = starts_pad[sorted_assign] + within
+    win_start = (starts_pad[:-1] // window).astype(np.int32)
+    win_count = wcounts.astype(np.int32)
+    if max_windows is None:
+        nonempty = wcounts[wcounts > 0]
+        mean_w = float(nonempty.mean()) if nonempty.size else 1.0
+        max_windows = int(min(int(wcounts.sum()), nprobe * max(1, int(np.ceil(1.5 * mean_w)))))
+    return dst, total, win_start, win_count, int(max_windows)
 
 
 def build_ivfpq_from_parts(
@@ -101,7 +138,6 @@ def build_ivfpq_from_parts(
     window: int = 512,
     nprobe: int = 32,
     max_windows: typ.Optional[int] = None,
-    k_factor: int = 4,
     code_bits: int = 8,
     offset: int = 0,
     approx_recall: typ.Optional[float] = 0.95,
@@ -110,49 +146,30 @@ def build_ivfpq_from_parts(
 
     Shared by the on-device build and slab-wise builds at beyond-HBM scale
     (parity: faiss's chunked `index.add`, `faiss_search/build.py:51-81`).
-    `max_windows=None` sizes the per-query window budget as nprobe cells of
-    ~1.5x the mean cell's windows (truncation then only bites pathologically
-    skewed probes; the probe order drops the least promising cells first).
     """
     n_real = int(assign_np.shape[0])
     c = int(centroids.shape[0])
-    order = np.argsort(assign_np, kind="stable")
-    counts = np.bincount(assign_np, minlength=c)
-    wcounts = -(-counts // window)  # ceil; 0 for empty cells
-    pad_lens = wcounts * window
-    starts_pad = np.concatenate([[0], np.cumsum(pad_lens)])
-    total = int(starts_pad[-1])
+    dst, total, win_start, win_count, max_windows = _sorted_window_layout(
+        assign_np, c, window, nprobe, max_windows
+    )
 
     if codes_np is None and refine_np is None:
         raise ValueError("need codes_np and/or refine_np to score against")
-    codes_sorted = None if codes_np is None else np.zeros((total, codes_np.shape[1]), np.uint8)
+    codes_sorted = None
+    if codes_np is not None:
+        codes_sorted = np.zeros((total, codes_np.shape[1]), np.uint8)
+        codes_sorted[dst] = codes_np
     row_ids = np.full((total,), -1, np.int32)
-    subs = np.full((total,), -1, np.int32) if subset_ids_np is not None else None
-    refine_sorted = (
-        np.zeros((total, refine_np.shape[1]), refine_np.dtype) if refine_np is not None else None
-    )
-    src0 = 0
-    for ci in range(c):
-        cnt = int(counts[ci])
-        if cnt == 0:
-            continue
-        rows = order[src0 : src0 + cnt]
-        dst = int(starts_pad[ci])
-        if codes_sorted is not None:
-            codes_sorted[dst : dst + cnt] = codes_np[rows]
-        row_ids[dst : dst + cnt] = rows
-        if subs is not None:
-            subs[dst : dst + cnt] = subset_ids_np[rows]
-        if refine_sorted is not None:
-            refine_sorted[dst : dst + cnt] = refine_np[rows]
-        src0 += cnt
+    row_ids[dst] = np.arange(n_real, dtype=np.int32)
+    subs = None
+    if subset_ids_np is not None:
+        subs = np.full((total,), -1, np.int32)
+        subs[dst] = subset_ids_np
+    refine_sorted = None
+    if refine_np is not None:
+        refine_sorted = np.zeros((total, refine_np.shape[1]), refine_np.dtype)
+        refine_sorted[dst] = refine_np
 
-    win_start = (starts_pad[:-1] // window).astype(np.int32)
-    win_count = wcounts.astype(np.int32)
-    if max_windows is None:
-        nonempty = wcounts[wcounts > 0]
-        mean_w = float(nonempty.mean()) if nonempty.size else 1.0
-        max_windows = int(min(int(wcounts.sum()), nprobe * max(1, int(np.ceil(1.5 * mean_w)))))
     return IVFPQIndex(
         centroids=jnp.asarray(centroids, dtype=jnp.float32),
         codebooks=codebooks,
@@ -170,7 +187,6 @@ def build_ivfpq_from_parts(
         window=window,
         nprobe=nprobe,
         max_windows=int(max_windows),
-        k_factor=k_factor,
         code_bits=code_bits,
         approx_recall=approx_recall,
     )
@@ -192,7 +208,6 @@ def build_ivfpq_index(
     opq_iters: int = 4,
     refine: str = "none",
     refine_dim: typ.Optional[int] = None,
-    k_factor: int = 4,
     keep_codes: bool = True,
     subset_ids: typ.Optional[jax.Array] = None,
     offset: int = 0,
@@ -283,7 +298,6 @@ def build_ivfpq_index(
         window=window,
         nprobe=nprobe,
         max_windows=max_windows,
-        k_factor=k_factor,
         code_bits=code_bits,
         offset=offset,
         approx_recall=approx_recall,
@@ -304,7 +318,6 @@ def build_ivfpq_from_device_parts(
     window: int = 512,
     nprobe: int = 32,
     max_windows: typ.Optional[int] = None,
-    k_factor: int = 4,
     code_bits: int = 8,
     offset: int = 0,
     approx_recall: typ.Optional[float] = 0.95,
@@ -317,18 +330,9 @@ def build_ivfpq_from_device_parts(
     """
     n_real = int(assign_np.shape[0])
     c = int(centroids.shape[0])
-    order = np.argsort(assign_np, kind="stable")
-    counts = np.bincount(assign_np, minlength=c)
-    wcounts = -(-counts // window)
-    pad_lens = wcounts * window
-    starts_pad = np.concatenate([[0], np.cumsum(pad_lens)])
-    total = int(starts_pad[-1])
-    # dst[i] = padded-layout position of original row i
-    sorted_assign = assign_np[order]
-    cell_first = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    within = np.arange(n_real, dtype=np.int64) - cell_first[sorted_assign]
-    dst = np.empty(n_real, np.int64)
-    dst[order] = starts_pad[sorted_assign] + within
+    dst, total, win_start, win_count, max_windows = _sorted_window_layout(
+        assign_np, c, window, nprobe, max_windows
+    )
     dst_dev = jnp.asarray(dst.astype(np.int32))
 
     @jax.jit
@@ -348,12 +352,6 @@ def build_ivfpq_from_device_parts(
     if subset_ids_np is not None:
         subs = scatter_ids(jnp.asarray(subset_ids_np.astype(np.int32)))
 
-    win_start = (starts_pad[:-1] // window).astype(np.int32)
-    win_count = wcounts.astype(np.int32)
-    if max_windows is None:
-        nonempty = wcounts[wcounts > 0]
-        mean_w = float(nonempty.mean()) if nonempty.size else 1.0
-        max_windows = int(min(int(wcounts.sum()), nprobe * max(1, int(np.ceil(1.5 * mean_w)))))
     return IVFPQIndex(
         centroids=jnp.asarray(centroids, dtype=jnp.float32),
         codebooks=codebooks,
@@ -371,7 +369,6 @@ def build_ivfpq_from_device_parts(
         window=window,
         nprobe=nprobe,
         max_windows=int(max_windows),
-        k_factor=k_factor,
         code_bits=code_bits,
         approx_recall=approx_recall,
     )

@@ -766,7 +766,6 @@ class ShardedIVFPQIndex:
     window: int = struct.field(pytree_node=False, default=512)
     nprobe: int = struct.field(pytree_node=False, default=32)
     max_windows: int = struct.field(pytree_node=False, default=0)  # per-shard budget
-    k_factor: int = struct.field(pytree_node=False, default=4)
     code_bits: int = struct.field(pytree_node=False, default=8)
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
 
@@ -865,7 +864,6 @@ def shard_ivfpq_index(
         window=window,
         nprobe=index.nprobe,
         max_windows=int(max_windows_local),
-        k_factor=index.k_factor,
         code_bits=index.code_bits,
         approx_recall=index.approx_recall,
     )
@@ -895,7 +893,7 @@ def sharded_ivfpq_search(
             refine_codes=ref, refine_scale=rsc, refine_proj=rpj,
             n_real=index.n_real, offset=index.offset, window=index.window,
             nprobe=index.nprobe, max_windows=index.max_windows,
-            k_factor=index.k_factor, code_bits=index.code_bits,
+            code_bits=index.code_bits,
             approx_recall=index.approx_recall,
         )
         out = ivfpq_search(local, SearchQueries(vector=qv, subset_ids=allow), top_k)
