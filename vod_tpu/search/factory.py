@@ -321,9 +321,13 @@ def build_dense_from_host(
 
     if cfg.codec == "ivfpq":
         from vod_tpu.ops import pq as pq_ops
-        from vod_tpu.ops.kmeans import _assign_chunked, infer_n_clusters, kmeans
+        from vod_tpu.ops.kmeans import _assign_chunked
         from .dense import _pack_codes4
-        from .ivfpq import build_ivfpq_from_parts
+        from .ivfpq import (
+            build_ivfpq_from_parts,
+            train_ivfpq_stages,
+            train_refine_int8_params,
+        )
         from .sharded import shard_ivfpq_index
 
         refine = cfg.refine
@@ -339,43 +343,21 @@ def build_dense_from_host(
         if not cfg.keep_codes and refine == "none":
             raise ValueError("ivfpq keep_codes=False requires a refine store")
 
-        n_codes = 1 << cfg.code_bits
         sample = jnp.asarray(
             np.ascontiguousarray(vectors_np[: min(n, cfg.train_size or 500_000)]),
             dtype=jnp.float32,
         )
-        rotation = None
-        codebooks = jnp.zeros((1, 1, d), jnp.float32)
-        if cfg.keep_codes:
-            if cfg.use_opq:
-                rotation, codebooks = pq_ops.train_opq(
-                    rng, sample, cfg.n_subquantizers, n_codes=n_codes,
-                    n_iters=cfg.opq_iters, kmeans_iters=max(2, cfg.kmeans_iters // 2),
-                )
-            else:
-                codebooks = pq_ops.train_pq(
-                    rng, sample, cfg.n_subquantizers, n_codes=n_codes,
-                    n_iters=cfg.kmeans_iters,
-                )
-        train_rot = sample if rotation is None else sample @ rotation
-        c = cfg.n_clusters or infer_n_clusters(n)
-        centroids, _ = kmeans(
-            jax.random.fold_in(rng, 17), train_rot, n_clusters=c,
-            n_iters=cfg.kmeans_iters,
+        rotation, codebooks, centroids = train_ivfpq_stages(
+            rng, sample,
+            n_subquantizers=cfg.n_subquantizers, code_bits=cfg.code_bits,
+            kmeans_iters=cfg.kmeans_iters, opq_iters=cfg.opq_iters,
+            use_opq=cfg.use_opq, keep_codes=cfg.keep_codes,
+            n_clusters=cfg.n_clusters, n_total=n,
         )
         refine_proj = refine_scale = None
         if refine == "int8":
-            if cfg.refine_dim is not None and cfg.refine_dim < d:
-                refine_proj, _mean = pq_ops.train_projection(sample, cfg.refine_dim)
-                ref_sample = sample @ refine_proj
-            else:
-                ref_sample = sample
-            refine_scale = (
-                jnp.maximum(jnp.max(jnp.abs(ref_sample), axis=0, keepdims=True), 1e-8)
-                / 127.0
-            )
-            del ref_sample
-        del sample, train_rot
+            refine_proj, refine_scale = train_refine_int8_params(sample, cfg.refine_dim)
+        del sample
 
         @jax.jit
         def enc_slab(x):

@@ -56,7 +56,8 @@ from vod_tpu.types.retrieval import RetrievalBatch
 from .base import SearchQueries
 from .dense import _FROM_INDEX, _pack_codes4, _unpack_codes4
 
-# one-hot decode temp budget (bytes): bounds B*rows_per_chunk*M*n_codes
+# scoring-stage temp budget (bytes): bounds B*rows_per_chunk*row_cost where
+# row_cost counts ALL live temps per (query, row) — see ivfpq_search
 _OH_BUDGET = 1 << 28
 
 
@@ -192,6 +193,79 @@ def build_ivfpq_from_parts(
     )
 
 
+def train_ivfpq_stages(
+    rng: jax.Array,
+    train: jax.Array,
+    *,
+    n_subquantizers: int,
+    code_bits: int,
+    kmeans_iters: int,
+    opq_iters: int,
+    use_opq: bool,
+    keep_codes: bool,
+    n_clusters: typ.Optional[int],
+    n_total: int,
+    mesh: typ.Any = None,
+    mesh_axis: str = "shard",
+) -> tuple[typ.Optional[jax.Array], jax.Array, jax.Array]:
+    """Train the IVF-PQ stages shared by the in-HBM and host-slab builders.
+
+    Returns `(rotation, codebooks, centroids)`. Keeping this in ONE place
+    pins the details both builders must agree on for equal-config equality:
+    the OPQ inner-kmeans budget (`max(2, kmeans_iters // 2)`), the coarse
+    quantizer's seed fold (`fold_in(rng, 17)`), and `IVFauto` centroid
+    inference from the TOTAL row count (not the training-sample size).
+    """
+    from vod_tpu.ops.kmeans import infer_n_clusters, kmeans
+
+    n_codes = 1 << code_bits
+    d = train.shape[-1]
+    rotation = None
+    if not keep_codes:
+        # refine rows are the scoring store; skip PQ/OPQ training outright
+        codebooks = jnp.zeros((1, 1, d), jnp.float32)
+        train_rot = train
+    elif use_opq:
+        rotation, codebooks = pq_ops.train_opq(
+            rng, train, n_subquantizers, n_codes=n_codes, n_iters=opq_iters,
+            kmeans_iters=max(2, kmeans_iters // 2),
+        )
+        train_rot = train @ rotation
+    else:
+        codebooks = pq_ops.train_pq(
+            rng, train, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
+        )
+        train_rot = train
+    c = n_clusters or infer_n_clusters(n_total)
+    if mesh is not None:
+        from vod_tpu.ops.kmeans import kmeans_sharded
+
+        centroids, _ = kmeans_sharded(
+            jax.random.fold_in(rng, 17), train_rot, n_clusters=c, mesh=mesh,
+            axis=mesh_axis, n_iters=kmeans_iters,
+        )
+    else:
+        centroids, _ = kmeans(
+            jax.random.fold_in(rng, 17), train_rot, n_clusters=c, n_iters=kmeans_iters
+        )
+    return rotation, codebooks, centroids
+
+
+def train_refine_int8_params(
+    train: jax.Array, refine_dim: typ.Optional[int]
+) -> tuple[typ.Optional[jax.Array], jax.Array]:
+    """(proj, scale) for int8 refine rows trained from a sample — the
+    beyond-HBM counterpart of `dense._build_refine` (which scales against the
+    FULL matrix; a host-slab build can only see the training sample)."""
+    proj = None
+    ref = train
+    if refine_dim is not None and refine_dim < train.shape[-1]:
+        proj, _mean = pq_ops.train_projection(train, refine_dim)
+        ref = train @ proj
+    scale = jnp.maximum(jnp.max(jnp.abs(ref), axis=0, keepdims=True), 1e-8) / 127.0
+    return proj, scale
+
+
 def build_ivfpq_index(
     rng: jax.Array,
     vectors: jax.Array,
@@ -227,7 +301,7 @@ def build_ivfpq_index(
     skips PQ training entirely and drops the codes — an IVF + (PCA-)SQ index
     at R + 4 bytes/row.
     """
-    from vod_tpu.ops.kmeans import _assign_chunked, infer_n_clusters, kmeans
+    from vod_tpu.ops.kmeans import _assign_chunked
 
     if code_bits not in (8, 4):
         raise ValueError(f"code_bits must be 8 or 4, got {code_bits}")
@@ -235,41 +309,18 @@ def build_ivfpq_index(
         raise ValueError("code_bits=4 requires an even n_subquantizers (nibble packing)")
     if not keep_codes and refine == "none":
         raise ValueError("keep_codes=False requires a refine store to score against")
-    n_codes = 1 << code_bits
     n_real, d = vectors.shape
     x = vectors.astype(jnp.float32)
     train = x if train_size is None or train_size >= n_real else x[:train_size]
 
-    rotation = None
-    if not keep_codes:
-        # refine rows are the scoring store; skip PQ/OPQ training outright
-        x_rot, train_rot = x, train
-        codebooks = jnp.zeros((1, 1, d), jnp.float32)
-    elif use_opq:
-        rotation, codebooks = pq_ops.train_opq(
-            rng, train, n_subquantizers, n_codes=n_codes, n_iters=opq_iters,
-            kmeans_iters=max(2, kmeans_iters // 2),
-        )
-        x_rot = x @ rotation
-        train_rot = train @ rotation
-    else:
-        x_rot, train_rot = x, train
-        codebooks = pq_ops.train_pq(
-            rng, train_rot, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
-        )
-
-    c = n_clusters or infer_n_clusters(n_real)
-    if mesh is not None:
-        from vod_tpu.ops.kmeans import kmeans_sharded
-
-        centroids, _ = kmeans_sharded(
-            jax.random.fold_in(rng, 17), train_rot, n_clusters=c, mesh=mesh,
-            axis=mesh_axis, n_iters=kmeans_iters,
-        )
-    else:
-        centroids, _ = kmeans(
-            jax.random.fold_in(rng, 17), train_rot, n_clusters=c, n_iters=kmeans_iters
-        )
+    rotation, codebooks, centroids = train_ivfpq_stages(
+        rng, train,
+        n_subquantizers=n_subquantizers, code_bits=code_bits,
+        kmeans_iters=kmeans_iters, opq_iters=opq_iters,
+        use_opq=use_opq, keep_codes=keep_codes,
+        n_clusters=n_clusters, n_total=n_real, mesh=mesh, mesh_axis=mesh_axis,
+    )
+    x_rot = x if rotation is None else x @ rotation
     assign_np = np.asarray(_assign_chunked(x_rot, centroids)).astype(np.int32)
 
     codes_np = None
@@ -428,11 +479,13 @@ def ivfpq_search(
         raise ValueError("IVFPQIndex built with keep_codes=False requires refine rows")
 
     # per-(query, row) gathered/temp bytes of the scoring stage: R rerank
-    # bytes on the refine path, the M x n_codes one-hot on the ADC path
+    # bytes on the refine path; on the ADC path the bool one-hot and its
+    # bf16 cast coexist (3 B per (M, n_codes) entry) plus the decoded bf16
+    # row (2 B per dim)
     if do_refine:
         row_cost = index.refine_codes.shape[-1] * index.refine_codes.dtype.itemsize
     else:
-        row_cost = m * n_codes
+        row_cost = 3 * m * n_codes + 2 * d
     # bound the per-chunk gather/temp: chunk queries first, then windows
     qchunk = max(8, _OH_BUDGET // (window * row_cost))
     if b > qchunk:

@@ -823,7 +823,10 @@ def shard_ivfpq_index(
             out[s, : sel[s].size] = xn[sel[s]]
         flat = out.reshape((n_shards * slots,) + xn.shape[1:])
         spec = P(axis, None) if xn.ndim > 1 else P(axis)
-        return jax.device_put(jnp.asarray(flat), NamedSharding(mesh, spec))
+        # device_put straight from the host array: each device receives only its
+        # shard — staging the full array on one device first would double peak
+        # HBM right when the index only fits split across devices.
+        return jax.device_put(flat, NamedSharding(mesh, spec))
 
     rep = NamedSharding(mesh, P())
 
