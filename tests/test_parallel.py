@@ -254,3 +254,36 @@ def test_sp_encoder_forward_matches_sequential() -> None:
         jax.jit(lambda p: sp_encoder_forward(p, cfg, ids, mask, mesh=mesh))(params)
     )
     assert np.allclose(out, ref, atol=1e-4), np.abs(out - ref).max()
+
+
+def test_moe_ffn_ep_sharded_matches_replicated() -> None:
+    """Expert-parallel MoE FFN: ep-sharded weights produce the same outputs as
+    replicated, the gate routes (aux loss finite), and overflow tokens fall
+    through to zero rather than corrupting other experts' slots."""
+    from vod_tpu.parallel.moe import MoEFFN, ep_sharding, shard_params_ep
+
+    rng = np.random.default_rng(0)
+    b, t, h = 2, 16, 32
+    x = jnp.asarray(rng.standard_normal((b, t, h), dtype=np.float32))
+    moe = MoEFFN(n_experts=4, intermediate_size=64, top_k=2, dtype=jnp.float32)
+    params = moe.init(jax.random.PRNGKey(0), x)
+    y_ref, aux_ref = jax.jit(lambda p, xx: moe.apply(p, xx))(params, x)
+    assert np.isfinite(float(aux_ref)) and float(aux_ref) > 0
+
+    mesh = make_mesh((4, 2), ("ep", "dp"))
+    params_ep = shard_params_ep(params, mesh, axis="ep")
+    flat = jax.tree_util.tree_flatten_with_path(params_ep)[0]
+    sharded = [p for p, v in flat if "wi" in jax.tree_util.keystr(p) and "ep" in str(v.sharding)]
+    assert sharded, "expert weights not ep-sharded"
+    y_ep, aux_ep = jax.jit(lambda p, xx: moe.apply(p, xx))(params_ep, x)
+    assert np.allclose(np.asarray(y_ep), np.asarray(y_ref), atol=1e-5)
+    assert np.isclose(float(aux_ep), float(aux_ref), atol=1e-5)
+
+    # tiny capacity: outputs stay finite and some tokens are zero (dropped)
+    moe_tight = MoEFFN(n_experts=4, intermediate_size=64, top_k=1,
+                       capacity_factor=0.25, dtype=jnp.float32)
+    p2 = moe_tight.init(jax.random.PRNGKey(1), x)
+    y2, _ = jax.jit(lambda p, xx: moe_tight.apply(p, xx))(p2, x)
+    norms = np.linalg.norm(np.asarray(y2), axis=-1)
+    assert np.all(np.isfinite(np.asarray(y2)))
+    assert (norms == 0).any(), "expected overflow tokens to be dropped to zero"
