@@ -596,3 +596,49 @@ def test_profiler_trace_hook(tmp_path) -> None:
     )
     produced = list((tmp_path / "trace").rglob("*"))
     assert any(p.is_file() for p in produced), produced
+
+
+def test_moe_encoder_train_step_runs_with_aux_loss() -> None:
+    """MoE encoder (moe_experts>0) trains end-to-end: the Switch aux loss is
+    sowed into the "losses" collection, the train step adds it, expert
+    weights receive gradients (they change after one step)."""
+    rng = np.random.default_rng(3)
+    corpus, make_queries = _make_task(rng, n_corpus=64)
+    cfg = TransformerEncoderConfig(
+        vocab_size=VOCAB, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+        dtype=jnp.float32, moe_experts=4, moe_top_k=2,
+        pooler=VodPoolerConfig(agg_method="mean", output_norm="l2", scaler=8.0, learn_scaler=True),
+    )
+    model = Ranker(cfg=cfg, gradients=RetrievalGradients())
+    step_fn = make_train_step(
+        model, optax.adam(3e-3), prefetch=8, n_sections=4, max_pos_sections=1,
+        gradient_clip_val=1.0,
+    )
+    queries = make_queries(4, 1)
+    emb = jnp.asarray(rng.normal(size=(corpus.size, 32)).astype("float32"))
+    engines = HybridEngines(dense=build_dense_index(emb, dtype="float32"))
+    batch, _ = device_collate(
+        jax.random.PRNGKey(0), engines, corpus, queries,
+        query_vectors=jnp.asarray(rng.normal(size=(4, 32)).astype("float32")),
+        prefetch=8, n_sections=4, max_pos_sections=1,
+    )
+    params = model.init(jax.random.PRNGKey(0), batch, mode="evaluate")
+    assert "losses" not in params, "init must not leak the sowed collection"
+    wi_before = np.array(
+        jax.tree_util.tree_leaves(
+            {k: v for k, v in jax.tree_util.tree_flatten_with_path(params)[0]
+             if "moe" in jax.tree_util.keystr(k) and "wi" in jax.tree_util.keystr(k)}
+        )[0]
+    )
+    opt_state = step_fn.tx.init(params)
+    params, opt_state, metrics, _rel, _scores = step_fn.train_step(
+        params, opt_state, engines, corpus, queries, jax.random.PRNGKey(1), None,
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    wi_after = np.array(
+        jax.tree_util.tree_leaves(
+            {k: v for k, v in jax.tree_util.tree_flatten_with_path(params)[0]
+             if "moe" in jax.tree_util.keystr(k) and "wi" in jax.tree_util.keystr(k)}
+        )[0]
+    )
+    assert not np.allclose(wi_before, wi_after), "expert weights did not receive grads"

@@ -40,6 +40,15 @@ class TransformerEncoderConfig:
     lora_rank: int = 0  # >0: LoRA adapters on attention/FFN Dense kernels
     #                     (TweaksConfig peft/LoRA parity)
     lora_alpha: float = 16.0
+    moe_experts: int = 0  # >0: replace each FFN with a top-k routed MoE
+    #                       (expert weights shard over an `ep` mesh axis via
+    #                       `parallel.ep_sharding`; beyond reference — no MoE
+    #                       exists upstream). Pre-scaled Switch aux losses are
+    #                       sowed into the "losses" collection; the train step
+    #                       picks them up via `mutable=["losses"]`.
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 1e-2
     pooler: VodPoolerConfig = struct.field(default_factory=VodPoolerConfig)
 
 
@@ -107,7 +116,22 @@ class _Layer(nn.Module):
             name="attention",
         )(h, h, mask=mask)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_norm", dtype=cfg.dtype)(h + attn_out)
-        if cfg.lora_rank > 0:
+        if cfg.moe_experts > 0:
+            from vod_tpu.parallel.moe import MoEFFN
+
+            ff, aux = MoEFFN(
+                n_experts=cfg.moe_experts,
+                intermediate_size=cfg.intermediate_size,
+                top_k=cfg.moe_top_k,
+                capacity_factor=cfg.moe_capacity_factor,
+                dtype=cfg.dtype,
+                name="moe",
+            )(h)
+            if not self.is_initializing():
+                # pre-scaled so the train step can add a plain sum; skipped at
+                # init so `model.init` returns only the params collection
+                self.sow("losses", "moe_aux", cfg.moe_aux_weight * aux)
+        elif cfg.lora_rank > 0:
             ff = LoraDense(cfg.intermediate_size, cfg.lora_rank, cfg.lora_alpha, dtype=cfg.dtype, name="intermediate")(h)
             ff = nn.gelu(ff)
             ff = LoraDense(cfg.hidden_size, cfg.lora_rank, cfg.lora_alpha, dtype=cfg.dtype, name="output")(ff)

@@ -97,8 +97,11 @@ class RealmTrainStep:
         return batch, sampled
 
     def _loss(self, params, batch: RealmBatch):
-        out = self.model.apply(params, batch, mode="evaluate")
-        return out.loss, out
+        # mutable=["losses"] collects pre-scaled auxiliary losses sowed by
+        # submodules (e.g. the MoE load-balancing loss); empty for dense models
+        out, aux_vars = self.model.apply(params, batch, mode="evaluate", mutable=["losses"])
+        aux = sum(jnp.sum(v) for v in jax.tree.leaves(aux_vars.get("losses", {})))
+        return out.loss + aux, out
 
     def _train_step(self, params, opt_state, engines, corpus, queries, rng, weights_tuple, engine_names):
         batch, _sampled = self._collate(params, rng, engines, corpus, queries, weights_tuple, engine_names)
