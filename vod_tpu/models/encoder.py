@@ -117,6 +117,11 @@ class _Layer(nn.Module):
         )(h, h, mask=mask)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_norm", dtype=cfg.dtype)(h + attn_out)
         if cfg.moe_experts > 0:
+            if cfg.lora_rank > 0:
+                raise ValueError(
+                    "moe_experts and lora_rank are mutually exclusive: the MoE "
+                    "FFN replaces the Dense kernels LoRA would adapt"
+                )
             from vod_tpu.parallel.moe import MoEFFN
 
             ff, aux = MoEFFN(

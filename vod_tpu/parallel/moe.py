@@ -41,6 +41,7 @@ class MoEFFN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         """[B, T, H] -> ([B, T, H], aux_loss scalar)."""
+        x = x.astype(self.dtype)
         b, t, h = x.shape
         e, k = self.n_experts, self.top_k
         cap = max(1, math.ceil(k * t / e * self.capacity_factor))
@@ -94,7 +95,11 @@ class MoEFFN(nn.Module):
 def ep_sharding(params: typ.Any, mesh: Mesh, axis: str = "ep") -> typ.Any:
     """Shard every leading-expert-axis weight (`wi`/`wo`) over `axis`; the gate
     and everything else replicate. Compose after fsdp/tp rules if mixing."""
-    size = mesh.shape[axis] if axis in mesh.shape else 1
+    if axis not in mesh.shape:
+        # no ep axis on this mesh: replicate everything (mirrors how the
+        # fsdp/tp rules degrade, so the rules compose on any mesh)
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+    size = mesh.shape[axis]
 
     def rule(path, x) -> NamedSharding:
         key = jax.tree_util.keystr(path)

@@ -41,25 +41,28 @@ def _ring_attention_local(
     acc0 = jnp.zeros((b, tq, h, dh), jnp.float32)
     m0 = jnp.full((b, h, tq), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, h, tq), jnp.float32)
+    # finite big-negative masking (what flax attention does): masked keys
+    # underflow to weight 0 next to any real score, and a FULLY-masked query
+    # degrades to the uniform average of V — matching the sequential forward
+    # on all-padding rows instead of returning 0
+    neg = jnp.finfo(jnp.float32).min
 
     def step(carry, _):
         k_c, v_c, mask_c, acc, m, l = carry
         s = jnp.einsum("bqhd,bkhd->bhqk", qf, k_c.astype(jnp.float32))
-        s = jnp.where(mask_c[:, None, None, :], s, -jnp.inf)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-        # fully-masked-so-far rows keep m=-inf; exp(-inf - -inf) is nan — guard
-        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
-        p = jnp.exp(s - m_safe[..., None])
-        p = jnp.where(jnp.isfinite(s), p, 0.0)
-        corr = jnp.where(jnp.isfinite(m), jnp.exp(m - m_safe), 0.0)
+        s = jnp.where(mask_c[:, None, None, :], s, neg)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))  # >= neg, always finite
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)  # first step: exp(-inf - finite) = 0
         l = l * corr + jnp.sum(p, axis=-1)
         acc = acc * jnp.moveaxis(corr, 1, 2)[..., None] + jnp.einsum(
             "bhqk,bkhd->bqhd", p, v_c.astype(jnp.float32)
         )
+        m = m_new
         k_n = jax.lax.ppermute(k_c, axis, perm)
         v_n = jax.lax.ppermute(v_c, axis, perm)
         mask_n = jax.lax.ppermute(mask_c, axis, perm)
-        return (k_n, v_n, mask_n, acc, m_new, l), None
+        return (k_n, v_n, mask_n, acc, m, l), None
 
     (_, _, _, acc, _, l), _ = jax.lax.scan(step, (k, v, kv_mask, acc0, m0, l0), None, length=n)
     denom = jnp.moveaxis(l, 1, 2)[..., None]  # [B, Tq, H, 1]
@@ -79,7 +82,9 @@ def ring_attention(
 
     Returns softmax(QKᵀ/√d)·V == the unsharded computation (up to f32
     accumulation order), with Q/K/V/output sequence axes sharded over `axis`.
-    Padding keys are excluded via `kv_mask`; fully-masked queries return 0.
+    Padding keys are excluded via `kv_mask`; a fully-masked query returns the
+    uniform average of V (the same degenerate softmax flax's finite
+    big-negative masking produces on all-padding rows).
     """
     if q.shape[1] % mesh.shape[axis]:
         raise ValueError(
@@ -118,6 +123,11 @@ def sp_encoder_forward(
     """
     from vod_tpu.models.encoder import _Embeddings
 
+    if getattr(cfg, "moe_experts", 0) > 0 or getattr(cfg, "lora_rank", 0) > 0:
+        raise ValueError(
+            "sp_encoder_forward reproduces the dense FFN layout only; "
+            "moe_experts/lora_rank configs are not supported"
+        )
     h = _Embeddings(cfg).apply({"params": params["embeddings"]}, input_ids, None)
     kv_mask = attention_mask > 0
     heads = cfg.num_heads
