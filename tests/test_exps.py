@@ -278,6 +278,10 @@ def test_seq2seq_realm_reachable_from_config() -> None:
     m2 = build_model(ModelConfig(remat=True, lora_rank=4))
     assert m2.cfg.remat and m2.cfg.lora_rank == 4
 
+    # MoE knobs flow into the encoder config (beyond reference)
+    m3 = build_model(ModelConfig(moe_experts=4, moe_top_k=2))
+    assert m3.cfg.moe_experts == 4 and m3.cfg.moe_top_k == 2
+
 
 def test_hf_port_fallback_random() -> None:
     """With no HF cache, `hf_fallback: random` keeps the fresh init and warns;

@@ -50,6 +50,9 @@ def build_model(cfg: ModelConfig, *, proposal_temperature: float = 1.0) -> typ.A
         remat=cfg.remat,
         lora_rank=cfg.lora_rank,
         lora_alpha=cfg.lora_alpha,
+        moe_experts=cfg.moe_experts,
+        moe_top_k=cfg.moe_top_k,
+        moe_capacity_factor=cfg.moe_capacity_factor,
         pooler=VodPoolerConfig(
             agg_method=cfg.agg_method,
             output_norm=cfg.output_norm,

@@ -96,6 +96,11 @@ class ModelConfig(StrictModel):
     # kbit (QLoRA-style): freeze + int8-quantize the base, train LoRA/pooler
     # only (requires lora_rank > 0); parity: reference `support.py:23`
     kbit: bool = False
+    # MoE encoder (beyond reference): >0 replaces each FFN with a top-k routed
+    # mixture of experts; expert weights shard over an `ep` mesh axis
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
 
 class DatasetsConfig(StrictModel):
