@@ -175,13 +175,21 @@ class VodEncoder(nn.Module):
 
     cfg: TransformerEncoderConfig
 
-    @nn.compact
+    def setup(self) -> None:
+        self.backbone = TransformerEncoder(self.cfg, name="backbone")
+        self.vod_pooler = VodPooler(self.cfg.pooler, self.cfg.hidden_size, name="vod_pooler")
+
     def __call__(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
-        h = TransformerEncoder(self.cfg, name="backbone")(input_ids, attention_mask)
-        pooled = VodPooler(self.cfg.pooler, self.cfg.hidden_size, name="vod_pooler")(
-            h.astype(jnp.float32), attention_mask
-        )
-        return pooled
+        h = self.backbone(input_ids, attention_mask)
+        return self.vod_pooler(h.astype(jnp.float32), attention_mask)
+
+    def tokens(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        """Per-token L2-normalized embeddings `[B, T, H]` — the multi-vector
+        representation for late-interaction (MaxSim) indexing; padding tokens
+        zeroed (they can then never win a max against a real token)."""
+        h = self.backbone(input_ids, attention_mask).astype(jnp.float32)
+        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+        return h * (attention_mask[..., None] > 0)
 
 
 class DebugEncoder(nn.Module):

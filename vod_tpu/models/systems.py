@@ -73,6 +73,11 @@ class Ranker(nn.Module):
         """Single-field encoding (the Predict/embedding pipeline entry)."""
         return self.encoder(input_ids, attention_mask)
 
+    def encode_field_tokens(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        """Per-token embeddings `[B, T, H]` for late-interaction (MaxSim)
+        indexing (`search.maxsim.build_maxsim_index`); VodEncoder only."""
+        return self.encoder.tokens(input_ids, attention_mask)
+
     def evaluate(self, batch: RealmBatch) -> RealmOutput:
         enc = self.encode(batch)
         return self.gradients(batch=batch, **enc)

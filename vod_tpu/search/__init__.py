@@ -11,6 +11,7 @@ from .dense import (
     build_pq_index,
     build_pq_index_from_host,
 )
+from .maxsim import MaxSimIndex, build_maxsim_index, maxsim_rerank, maxsim_search
 from .ivfpq import (
     IVFPQIndex,
     build_ivfpq_from_device_parts,
@@ -52,7 +53,7 @@ __all__ = [
     "build_ivf_index",
     "build_ivfpq_from_device_parts",
     "build_ivfpq_from_parts",
-    "build_ivfpq_index",
+    "build_ivfpq_index", "MaxSimIndex", "build_maxsim_index", "maxsim_rerank", "maxsim_search",
     "ivfpq_search",
     "build_pq_index",
     "build_pq_index_from_host",
