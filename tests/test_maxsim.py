@@ -136,3 +136,24 @@ def test_ranker_token_embeddings_feed_maxsim() -> None:
     scores = maxsim_rerank(idx, toks, mask, jnp.asarray([[0, 1], [1, 2], [2, -1]], dtype="int32"))
     # self-similarity wins: doc i scored against its own tokens is max
     assert np.isfinite(np.asarray(scores)[0]).all()
+
+
+def test_sharded_maxsim_rerank_matches_unsharded() -> None:
+    """Row-sharded token store over the virtual mesh: scores == unsharded
+    exactly (each candidate is owned by one shard; pmax merges)."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search.sharded import shard_maxsim_index, sharded_maxsim_rerank
+
+    tok, dm, q, qm, rng = _toy(n=100)  # 100 rows pad to 104 over 8 shards
+    idx = build_maxsim_index(jnp.asarray(tok), jnp.asarray(dm), codec="int8", proj_dim=8)
+    cand = jnp.asarray(rng.integers(0, 100, (2, 16)).astype("int32"))
+    cand = cand.at[1, -1].set(-1)
+    ref = np.asarray(maxsim_rerank(idx, jnp.asarray(q), jnp.asarray(qm), cand))
+    mesh = make_mesh((8,), ("shard",))
+    sh = shard_maxsim_index(idx, mesh, axis="shard")
+    got = np.asarray(
+        jax.jit(lambda qt: sharded_maxsim_rerank(sh, qt, jnp.asarray(qm), cand))(jnp.asarray(q))
+    )
+    assert np.array_equal(np.isneginf(ref), np.isneginf(got))
+    fin = np.isfinite(ref)
+    assert np.allclose(ref[fin], got[fin], atol=1e-5), np.abs(ref[fin] - got[fin]).max()

@@ -12,6 +12,7 @@ from .dense import (
     build_pq_index_from_host,
 )
 from .maxsim import MaxSimIndex, build_maxsim_index, maxsim_rerank, maxsim_search
+from .sharded import ShardedMaxSimIndex, shard_maxsim_index, sharded_maxsim_rerank
 from .ivfpq import (
     IVFPQIndex,
     build_ivfpq_from_device_parts,
@@ -53,7 +54,7 @@ __all__ = [
     "build_ivf_index",
     "build_ivfpq_from_device_parts",
     "build_ivfpq_from_parts",
-    "build_ivfpq_index", "MaxSimIndex", "build_maxsim_index", "maxsim_rerank", "maxsim_search",
+    "build_ivfpq_index", "MaxSimIndex", "ShardedMaxSimIndex", "shard_maxsim_index", "sharded_maxsim_rerank", "build_maxsim_index", "maxsim_rerank", "maxsim_search",
     "ivfpq_search",
     "build_pq_index",
     "build_pq_index_from_host",

@@ -101,17 +101,27 @@ def maxsim_rerank(
     int8 path: the per-dim codec scale folds into row-quantized query tokens so
     the `[Lq, Lt]` interaction runs as an int8 x int8 MXU matmul.
     """
-    b, lq, d = query_tokens.shape
     q = query_tokens.astype(jnp.float32)
     if index.proj is not None:
         q = q @ index.proj
-    qm = query_mask.astype(bool)
     local = jnp.clip(candidate_ids - index.offset, 0, index.n_real - 1)
-    d_codes = index.token_codes[local]  # [B, C, Lt, R]
-    d_mask = index.token_mask[local]  # [B, C, Lt]
+    scores = _score_gathered(
+        index.token_codes[local], index.token_mask[local], q,
+        query_mask.astype(bool), index.scale,
+    )
+    return jnp.where(candidate_ids >= 0, scores, -jnp.inf)
 
-    if index.scale is not None:
-        qf = q * index.scale  # fold codec scale into the query
+
+def _score_gathered(
+    d_codes: jax.Array,  # [B, C, Lt, R]
+    d_mask: jax.Array,  # [B, C, Lt]
+    q: jax.Array,  # [B, Lq, R] f32 (already projected)
+    qm: jax.Array,  # [B, Lq] bool
+    scale: typ.Optional[jax.Array],
+) -> jax.Array:
+    """Sum-max interaction scores [B, C] of gathered candidate token blocks."""
+    if scale is not None:
+        qf = q * scale  # fold codec scale into the query
         q_row = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8) / 127.0
         q_i8 = jnp.clip(jnp.round(qf / q_row), -127, 127).astype(jnp.int8)
         inter = jnp.einsum(
@@ -127,8 +137,7 @@ def maxsim_rerank(
     best = jnp.max(inter, axis=-1)  # [B, C, Lq]
     # docs with zero real tokens contribute 0, not -inf*Lq
     best = jnp.where(jnp.any(d_mask, axis=-1)[:, :, None], best, 0.0)
-    scores = jnp.sum(jnp.where(qm[:, None, :], best, 0.0), axis=-1)  # [B, C]
-    return jnp.where(candidate_ids >= 0, scores, -jnp.inf)
+    return jnp.sum(jnp.where(qm[:, None, :], best, 0.0), axis=-1)
 
 
 def maxsim_search(

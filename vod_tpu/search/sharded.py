@@ -925,3 +925,89 @@ def sharded_ivfpq_search(
         index.refine_codes, index.refine_scale, index.refine_proj, q, allowed,
     )
     return RetrievalBatch(scores=out_s, indices=out_i.astype(jnp.int32))
+
+
+# --------------------------------------------------------------------------- #
+# sharded MaxSim (late-interaction) rerank
+# --------------------------------------------------------------------------- #
+
+
+@struct.dataclass
+class ShardedMaxSimIndex:
+    """Row-sharded token-level store: at MSMARCO scale a [8.8M, 32, 128] int8
+    token matrix is ~36 GB — it only exists split across devices. Each shard
+    reranks the candidates whose rows it owns; a `pmax` merges (every global id
+    has exactly ONE owner, all others emit -inf)."""
+
+    token_codes: jax.Array  # [N_pad, Lt, R] sharded P(axis, None, None)
+    token_mask: jax.Array  # [N_pad, Lt] sharded P(axis, None)
+    scale: typ.Optional[jax.Array]  # replicated
+    proj: typ.Optional[jax.Array]  # replicated
+    n_real: int = struct.field(pytree_node=False, default=0)
+    rows_per_shard: int = struct.field(pytree_node=False, default=0)
+    offset: int = struct.field(pytree_node=False, default=0)
+    axis: str = struct.field(pytree_node=False, default="shard")
+    mesh: typ.Any = struct.field(pytree_node=False, default=None)
+
+
+def shard_maxsim_index(index, mesh: Mesh, *, axis: str = "shard") -> ShardedMaxSimIndex:
+    """Re-layout a (host- or device-built) MaxSimIndex row-sharded over `axis`.
+
+    Arrays go host -> per-device shards directly (`device_put` with the target
+    sharding; never staged whole on one device)."""
+    import numpy as np
+
+    n_shards = mesh.shape[axis]
+    n = index.n_real
+    n_pad = -(-n // n_shards) * n_shards
+    codes = np.zeros((n_pad,) + tuple(index.token_codes.shape[1:]), np.asarray(index.token_codes[:1]).dtype)
+    codes[:n] = np.asarray(index.token_codes[:n])
+    mask = np.zeros((n_pad, index.token_mask.shape[1]), bool)
+    mask[:n] = np.asarray(index.token_mask[:n])
+    rep = NamedSharding(mesh, P())
+    return ShardedMaxSimIndex(
+        token_codes=jax.device_put(codes, NamedSharding(mesh, P(axis, None, None))),
+        token_mask=jax.device_put(mask, NamedSharding(mesh, P(axis, None))),
+        scale=None if index.scale is None else jax.device_put(index.scale, rep),
+        proj=None if index.proj is None else jax.device_put(index.proj, rep),
+        n_real=n,
+        rows_per_shard=n_pad // n_shards,
+        offset=index.offset,
+        axis=axis,
+        mesh=mesh,
+    )
+
+
+def sharded_maxsim_rerank(
+    index: ShardedMaxSimIndex,
+    query_tokens: jax.Array,  # [B, Lq, D] f32
+    query_mask: jax.Array,  # [B, Lq]
+    candidate_ids: jax.Array,  # [B, C] global ids, -1 padding
+) -> jax.Array:
+    """MaxSim scores [B, C]; exactly equal to the unsharded `maxsim_rerank`."""
+    from .maxsim import _score_gathered
+
+    mesh, axis = index.mesh, index.axis
+    rps = index.rows_per_shard
+    q = query_tokens.astype(jnp.float32)
+    if index.proj is not None:
+        q = q @ index.proj
+    qm = query_mask.astype(bool)
+
+    def local_fn(codes, mask, cand, qq, qmm):
+        shard = jax.lax.axis_index(axis)
+        local = cand - index.offset - shard * rps
+        own = (local >= 0) & (local < rps) & (cand >= 0)
+        safe = jnp.clip(local, 0, rps - 1)
+        scores = _score_gathered(codes[safe], mask[safe], qq, qmm, index.scale)
+        scores = jnp.where(own, scores, -jnp.inf)
+        return jax.lax.pmax(scores, axis)
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(index.token_codes, index.token_mask, candidate_ids, q, qm)
