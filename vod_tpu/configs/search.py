@@ -56,6 +56,11 @@ class DenseFactoryConfig(StrictModel):
     refine: typ.Literal["none", "int8", "bfloat16", "float32"] = "none"
     refine_dim: typ.Optional[int] = None
     k_factor: int = 4
+    # score-aware (anisotropic) PQ training — beyond-faiss quality lever
+    # (ScaNN, Guo et al. ICML 2020). None = off; "auto" = the theorem default
+    # eta(T=0.2, d); a float = explicit h_par/h_perp ratio. Applies to the pq
+    # and ivfpq codecs (codebook refinement + coordinate-descent encoding).
+    aniso_eta: typ.Union[None, float, typ.Literal["auto"]] = None
     # ivf / ivfpq codecs. `ivfpq` = cell-pruned PQ (faiss `IVF{n},PQ{M}x{b}`
     # parity, the reference's default factory shape) in the cluster-sorted
     # window layout — see `search/ivfpq.py`. `ivf_window` is the fixed window

@@ -197,3 +197,279 @@ def decode_pq(codebooks: jax.Array, codes: jax.Array) -> jax.Array:
     m, n_codes, dsub = codebooks.shape
     gathered = codebooks[jnp.arange(m)[None, :], codes.astype(jnp.int32)]  # [n, M, dsub]
     return gathered.reshape(codes.shape[0], m * dsub)
+
+
+AnisoEta = typ.Union[None, float, typ.Literal["auto"]]
+
+
+def resolve_aniso_eta(aniso_eta: AnisoEta, dim: int) -> typ.Optional[float]:
+    """None = anisotropic training off; 'auto' = the ScaNN theorem default
+    (threshold T=0.2 at this dim); a float = explicit h_par/h_perp ratio."""
+    if aniso_eta is None:
+        return None
+    if aniso_eta == "auto":
+        return anisotropic_eta(0.2, dim)
+    return float(aniso_eta)
+
+
+def train_pq_codebooks(
+    rng: jax.Array,
+    train: jax.Array,  # [n, d]
+    n_subquantizers: int,
+    *,
+    n_codes: int,
+    kmeans_iters: int,
+    use_opq: bool,
+    opq_iters: int = 4,
+    aniso_eta: AnisoEta = None,
+) -> tuple[typ.Optional[jax.Array], jax.Array]:
+    """The one PQ/OPQ[/anisotropic] training recipe every dense builder shares.
+
+    Returns (rotation|None, codebooks). With `aniso_eta`, the k-means (or OPQ)
+    codebooks are refined under the score-aware anisotropic loss at the fixed
+    rotation — database encoding must then use `encode_pq_auto` with the same
+    eta so codes are assigned under the loss the codebooks minimize.
+    """
+    rotation = None
+    if use_opq:
+        rotation, codebooks = train_opq(
+            rng, train, n_subquantizers, n_codes=n_codes, n_iters=opq_iters,
+            kmeans_iters=max(2, kmeans_iters // 2),
+        )
+        train_rot = train @ rotation
+    else:
+        codebooks = train_pq(
+            rng, train, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
+        )
+        train_rot = train
+    eta = resolve_aniso_eta(aniso_eta, train.shape[-1])
+    if eta is not None:
+        codebooks = train_pq_anisotropic(
+            jax.random.fold_in(rng, 23), train_rot, n_subquantizers,
+            n_codes=n_codes, eta=eta, n_iters=max(2, kmeans_iters // 2),
+            init_codebooks=codebooks,
+        )
+    return rotation, codebooks
+
+
+def encode_pq_auto(
+    codebooks: jax.Array, x: jax.Array, aniso_eta: AnisoEta = None
+) -> jax.Array:
+    """Database encoding matching `train_pq_codebooks`'s objective."""
+    eta = resolve_aniso_eta(aniso_eta, x.shape[-1])
+    if eta is None:
+        return encode_pq(codebooks, x)
+    return encode_pq_anisotropic(codebooks, x, eta)
+
+
+def anisotropic_eta(threshold: float, dim: int) -> float:
+    """ScaNN's parallel/orthogonal weight ratio from a score threshold T.
+
+    For unit-norm data, weighting queries by 1[<q, x> >= T] gives
+    h_par/h_perp = (d - 1) * T^2 / (1 - T^2)  (Guo et al., ICML 2020, eq. 8-10
+    specialized to the theta-uniform case). T=0.2, d=768 -> eta ~= 32.
+    """
+    t2 = float(threshold) ** 2
+    return max(1.0, (dim - 1) * t2 / max(1.0 - t2, 1e-6))
+
+
+def _aniso_loss(x: jax.Array, u: jax.Array, recon: jax.Array, eta: float) -> jax.Array:
+    """Mean anisotropic loss ||r_perp||^2 + eta ||r_par||^2 over rows."""
+    r = x - recon
+    par = jnp.sum(r * u, axis=-1)
+    return jnp.mean(jnp.sum(r * r, axis=-1) + (eta - 1.0) * par * par)
+
+
+def _aniso_assign_chunk(
+    cb: jax.Array,  # [M, K, dsub]
+    xc: jax.Array,  # [chunk, M, dsub]
+    uc: jax.Array,  # [chunk, M, dsub]
+    codes0: jax.Array,  # [chunk, M] i32 warm start
+    eta: float,
+    sweeps: int,
+) -> jax.Array:
+    """Block-coordinate-descent anisotropic code assignment for one chunk.
+
+    Each subspace step scores all K codewords with the OTHER subspaces'
+    parallel projection t_rest held fixed:
+        loss_k = ||x_m - C_k||^2 + (eta-1) (t_rest + <x_m - C_k, u_m>)^2.
+    """
+    m = cb.shape[0]
+    em1 = float(eta) - 1.0
+
+    def residual_b(codes: jax.Array) -> jax.Array:
+        sel = cb[jnp.arange(m)[None, :], codes]  # [chunk, M, dsub]
+        return jnp.sum((xc - sel) * uc, axis=-1)
+
+    def one_subspace(carry, mi):
+        codes, t = carry  # t = sum_m b_m  [chunk]
+        cm = cb[mi]  # [K, dsub]
+        xm, um = xc[:, mi], uc[:, mi]  # [chunk, dsub]
+        ip = xm @ cm.T  # [chunk, K]
+        c_sq = jnp.sum(cm * cm, axis=-1)  # [K]
+        a = c_sq[None, :] - 2.0 * ip
+        b = jnp.sum(xm * um, axis=-1, keepdims=True) - um @ cm.T  # [chunk, K]
+        b_cur = jnp.sum((xm - cm[codes[:, mi]]) * um, axis=-1)
+        t_rest = t - b_cur
+        loss = a + em1 * (t_rest[:, None] + b) ** 2
+        new_code = jnp.argmin(loss, axis=-1).astype(jnp.int32)
+        new_b = jnp.take_along_axis(b, new_code[:, None], axis=-1)[:, 0]
+        codes = codes.at[:, mi].set(new_code)
+        return (codes, t_rest + new_b), None
+
+    codes = codes0
+    for _ in range(sweeps):
+        t = jnp.sum(residual_b(codes), axis=-1)
+        (codes, t), _ = jax.lax.scan(
+            one_subspace, (codes, t), jnp.arange(m, dtype=jnp.int32)
+        )
+    return codes
+
+
+def encode_pq_anisotropic(
+    codebooks: jax.Array,
+    x: jax.Array,
+    eta: float,
+    sweeps: int = 2,
+    chunk: int = 16_384,
+) -> jax.Array:
+    """Encode database vectors under the anisotropic criterion. [n, M] uint8.
+
+    Plain `encode_pq` picks each subspace's nearest codeword, which minimizes
+    ||r||^2, not the score-aware loss the codebooks were trained for — the
+    ScaNN recipe encodes the database with the SAME objective (coordinate
+    descent warm-started from the nearest-codeword codes).
+    """
+    n, d = x.shape
+    m = codebooks.shape[0]
+    dsub = d // m
+    x = x.astype(jnp.float32)
+    u = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-9)
+    n_chunks = max(1, (n + chunk - 1) // chunk)
+    pad = n_chunks * chunk - n
+    xs = jnp.pad(x, ((0, pad), (0, 0))).reshape(n_chunks, chunk, m, dsub)
+    us = jnp.pad(u, ((0, pad), (0, 0))).reshape(n_chunks, chunk, m, dsub)
+
+    def one(args):
+        xc, uc = args
+        codes0 = encode_pq(codebooks, xc.reshape(chunk, d)).astype(jnp.int32)
+        return _aniso_assign_chunk(codebooks, xc, uc, codes0, eta, sweeps)
+
+    codes = jax.lax.map(one, (xs, us)).reshape(-1, m)
+    return codes[:n].astype(jnp.uint8)
+
+
+def train_pq_anisotropic(
+    rng: jax.Array,
+    x: jax.Array,  # [n, d] training vectors
+    n_subquantizers: int,
+    n_codes: int = 256,
+    eta: float = 32.0,
+    n_iters: int = 4,
+    init_iters: int = 4,
+    sweeps: int = 1,
+    chunk: int = 16_384,
+    init_codebooks: typ.Optional[jax.Array] = None,
+) -> jax.Array:
+    """Score-aware (anisotropic) PQ codebooks for MIPS. Returns [M, n_codes, d/M].
+
+    Beyond-faiss quality lever (ScaNN, "Accelerating Large-Scale Inference with
+    Anisotropic Vector Quantization", Guo et al. ICML 2020): quantization error
+    PARALLEL to the datapoint changes the inner products of exactly the queries
+    that score it highest, so it is weighted `eta` times the orthogonal error:
+
+        L(x, x_hat) = ||r_perp||^2 + eta * ||r_par||^2,   r = x - x_hat,
+        r_par = <r, u> u,  u = x / ||x||.
+
+    With x_hat = concat_m C_m[c_m] the parallel term couples subspaces through
+    t = sum_m <x_m - C_m[c_m], u_m>, so assignment is block coordinate descent
+    over subspaces (each step scores all n_codes codewords of one subspace with
+    the other subspaces' projection t_rest held fixed) and the codebook update
+    is the exact per-codeword weighted least squares
+
+        [n_k I + (eta-1) sum u u^T] c = sum x_m + (eta-1) sum (t_rest + u^T x_m) u
+
+    — a dsub x dsub solve per (subspace, codeword), vmapped. eta=1 reduces to
+    plain k-means PQ. All stages are chunked matmuls/segment-sums on the MXU.
+    """
+    n, d = x.shape
+    m = n_subquantizers
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by n_subquantizers {m}")
+    dsub = d // m
+    x = x.astype(jnp.float32)
+    u = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-9)
+    xs = x.reshape(n, m, dsub)
+    us = u.reshape(n, m, dsub)
+
+    if init_codebooks is None:
+        codebooks = train_pq(rng, x, m, n_codes=n_codes, n_iters=init_iters)
+    else:
+        codebooks = init_codebooks.astype(jnp.float32)
+
+    n_chunks = max(1, (n + chunk - 1) // chunk)
+    pad = n_chunks * chunk - n
+    # padding rows: x=0, u=0 -> zero contribution to every sum; they assign to
+    # some codeword but carry zero weight in the solve only via u; guard counts
+    # with an explicit validity weight instead.
+    valid = jnp.pad(jnp.ones((n,), jnp.float32), (0, pad))
+    xs_p = jnp.pad(xs, ((0, pad), (0, 0), (0, 0))).reshape(n_chunks, chunk, m, dsub)
+    us_p = jnp.pad(us, ((0, pad), (0, 0), (0, 0))).reshape(n_chunks, chunk, m, dsub)
+    w_p = valid.reshape(n_chunks, chunk)
+
+    em1 = float(eta) - 1.0
+
+    @jax.jit
+    def one_iter(cb: jax.Array, codes_all: jax.Array):
+        codes_all = jax.lax.map(
+            lambda args: _aniso_assign_chunk(cb, *args, eta=eta, sweeps=sweeps),
+            (xs_p, us_p, codes_all),
+        )
+
+        # --- codebook update: accumulate the per-(m, k) normal equations ---
+        def accum(carry, args):
+            (uu, rhs, cnt) = carry
+            xc, uc, codes, w = args  # [chunk, M, dsub] x2, [chunk, M], [chunk]
+            # t_rest per (point, subspace): t - b_m
+            sel = cb[jnp.arange(m)[None, :], codes]
+            b = jnp.sum((xc - sel) * uc, axis=-1)  # [chunk, M]
+            t_rest = jnp.sum(b, axis=-1, keepdims=True) - b  # [chunk, M]
+            coef = t_rest + jnp.sum(uc * xc, axis=-1)  # [chunk, M]
+
+            def per_sub(_, mi):
+                # [chunk, K] weights; [chunk, dsub*dsub] outer products — small
+                onehot = jax.nn.one_hot(codes[:, mi], n_codes, dtype=jnp.float32)
+                onehot = onehot * w[:, None]
+                um = uc[:, mi]  # [chunk, dsub]
+                outer = (um[:, :, None] * um[:, None, :]).reshape(chunk, dsub * dsub)
+                uu_m = (onehot.T @ outer).reshape(n_codes, dsub, dsub)
+                rhs_m = onehot.T @ (xc[:, mi] + em1 * coef[:, mi, None] * um)
+                cnt_m = jnp.sum(onehot, axis=0)
+                return None, (uu_m, rhs_m, cnt_m)
+
+            _, (uu_d, rhs_d, cnt_d) = jax.lax.scan(
+                per_sub, None, jnp.arange(m, dtype=jnp.int32)
+            )
+            return (uu + uu_d, rhs + rhs_d, cnt + cnt_d), None
+
+        zeros = (
+            jnp.zeros((m, n_codes, dsub, dsub), jnp.float32),
+            jnp.zeros((m, n_codes, dsub), jnp.float32),
+            jnp.zeros((m, n_codes), jnp.float32),
+        )
+        (uu, rhs, cnt), _ = jax.lax.scan(accum, zeros, (xs_p, us_p, codes_all, w_p))
+
+        lhs = cnt[..., None, None] * jnp.eye(dsub)[None, None] + em1 * uu
+        # empty codewords: keep the previous centroid (lhs would be singular)
+        lhs = jnp.where(cnt[..., None, None] > 0, lhs, jnp.eye(dsub)[None, None])
+        rhs = jnp.where(cnt[..., None] > 0, rhs, cb)
+        new_cb = jnp.linalg.solve(lhs, rhs[..., None])[..., 0]
+        return new_cb, codes_all
+
+    codes_all = jax.lax.map(
+        lambda args: encode_pq(codebooks, args[0].reshape(chunk, d)).astype(jnp.int32),
+        (xs_p,),
+    )
+    for _ in range(n_iters):
+        codebooks, codes_all = one_iter(codebooks, codes_all)
+    return codebooks

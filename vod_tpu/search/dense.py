@@ -188,6 +188,7 @@ def build_pq_index(
     pad_multiple: typ.Optional[int] = None,
     approx_recall: typ.Optional[float] = 0.95,
     code_bits: int = 8,
+    aniso_eta: pq_ops.AnisoEta = None,
 ) -> PQIndex:
     """Build a PQ index (parity: faiss `OPQ{M}_{d},IVFauto,PQ{M}x8[,RFlat]`;
     code_bits=4 is the fast-scan `PQ{M}x4fs` codec — 16-entry codebooks,
@@ -216,20 +217,14 @@ def build_pq_index(
     x = vectors.astype(jnp.float32)
     train = x if train_size is None or train_size >= n_real else x[:train_size]
 
-    rotation = None
-    if use_opq:
-        # OPQ rotation balances subspace energies (faiss OPQ{M}_{d} parity)
-        rotation, codebooks = pq_ops.train_opq(
-            rng, train, n_subquantizers, n_codes=n_codes, n_iters=opq_iters,
-            kmeans_iters=max(2, kmeans_iters // 2),
-        )
-        x_rot = x @ rotation
-        train_rot = train @ rotation
-    else:
-        x_rot, train_rot = x, train
-        codebooks = pq_ops.train_pq(
-            rng, train_rot, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
-        )
+    # OPQ rotation balances subspace energies (faiss OPQ{M}_{d} parity);
+    # aniso_eta switches to the score-aware ScaNN objective (beyond faiss)
+    rotation, codebooks = pq_ops.train_pq_codebooks(
+        rng, train, n_subquantizers, n_codes=n_codes, kmeans_iters=kmeans_iters,
+        use_opq=use_opq, opq_iters=opq_iters, aniso_eta=aniso_eta,
+    )
+    x_rot = x if rotation is None else x @ rotation
+    train_rot = train if rotation is None else train @ rotation
 
     coarse_codes = coarse_scale = proj = None
     if coarse_dim is not None:
@@ -240,7 +235,7 @@ def build_pq_index(
         coarse_codes, coarse_scale = pq_ops.quantize_int8(coarse, axis=0)
         coarse_codes = _pad_rows(coarse_codes, pad_multiple)
 
-    codes = pq_ops.encode_pq(codebooks, x_rot)
+    codes = pq_ops.encode_pq_auto(codebooks, x_rot, aniso_eta=aniso_eta)
     if code_bits == 4:
         codes = _pack_codes4(codes)
     codes = _pad_rows(codes, pad_multiple)
@@ -900,6 +895,7 @@ def build_pq_index_from_host(
     offset: int = 0,
     approx_recall: typ.Optional[float] = 0.95,
     code_bits: int = 8,
+    aniso_eta: pq_ops.AnisoEta = None,
 ) -> PQIndex:
     """PQ build for corpora larger than device HBM: train on a sample, then
     encode host slabs on device one at a time (parity: faiss's chunked
@@ -925,18 +921,11 @@ def build_pq_index_from_host(
     n_real, d = vectors_np.shape
     train = jnp.asarray(np.ascontiguousarray(vectors_np[:train_size]), dtype=jnp.float32)
 
-    rotation = None
-    if use_opq:
-        rotation, codebooks = pq_ops.train_opq(
-            rng, train, n_subquantizers, n_codes=n_codes, n_iters=4,
-            kmeans_iters=max(2, kmeans_iters // 2),
-        )
-        train_rot = train @ rotation
-    else:
-        train_rot = train
-        codebooks = pq_ops.train_pq(
-            rng, train_rot, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
-        )
+    rotation, codebooks = pq_ops.train_pq_codebooks(
+        rng, train, n_subquantizers, n_codes=n_codes, kmeans_iters=kmeans_iters,
+        use_opq=use_opq, opq_iters=4, aniso_eta=aniso_eta,
+    )
+    train_rot = train if rotation is None else train @ rotation
     proj = coarse_scale = None
     if coarse_dim is not None:
         proj, _mean = pq_ops.train_projection(train_rot, coarse_dim)
@@ -958,7 +947,7 @@ def build_pq_index_from_host(
     @jax.jit
     def encode_slab(x):
         xr = x @ rotation if rotation is not None else x
-        codes = pq_ops.encode_pq(codebooks, xr)
+        codes = pq_ops.encode_pq_auto(codebooks, xr, aniso_eta=aniso_eta)
         if code_bits == 4:
             codes = _pack_codes4(codes)
         coarse = None

@@ -135,6 +135,7 @@ def build_dense_from_config(
             k_factor=cfg.k_factor,
             subset_ids=subset_ids,
             approx_recall=cfg.approx_recall,
+            aniso_eta=cfg.aniso_eta,
         )
     elif cfg.codec == "ivfpq":
         index = build_ivfpq_index(
@@ -156,6 +157,7 @@ def build_dense_from_config(
             approx_recall=cfg.approx_recall,
             mesh=mesh if cfg.sharded else None,
             mesh_axis=cfg.shard_axis,
+            aniso_eta=cfg.aniso_eta,
         )
     elif cfg.codec == "ivf":
         index = build_ivf_index(
@@ -255,6 +257,7 @@ def build_dense_from_host(
             slab=slab,
             subset_ids=subset_ids,
             approx_recall=cfg.approx_recall,
+            aniso_eta=cfg.aniso_eta,
         )
         if cfg.sharded and mesh is not None:
             return shard_pq_index(index, mesh, axis=cfg.shard_axis)

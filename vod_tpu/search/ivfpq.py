@@ -207,6 +207,7 @@ def train_ivfpq_stages(
     n_total: int,
     mesh: typ.Any = None,
     mesh_axis: str = "shard",
+    aniso_eta: pq_ops.AnisoEta = None,
 ) -> tuple[typ.Optional[jax.Array], jax.Array, jax.Array]:
     """Train the IVF-PQ stages shared by the in-HBM and host-slab builders.
 
@@ -225,17 +226,13 @@ def train_ivfpq_stages(
         # refine rows are the scoring store; skip PQ/OPQ training outright
         codebooks = jnp.zeros((1, 1, d), jnp.float32)
         train_rot = train
-    elif use_opq:
-        rotation, codebooks = pq_ops.train_opq(
-            rng, train, n_subquantizers, n_codes=n_codes, n_iters=opq_iters,
-            kmeans_iters=max(2, kmeans_iters // 2),
-        )
-        train_rot = train @ rotation
     else:
-        codebooks = pq_ops.train_pq(
-            rng, train, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
+        rotation, codebooks = pq_ops.train_pq_codebooks(
+            rng, train, n_subquantizers, n_codes=n_codes,
+            kmeans_iters=kmeans_iters, use_opq=use_opq, opq_iters=opq_iters,
+            aniso_eta=aniso_eta,
         )
-        train_rot = train
+        train_rot = train if rotation is None else train @ rotation
     c = n_clusters or infer_n_clusters(n_total)
     if mesh is not None:
         from vod_tpu.ops.kmeans import kmeans_sharded
@@ -288,6 +285,7 @@ def build_ivfpq_index(
     approx_recall: typ.Optional[float] = 0.95,
     mesh: typ.Any = None,
     mesh_axis: str = "shard",
+    aniso_eta: pq_ops.AnisoEta = None,
 ) -> IVFPQIndex:
     """On-device IVF-PQ build (parity: `build_gpu.py:103` `_train_ivf` +
     PQ training; `IVFauto` centroid inference as `support.py:13`).
@@ -319,13 +317,14 @@ def build_ivfpq_index(
         kmeans_iters=kmeans_iters, opq_iters=opq_iters,
         use_opq=use_opq, keep_codes=keep_codes,
         n_clusters=n_clusters, n_total=n_real, mesh=mesh, mesh_axis=mesh_axis,
+        aniso_eta=aniso_eta,
     )
     x_rot = x if rotation is None else x @ rotation
     assign_np = np.asarray(_assign_chunked(x_rot, centroids)).astype(np.int32)
 
     codes_np = None
     if keep_codes:
-        codes = pq_ops.encode_pq(codebooks, x_rot)
+        codes = pq_ops.encode_pq_auto(codebooks, x_rot, aniso_eta=aniso_eta)
         if code_bits == 4:
             codes = _pack_codes4(codes)
         codes_np = np.asarray(codes)
