@@ -9,6 +9,13 @@ from .gradients import Gradients, MarginalLikelihoodGradients, RetrievalGradient
 from .kbit import KbitParams, full_params, kbit_materialize, kbit_memory_bytes, kbit_prepare
 from .monitoring import RetrievalMonitor, retrieval_metrics
 from .seq2seq import Seq2SeqLM, Seq2SeqRealm, beam_generate, generate, port_t5_seq2seq_weights, realm_beam_generate, realm_generate
+from .cross_encoder import (
+    CrossEncoder,
+    cross_encoder_rerank,
+    listwise_rerank_loss,
+    port_bert_cross_encoder_weights,
+    tokenize_pairs,
+)
 
 __all__ = [
     "CausalLM",
