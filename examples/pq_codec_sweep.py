@@ -27,6 +27,11 @@ def main() -> None:
     ap.add_argument("--queries", default=None, help="default: <emb>_queries.npy")
     ap.add_argument("--q", type=int, default=2048)
     ap.add_argument("--configs", default=None, help="comma list to filter by name substring")
+    ap.add_argument(
+        "--aniso", action="store_true",
+        help="train the PQ entries with the anisotropic (ScaNN) objective too "
+        "and report both codecs side by side",
+    )
     args = ap.parse_args()
 
     import jax
@@ -98,21 +103,26 @@ def main() -> None:
     for name, kind, kw, bytes_pv in ladder:
         if args.configs and not any(c in name for c in args.configs.split(",")):
             continue
-        t0 = time.time()
-        if kind == "int8":
-            idx = build_dense_index(jnp.asarray(emb), dtype="int8")
-            fn = dense_search
-        else:
-            idx = build_pq_index(
-                jax.random.PRNGKey(0), jnp.asarray(emb),
-                train_size=min(200_000, n), kmeans_iters=8, **kw,
-            )
-            fn = pq_search
-        build_s = time.time() - t0
-        r = measure(idx, fn, name, bytes_pv)
-        r["build_s"] = round(build_s, 1)
-        results.append(r)
-        del idx
+        variants = [("", None)]
+        if kind == "pq" and args.aniso:
+            variants.append(("+aniso", "auto"))
+        for suffix, aniso_eta in variants:
+            t0 = time.time()
+            if kind == "int8":
+                idx = build_dense_index(jnp.asarray(emb), dtype="int8")
+                fn = dense_search
+            else:
+                idx = build_pq_index(
+                    jax.random.PRNGKey(0), jnp.asarray(emb),
+                    train_size=min(200_000, n), kmeans_iters=8,
+                    aniso_eta=aniso_eta, **kw,
+                )
+                fn = pq_search
+            build_s = time.time() - t0
+            r = measure(idx, fn, name + suffix, bytes_pv)
+            r["build_s"] = round(build_s, 1)
+            results.append(r)
+            del idx
 
     print(json.dumps(results))
 

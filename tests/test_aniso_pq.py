@@ -26,11 +26,21 @@ def test_anisotropic_eta_theorem():
     # (d-1) T^2 / (1-T^2), floored at 1
     assert pq_ops.anisotropic_eta(0.2, 768) == pytest.approx(767 * 0.04 / 0.96)
     assert pq_ops.anisotropic_eta(0.0, 768) == 1.0
-    assert pq_ops.resolve_aniso_eta(None, 128) is None
-    assert pq_ops.resolve_aniso_eta("auto", 128) == pytest.approx(
-        pq_ops.anisotropic_eta(0.2, 128)
+
+    rng = np.random.default_rng(0)
+    x, _ = _spectrum_corpus(rng, 2048, 64)
+    xj = jnp.asarray(x)
+    assert pq_ops.resolve_aniso_eta(None, xj) is None
+    assert pq_ops.resolve_aniso_eta(7.5, xj) == 7.5
+    # 'auto' = theorem at the data's EFFECTIVE dim (not ambient):
+    pr = pq_ops.participation_ratio(xj)
+    assert 1.0 < pr < 64.0  # decaying spectrum concentrates
+    assert pq_ops.resolve_aniso_eta("auto", xj) == pytest.approx(
+        pq_ops.anisotropic_eta(0.3, pr)
     )
-    assert pq_ops.resolve_aniso_eta(7.5, 128) == 7.5
+    # isotropic data has effective dim ~= ambient
+    iso = jnp.asarray(rng.standard_normal((4096, 32)).astype(np.float32))
+    assert pq_ops.participation_ratio(iso) > 25.0
 
 
 def test_eta_one_matches_plain_encoding():

@@ -202,13 +202,32 @@ def decode_pq(codebooks: jax.Array, codes: jax.Array) -> jax.Array:
 AnisoEta = typ.Union[None, float, typ.Literal["auto"]]
 
 
-def resolve_aniso_eta(aniso_eta: AnisoEta, dim: int) -> typ.Optional[float]:
-    """None = anisotropic training off; 'auto' = the ScaNN theorem default
-    (threshold T=0.2 at this dim); a float = explicit h_par/h_perp ratio."""
+def participation_ratio(x: jax.Array) -> float:
+    """Effective (intrinsic) dimension of a vector set: (sum lam)^2 / sum lam^2
+    over the eigenvalues of the uncentered second moment. Real embedding
+    matrices concentrate hard (measured 29.5 effective dims at ambient 384 on
+    the local real-embedding corpus) — the anisotropic-eta theorem must use
+    THIS d, not the ambient one, or eta overshoots ~10x and recall degrades
+    (measured: ambient-d eta=16 scored 0.49 vs plain 0.57; eta=4 scored 0.60).
+    """
+    xs = x[: min(x.shape[0], 32_768)].astype(jnp.float32)
+    cov = (xs.T @ xs) / xs.shape[0]
+    lam = jnp.clip(jnp.linalg.eigvalsh(cov), 0.0, None)
+    return float(jnp.sum(lam) ** 2 / jnp.maximum(jnp.sum(lam * lam), 1e-30))
+
+
+def resolve_aniso_eta(aniso_eta: AnisoEta, train: jax.Array) -> typ.Optional[float]:
+    """None = anisotropic training off; a float = explicit h_par/h_perp ratio;
+    'auto' = the ScaNN theorem at threshold T=0.3 evaluated at the TRAINING
+    SAMPLE's effective dimension (participation ratio). Calibrated against eta
+    sweeps on real embeddings (optimum ~4 at d_eff 29.5) and a synthetic
+    decaying-spectrum corpus (optimum ~5.3 at d_eff ~70): T=0.3 lands inside
+    the flat region of both optima, T=0.2 at ambient d overshoots badly.
+    """
     if aniso_eta is None:
         return None
     if aniso_eta == "auto":
-        return anisotropic_eta(0.2, dim)
+        return anisotropic_eta(0.3, participation_ratio(train))
     return float(aniso_eta)
 
 
@@ -222,13 +241,15 @@ def train_pq_codebooks(
     use_opq: bool,
     opq_iters: int = 4,
     aniso_eta: AnisoEta = None,
-) -> tuple[typ.Optional[jax.Array], jax.Array]:
+) -> tuple[typ.Optional[jax.Array], jax.Array, typ.Optional[float]]:
     """The one PQ/OPQ[/anisotropic] training recipe every dense builder shares.
 
-    Returns (rotation|None, codebooks). With `aniso_eta`, the k-means (or OPQ)
-    codebooks are refined under the score-aware anisotropic loss at the fixed
-    rotation — database encoding must then use `encode_pq_auto` with the same
-    eta so codes are assigned under the loss the codebooks minimize.
+    Returns (rotation|None, codebooks, resolved_eta|None). With `aniso_eta`,
+    the k-means (or OPQ) codebooks are refined under the score-aware
+    anisotropic loss at the fixed rotation — database encoding must then use
+    `encode_pq_auto` with the RETURNED eta so codes are assigned under exactly
+    the loss the codebooks minimize ('auto' resolves from the training
+    sample's effective dimension here, once).
     """
     rotation = None
     if use_opq:
@@ -242,21 +263,21 @@ def train_pq_codebooks(
             rng, train, n_subquantizers, n_codes=n_codes, n_iters=kmeans_iters
         )
         train_rot = train
-    eta = resolve_aniso_eta(aniso_eta, train.shape[-1])
+    eta = resolve_aniso_eta(aniso_eta, train_rot)
     if eta is not None:
         codebooks = train_pq_anisotropic(
             jax.random.fold_in(rng, 23), train_rot, n_subquantizers,
             n_codes=n_codes, eta=eta, n_iters=max(2, kmeans_iters // 2),
             init_codebooks=codebooks,
         )
-    return rotation, codebooks
+    return rotation, codebooks, eta
 
 
 def encode_pq_auto(
-    codebooks: jax.Array, x: jax.Array, aniso_eta: AnisoEta = None
+    codebooks: jax.Array, x: jax.Array, eta: typ.Optional[float] = None
 ) -> jax.Array:
-    """Database encoding matching `train_pq_codebooks`'s objective."""
-    eta = resolve_aniso_eta(aniso_eta, x.shape[-1])
+    """Database encoding matching `train_pq_codebooks`'s objective; `eta` is
+    the RESOLVED float that call returned (None = plain nearest-codeword)."""
     if eta is None:
         return encode_pq(codebooks, x)
     return encode_pq_anisotropic(codebooks, x, eta)

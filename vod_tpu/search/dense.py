@@ -219,7 +219,7 @@ def build_pq_index(
 
     # OPQ rotation balances subspace energies (faiss OPQ{M}_{d} parity);
     # aniso_eta switches to the score-aware ScaNN objective (beyond faiss)
-    rotation, codebooks = pq_ops.train_pq_codebooks(
+    rotation, codebooks, aniso_resolved = pq_ops.train_pq_codebooks(
         rng, train, n_subquantizers, n_codes=n_codes, kmeans_iters=kmeans_iters,
         use_opq=use_opq, opq_iters=opq_iters, aniso_eta=aniso_eta,
     )
@@ -235,7 +235,7 @@ def build_pq_index(
         coarse_codes, coarse_scale = pq_ops.quantize_int8(coarse, axis=0)
         coarse_codes = _pad_rows(coarse_codes, pad_multiple)
 
-    codes = pq_ops.encode_pq_auto(codebooks, x_rot, aniso_eta=aniso_eta)
+    codes = pq_ops.encode_pq_auto(codebooks, x_rot, eta=aniso_resolved)
     if code_bits == 4:
         codes = _pack_codes4(codes)
     codes = _pad_rows(codes, pad_multiple)
@@ -921,7 +921,7 @@ def build_pq_index_from_host(
     n_real, d = vectors_np.shape
     train = jnp.asarray(np.ascontiguousarray(vectors_np[:train_size]), dtype=jnp.float32)
 
-    rotation, codebooks = pq_ops.train_pq_codebooks(
+    rotation, codebooks, aniso_resolved = pq_ops.train_pq_codebooks(
         rng, train, n_subquantizers, n_codes=n_codes, kmeans_iters=kmeans_iters,
         use_opq=use_opq, opq_iters=4, aniso_eta=aniso_eta,
     )
@@ -947,7 +947,7 @@ def build_pq_index_from_host(
     @jax.jit
     def encode_slab(x):
         xr = x @ rotation if rotation is not None else x
-        codes = pq_ops.encode_pq_auto(codebooks, xr, aniso_eta=aniso_eta)
+        codes = pq_ops.encode_pq_auto(codebooks, xr, eta=aniso_resolved)
         if code_bits == 4:
             codes = _pack_codes4(codes)
         coarse = None

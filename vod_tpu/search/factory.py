@@ -350,12 +350,12 @@ def build_dense_from_host(
             np.ascontiguousarray(vectors_np[: min(n, cfg.train_size or 500_000)]),
             dtype=jnp.float32,
         )
-        rotation, codebooks, centroids = train_ivfpq_stages(
+        rotation, codebooks, centroids, aniso_resolved = train_ivfpq_stages(
             rng, sample,
             n_subquantizers=cfg.n_subquantizers, code_bits=cfg.code_bits,
             kmeans_iters=cfg.kmeans_iters, opq_iters=cfg.opq_iters,
             use_opq=cfg.use_opq, keep_codes=cfg.keep_codes,
-            n_clusters=cfg.n_clusters, n_total=n,
+            n_clusters=cfg.n_clusters, n_total=n, aniso_eta=cfg.aniso_eta,
         )
         refine_proj = refine_scale = None
         if refine == "int8":
@@ -368,7 +368,7 @@ def build_dense_from_host(
             a = _assign_chunked(x_rot, centroids)
             codes = None
             if cfg.keep_codes:
-                codes = pq_ops.encode_pq(codebooks, x_rot)
+                codes = pq_ops.encode_pq_auto(codebooks, x_rot, eta=aniso_resolved)
                 if cfg.code_bits == 4:
                     codes = _pack_codes4(codes)
             rows = None

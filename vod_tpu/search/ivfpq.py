@@ -208,10 +208,12 @@ def train_ivfpq_stages(
     mesh: typ.Any = None,
     mesh_axis: str = "shard",
     aniso_eta: pq_ops.AnisoEta = None,
-) -> tuple[typ.Optional[jax.Array], jax.Array, jax.Array]:
+) -> tuple[typ.Optional[jax.Array], jax.Array, jax.Array, typ.Optional[float]]:
     """Train the IVF-PQ stages shared by the in-HBM and host-slab builders.
 
-    Returns `(rotation, codebooks, centroids)`. Keeping this in ONE place
+    Returns `(rotation, codebooks, centroids, resolved_aniso_eta)` — the last
+    must be forwarded to `encode_pq_auto` so database codes are assigned under
+    the trained objective. Keeping this in ONE place
     pins the details both builders must agree on for equal-config equality:
     the OPQ inner-kmeans budget (`max(2, kmeans_iters // 2)`), the coarse
     quantizer's seed fold (`fold_in(rng, 17)`), and `IVFauto` centroid
@@ -222,12 +224,13 @@ def train_ivfpq_stages(
     n_codes = 1 << code_bits
     d = train.shape[-1]
     rotation = None
+    aniso_resolved = None
     if not keep_codes:
         # refine rows are the scoring store; skip PQ/OPQ training outright
         codebooks = jnp.zeros((1, 1, d), jnp.float32)
         train_rot = train
     else:
-        rotation, codebooks = pq_ops.train_pq_codebooks(
+        rotation, codebooks, aniso_resolved = pq_ops.train_pq_codebooks(
             rng, train, n_subquantizers, n_codes=n_codes,
             kmeans_iters=kmeans_iters, use_opq=use_opq, opq_iters=opq_iters,
             aniso_eta=aniso_eta,
@@ -245,7 +248,7 @@ def train_ivfpq_stages(
         centroids, _ = kmeans(
             jax.random.fold_in(rng, 17), train_rot, n_clusters=c, n_iters=kmeans_iters
         )
-    return rotation, codebooks, centroids
+    return rotation, codebooks, centroids, aniso_resolved
 
 
 def train_refine_int8_params(
@@ -311,7 +314,7 @@ def build_ivfpq_index(
     x = vectors.astype(jnp.float32)
     train = x if train_size is None or train_size >= n_real else x[:train_size]
 
-    rotation, codebooks, centroids = train_ivfpq_stages(
+    rotation, codebooks, centroids, aniso_resolved = train_ivfpq_stages(
         rng, train,
         n_subquantizers=n_subquantizers, code_bits=code_bits,
         kmeans_iters=kmeans_iters, opq_iters=opq_iters,
@@ -324,7 +327,7 @@ def build_ivfpq_index(
 
     codes_np = None
     if keep_codes:
-        codes = pq_ops.encode_pq_auto(codebooks, x_rot, aniso_eta=aniso_eta)
+        codes = pq_ops.encode_pq_auto(codebooks, x_rot, eta=aniso_resolved)
         if code_bits == 4:
             codes = _pack_codes4(codes)
         codes_np = np.asarray(codes)
