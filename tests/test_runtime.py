@@ -642,3 +642,28 @@ def test_moe_encoder_train_step_runs_with_aux_loss() -> None:
         )[0]
     )
     assert not np.allclose(wi_before, wi_after), "expert weights did not receive grads"
+
+
+def test_benchmark_reranker_score_key() -> None:
+    """A perfect second-stage reranker (scores = gold labels) lifts the
+    'rerank' key to ceiling metrics while first-stage keys stay imperfect."""
+    from vod_tpu.runtime.benchmark import benchmark_retrieval
+
+    rng = np.random.default_rng(5)
+    corpus, make_queries = _make_task(rng, n_corpus=64)
+    emb = jnp.asarray(rng.normal(size=(corpus.size, 16)).astype("float32"))
+    engines = HybridEngines(dense=build_dense_index(emb, dtype="float32"))
+    batches = [make_queries(4, s) for s in range(2)]
+    qvecs = [jnp.asarray(rng.normal(size=(4, 16)).astype("float32")) for _ in batches]
+
+    def perfect_reranker(bi, merged):
+        return jnp.where(
+            jnp.maximum(merged.labels, 0) > 0, 10.0, jnp.zeros_like(merged.scores)
+        )
+
+    out = benchmark_retrieval(
+        engines, batches, query_vectors=qvecs, top_k=16,
+        metrics=("ndcg_10", "mrr_10"), reranker=perfect_reranker,
+    )
+    assert out["rerank"]["mrr_10"] == pytest.approx(1.0)
+    assert out["dense"]["mrr_10"] <= 1.0

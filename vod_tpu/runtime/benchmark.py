@@ -29,9 +29,18 @@ def benchmark_retrieval(
     top_k: int = 100,
     metrics: typ.Sequence[str] = ("ndcg_10", "mrr_10", "hitrate_3", "recall_50"),
     weights: typ.Optional[dict[str, float]] = None,
+    reranker: typ.Optional[typ.Callable[[int, typ.Any], jax.Array]] = None,
 ) -> dict[str, dict[str, float]]:
-    """Run the hybrid engine over query batches; metrics per score key."""
-    monitors = {k: RetrievalMonitor(list(metrics)) for k in _SCORE_KEYS}
+    """Run the hybrid engine over query batches; metrics per score key.
+
+    `reranker(batch_index, merged) -> [B, K] scores` adds a second-stage
+    score key "rerank" — e.g. a cross-encoder over the merged candidates
+    (`models.cross_encoder.cross_encoder_rerank` after host-side
+    `tokenize_pairs`) or a MaxSim re-score (`search.maxsim.maxsim_rerank`).
+    Beyond reference: upstream benchmarks first-stage scores only.
+    """
+    keys = _SCORE_KEYS + (("rerank",) if reranker is not None else ())
+    monitors = {k: RetrievalMonitor(list(metrics)) for k in keys}
 
     @jax.jit
     def run(engines, sq):
@@ -48,12 +57,14 @@ def benchmark_retrieval(
         )
         merged, raw = run(engines, sq)
         rel = jnp.maximum(merged.labels, 0) if merged.labels is not None else jnp.zeros_like(merged.indices)
-        for key in _SCORE_KEYS:
+        for key in keys:
             if key == "score":
                 scores = merged.scores
+            elif key == "rerank":
+                scores = reranker(bi, merged)
             elif key in raw:
                 scores = raw[key]
             else:
                 continue
             monitors[key].update(relevances=rel, scores=scores)
-    return {k: m.compute() for k, m in monitors.items() if m._counts and any(c > 0 for c in m._counts.values())}
+    return {k: m.compute() for k, m in monitors.items() if m._state is not None}
