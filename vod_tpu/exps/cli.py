@@ -66,6 +66,8 @@ def build_model(cfg: ModelConfig, *, proposal_temperature: float = 1.0) -> typ.A
         "vod": lambda: VodGradients(alpha=cfg.vod_alpha, proposal_temperature=proposal_temperature),
     }[cfg.gradients]()
     if cfg.kind == "realm":
+        if cfg.splade_encoder:
+            raise ValueError("splade_encoder is only supported for kind: ranker")
         if cfg.reader == "seq2seq":
             from vod_tpu.models.seq2seq import Seq2SeqRealm
             from vod_tpu.models.t5_encoder import T5EncoderConfig
@@ -90,7 +92,15 @@ def build_model(cfg: ModelConfig, *, proposal_temperature: float = 1.0) -> typ.A
             intermediate_size=cfg.intermediate_size,
         )
         return Realm(cfg=enc_cfg, lm_cfg=lm_cfg, gradients=gradients, debug_encoder=cfg.debug_encoder)
-    return Ranker(cfg=enc_cfg, gradients=gradients, debug_encoder=cfg.debug_encoder)
+    if cfg.splade_encoder and cfg.debug_encoder:
+        raise ValueError("splade_encoder and debug_encoder are mutually exclusive")
+    return Ranker(
+        cfg=enc_cfg,
+        gradients=gradients,
+        debug_encoder=cfg.debug_encoder,
+        splade_encoder=cfg.splade_encoder,
+        splade_flops_weight=cfg.splade_flops_weight,
+    )
 
 
 def _maybe_port_hf_encoder(params: dict, cfg: ModelConfig) -> dict:

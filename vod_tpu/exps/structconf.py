@@ -82,6 +82,10 @@ class ModelConfig(StrictModel):
     lm_hidden_size: int = 256
     lm_num_layers: int = 4
     debug_encoder: bool = False  # embedding-only encoder (parity: model/encoder=debug)
+    # learned-sparse (SPLADE) encoder for `kind: ranker` — encodings are
+    # vocab-impact vectors served by the device sparse engine (beyond reference)
+    splade_encoder: bool = False
+    splade_flops_weight: float = 0.0
     # HF checkpoint porting (parity: hydra `model/encoder/e5-small.yaml` etc. —
     # the reference instantiates hub checkpoints; here the tensors are ported
     # into the native flax encoder at init)

@@ -9,6 +9,7 @@ from .gradients import Gradients, MarginalLikelihoodGradients, RetrievalGradient
 from .kbit import KbitParams, full_params, kbit_materialize, kbit_memory_bytes, kbit_prepare
 from .monitoring import RetrievalMonitor, retrieval_metrics
 from .seq2seq import Seq2SeqLM, Seq2SeqRealm, beam_generate, generate, port_t5_seq2seq_weights, realm_beam_generate, realm_generate
+from .splade import SpladeEncoder, flops_loss, port_splade_weights, splade_topk_terms
 from .cross_encoder import (
     CrossEncoder,
     cross_encoder_rerank,
@@ -33,6 +34,10 @@ __all__ = [
     "RetrievalGradients",
     "RetrievalMonitor",
     "Seq2SeqLM",
+    "SpladeEncoder",
+    "flops_loss",
+    "port_splade_weights",
+    "splade_topk_terms",
     "beam_generate",
     "Seq2SeqRealm",
     "generate",

@@ -61,10 +61,23 @@ class Ranker(nn.Module):
     cfg: TransformerEncoderConfig
     gradients: Gradients
     debug_encoder: bool = False
+    splade_encoder: bool = False  # learned-sparse (SPLADE) encoder: encodings
+    #                               are [*, V] vocab-impact vectors; the score
+    #                               einsum is dimension-agnostic so the same
+    #                               gradient estimators train it (beyond
+    #                               reference — upstream is dense-only)
+    splade_flops_weight: float = 0.0
 
     def setup(self) -> None:
-        enc_cls = DebugEncoder if self.debug_encoder else VodEncoder
-        self.encoder = enc_cls(self.cfg, name="encoder")
+        if self.splade_encoder:
+            from .splade import SpladeEncoder
+
+            self.encoder = SpladeEncoder(
+                self.cfg, flops_weight=self.splade_flops_weight, name="encoder"
+            )
+        else:
+            enc_cls = DebugEncoder if self.debug_encoder else VodEncoder
+            self.encoder = enc_cls(self.cfg, name="encoder")
 
     def encode(self, batch: RealmBatch) -> dict[str, jax.Array]:
         return _fused_encode(self.encoder, batch)

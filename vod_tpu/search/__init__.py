@@ -35,7 +35,13 @@ from .sharded import (
     sharded_pq_search,
     sharded_sparse_search,
 )
-from .sparse import SparseIndex, build_sparse_index, build_sparse_index_native, sparse_search
+from .sparse import (
+    SparseIndex,
+    build_impact_index,
+    build_sparse_index,
+    build_sparse_index_native,
+    sparse_search,
+)
 from .hybrid import HybridEngines, hybrid_search_and_sample, hybrid_search
 
 __all__ = [
@@ -59,6 +65,7 @@ __all__ = [
     "build_pq_index",
     "build_pq_index_from_host",
     "build_sharded_dense_index",
+    "build_impact_index",
     "build_sparse_index",
     "build_sparse_index_native",
     "hybrid_search",

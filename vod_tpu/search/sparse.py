@@ -126,6 +126,60 @@ def build_sparse_index_native(
     )
 
 
+def build_impact_index(
+    doc_terms: np.ndarray,  # [N, K] int32 term ids, -1 = padding
+    doc_impacts: np.ndarray,  # [N, K] f32 learned impacts (e.g. SPLADE)
+    *,
+    n_terms: int,
+    max_postings: int = 2048,
+    subset_ids: typ.Optional[np.ndarray] = None,
+    offset: int = 0,
+) -> SparseIndex:
+    """Invert per-document learned (term, impact) pairs into the impact-ordered
+    postings table. This is the learned-sparse (SPLADE) build path: the model's
+    impacts replace the BM25 formula, everything downstream (`bm25_topk`,
+    sharding, hybrid merge) is shared. Fully vectorized (lexsort + run-rank),
+    O(NK log NK) — no per-token Python loops.
+    """
+    doc_terms = np.asarray(doc_terms, dtype=np.int64)
+    doc_impacts = np.asarray(doc_impacts, dtype=np.float32)
+    n_docs, k = doc_terms.shape
+    flat_t = doc_terms.ravel()
+    flat_w = doc_impacts.ravel()
+    flat_d = np.repeat(np.arange(n_docs, dtype=np.int32), k)
+    keep = (flat_t >= 0) & (flat_t < n_terms) & (flat_w > 0)
+    flat_t, flat_w, flat_d = flat_t[keep], flat_w[keep], flat_d[keep]
+
+    # sort by (term asc, impact desc) -> postings rows come out impact-ordered
+    order = np.lexsort((-flat_w, flat_t))
+    st, sw, sd = flat_t[order], flat_w[order], flat_d[order]
+
+    # rank within each term run = position - run start
+    if st.size:
+        new_run = np.empty(st.shape, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = st[1:] != st[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(st.size), 0))
+        rank = np.arange(st.size) - run_start
+        p_width = int(min(max_postings, rank.max() + 1))
+    else:
+        rank = st.astype(np.int64)
+        p_width = 1
+    docs_arr = np.full((n_terms, p_width), -1, dtype=np.int32)
+    imp_arr = np.zeros((n_terms, p_width), dtype=np.float32)
+    trunc = rank < p_width  # impact-ordered truncation, same as the BM25 build
+    docs_arr[st[trunc], rank[trunc]] = sd[trunc]
+    imp_arr[st[trunc], rank[trunc]] = sw[trunc]
+
+    return SparseIndex(
+        postings_docs=jnp.asarray(docs_arr),
+        postings_impacts=jnp.asarray(imp_arr),
+        subset_ids=None if subset_ids is None else jnp.asarray(subset_ids, dtype=jnp.int32),
+        n_docs=n_docs,
+        offset=offset,
+    )
+
+
 def _segment_sum_sorted(ids: jax.Array, vals: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-row: sum `vals` over runs of equal (sorted) `ids`.
 
