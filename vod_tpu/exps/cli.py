@@ -37,6 +37,16 @@ from vod_tpu.exps.recipes import PeriodicTrainingConfig, periodic_training
 from vod_tpu.search import HybridEngines, build_dense_index
 
 
+def _make_distillation(cfg: ModelConfig) -> typ.Any:
+    from vod_tpu.models.gradients import DistillationGradients
+
+    return DistillationGradients(
+        objective=cfg.distill_objective,
+        temperature=cfg.distill_temperature,
+        ce_weight=cfg.distill_ce_weight,
+    )
+
+
 def build_model(cfg: ModelConfig, *, proposal_temperature: float = 1.0) -> typ.Any:
     """`proposal_temperature` must equal the collate's sampling temperature —
     the VOD estimator's importance correction subtracts the same beta*s the
@@ -64,6 +74,7 @@ def build_model(cfg: ModelConfig, *, proposal_temperature: float = 1.0) -> typ.A
         "retrieval": lambda: RetrievalGradients(),
         "marginal_likelihood": lambda: MarginalLikelihoodGradients(),
         "vod": lambda: VodGradients(alpha=cfg.vod_alpha, proposal_temperature=proposal_temperature),
+        "distillation": lambda: _make_distillation(cfg),
     }[cfg.gradients]()
     if cfg.kind == "realm":
         if cfg.splade_encoder:

@@ -68,8 +68,13 @@ class ModelConfig(StrictModel):
     """Flagship-model knobs (encoder + optional reader)."""
 
     kind: typ.Literal["ranker", "realm"] = "ranker"
-    gradients: typ.Literal["retrieval", "marginal_likelihood", "vod"] = "retrieval"
+    gradients: typ.Literal["retrieval", "marginal_likelihood", "vod", "distillation"] = "retrieval"
     vod_alpha: float = 0.0
+    # cross-encoder -> dual-encoder distillation (gradients: distillation);
+    # the batch must carry `section__teacher_score` (beyond reference)
+    distill_objective: typ.Literal["margin_mse", "kl"] = "margin_mse"
+    distill_temperature: float = 1.0
+    distill_ce_weight: float = 0.0
     vocab_size: int = 30522
     hidden_size: int = 256
     num_layers: int = 4

@@ -5,7 +5,13 @@ from .pooler import VodPooler, VodPoolerConfig
 from .encoder import TransformerEncoder, TransformerEncoderConfig, VodEncoder, DebugEncoder
 from .lm import CausalLM, CausalLMConfig
 from .systems import Ranker, Realm
-from .gradients import Gradients, MarginalLikelihoodGradients, RetrievalGradients, VodGradients
+from .gradients import (
+    DistillationGradients,
+    Gradients,
+    MarginalLikelihoodGradients,
+    RetrievalGradients,
+    VodGradients,
+)
 from .kbit import KbitParams, full_params, kbit_materialize, kbit_memory_bytes, kbit_prepare
 from .monitoring import RetrievalMonitor, retrieval_metrics
 from .seq2seq import Seq2SeqLM, Seq2SeqRealm, beam_generate, generate, port_t5_seq2seq_weights, realm_beam_generate, realm_generate
@@ -13,6 +19,8 @@ from .splade import SpladeEncoder, flops_loss, port_splade_weights, splade_topk_
 from .cross_encoder import (
     CrossEncoder,
     cross_encoder_rerank,
+    cross_encoder_scores,
+    fill_teacher_scores,
     listwise_rerank_loss,
     port_bert_cross_encoder_weights,
     tokenize_pairs,
@@ -22,7 +30,10 @@ __all__ = [
     "CausalLM",
     "CausalLMConfig",
     "DebugEncoder",
+    "DistillationGradients",
     "Gradients",
+    "cross_encoder_scores",
+    "fill_teacher_scores",
     "KbitParams",
     "full_params",
     "kbit_materialize",

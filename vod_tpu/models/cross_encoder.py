@@ -51,21 +51,19 @@ class CrossEncoder(nn.Module):
         return self.classifier(pooled)[:, 0]  # [B]
 
 
-def cross_encoder_rerank(
+def cross_encoder_scores(
     apply_fn: typ.Callable[..., jax.Array],
     params: typ.Any,
-    candidates: RetrievalBatch,  # [B, C] first-stage results
     pair_input_ids: jax.Array,  # [B, C, L] tokenized [CLS] q [SEP] d [SEP]
     pair_attention_mask: jax.Array,  # [B, C, L]
-    pair_token_type_ids: typ.Optional[jax.Array],  # [B, C, L]
-    top_k: int,
+    pair_token_type_ids: typ.Optional[jax.Array] = None,  # [B, C, L]
     *,
     chunk: int = 256,
-) -> RetrievalBatch:
-    """Re-score first-stage candidates with the cross-encoder; top_k by its
-    scores. `-1`-padded candidates keep `-inf` and sort last. Jittable —
-    tokenization of the (query, section-text) pairs happens host-side.
-    """
+) -> jax.Array:
+    """Raw cross-encoder scores [B, C] for a candidate grid — the [B, C, L]
+    pairs flatten to chunked [chunk, L] MXU passes via `lax.map`. Shared by
+    `cross_encoder_rerank` (second-stage serving) and teacher-score computation
+    for distillation (`fill_teacher_scores`)."""
     b, c, length = pair_input_ids.shape
     flat_n = b * c
     n_chunks = max(1, -(-flat_n // chunk))
@@ -89,7 +87,28 @@ def cross_encoder_rerank(
         return apply_fn(params, ids, mask, types)
 
     operands = (ids_f, mask_f) if types_f is None else (ids_f, mask_f, types_f)
-    scores = jax.lax.map(one, operands).reshape(-1)[:flat_n].reshape(b, c)
+    return jax.lax.map(one, operands).reshape(-1)[:flat_n].reshape(b, c)
+
+
+def cross_encoder_rerank(
+    apply_fn: typ.Callable[..., jax.Array],
+    params: typ.Any,
+    candidates: RetrievalBatch,  # [B, C] first-stage results
+    pair_input_ids: jax.Array,  # [B, C, L] tokenized [CLS] q [SEP] d [SEP]
+    pair_attention_mask: jax.Array,  # [B, C, L]
+    pair_token_type_ids: typ.Optional[jax.Array],  # [B, C, L]
+    top_k: int,
+    *,
+    chunk: int = 256,
+) -> RetrievalBatch:
+    """Re-score first-stage candidates with the cross-encoder; top_k by its
+    scores. `-1`-padded candidates keep `-inf` and sort last. Jittable —
+    tokenization of the (query, section-text) pairs happens host-side.
+    """
+    b, c, _ = pair_input_ids.shape
+    scores = cross_encoder_scores(
+        apply_fn, params, pair_input_ids, pair_attention_mask, pair_token_type_ids, chunk=chunk
+    )
     scores = jnp.where(candidates.indices >= 0, scores, -jnp.inf)
 
     k_eff = min(top_k, c)
@@ -102,6 +121,28 @@ def cross_encoder_rerank(
     return RetrievalBatch(
         scores=jnp.where(ok, top_s, -jnp.inf), indices=jnp.where(ok, top_i, -1)
     )
+
+
+def fill_teacher_scores(
+    apply_fn: typ.Callable[..., jax.Array],
+    params: typ.Any,
+    batch: typ.Any,  # RealmBatch
+    pair_input_ids: jax.Array,  # [B, D, L] (query, section) pairs, batch order
+    pair_attention_mask: jax.Array,
+    pair_token_type_ids: typ.Optional[jax.Array] = None,
+    *,
+    chunk: int = 256,
+) -> typ.Any:
+    """Score the batch's sampled sections with a (frozen) cross-encoder teacher
+    and return the batch with `section__teacher_score` set (-inf at padding) —
+    the on-the-fly distillation path for `DistillationGradients`. Jittable;
+    wrap `apply_fn` in `jax.lax.stop_gradient`-free params (the teacher is not
+    differentiated because the student loss never touches its params)."""
+    scores = cross_encoder_scores(
+        apply_fn, params, pair_input_ids, pair_attention_mask, pair_token_type_ids, chunk=chunk
+    )
+    scores = jnp.where(jnp.isneginf(batch.section__score), -jnp.inf, scores)
+    return batch.replace(section__teacher_score=scores)
 
 
 def listwise_rerank_loss(scores: jax.Array, labels: jax.Array) -> jax.Array:

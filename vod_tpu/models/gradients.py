@@ -204,6 +204,85 @@ class MarginalLikelihoodGradients(Gradients):
         return RealmOutput(loss=loss, retriever_scores=retriever_scores, diagnostics={})
 
 
+class DistillationGradients(Gradients):
+    """Cross-encoder -> dual-encoder distillation (beyond reference: upstream
+    has no teacher-student path; its estimators train on binary relevance only).
+
+    Consumes `batch.section__teacher_score` ([B, D], -inf/nan = missing — e.g.
+    precomputed monoBERT scores, `models.cross_encoder.cross_encoder_scores`).
+    Objectives:
+
+      * `margin_mse` (Hofstaetter et al., arXiv:2010.02666): anchor at the
+        highest-teacher-scored positive p; for every valid negative n minimize
+        `((f_p - f_n) - (t_p - t_n))^2` — matches the teacher's MARGINS, which
+        is scale-free in the teacher's score units.
+      * `kl`: KL(softmax(t / T) || softmax(f)) over the valid candidates —
+        matches the full teacher distribution (listwise).
+
+    `ce_weight > 0` mixes in the `RetrievalGradients` KL-to-relevance loss so
+    labels and teacher signal co-train (the standard recipe).
+    """
+
+    def __init__(
+        self,
+        objective: typ.Literal["margin_mse", "kl"] = "margin_mse",
+        temperature: float = 1.0,
+        ce_weight: float = 0.0,
+    ):
+        self.objective = objective
+        self.temperature = temperature
+        self.ce_weight = ce_weight
+        self._ce = RetrievalGradients() if ce_weight > 0 else None
+
+    def __call__(
+        self,
+        *,
+        batch: RealmBatch,
+        query_encoding: jax.Array,
+        section_encoding: jax.Array,
+        lm_logits: typ.Optional[jax.Array] = None,
+    ) -> RealmOutput:
+        t = batch.section__teacher_score
+        if t is None:
+            raise ValueError("DistillationGradients requires batch.section__teacher_score")
+        is_padding = _padding_mask(batch)
+        f = _compute_retriever_scores(query_encoding, section_encoding, is_padding)
+        valid = ~is_padding & jnp.isfinite(t)
+        t = jnp.where(valid, t, -jnp.inf)
+
+        diagnostics: dict[str, jax.Array] = {}
+        if self.objective == "margin_mse":
+            is_pos = (batch.section__relevance > 0) & valid
+            has_pos = jnp.any(is_pos, axis=-1)
+            # anchor = the positive the teacher ranks highest
+            anchor = jnp.argmax(jnp.where(is_pos, t, -jnp.inf), axis=-1)  # [B]
+            f_p = jnp.take_along_axis(f, anchor[:, None], axis=-1)  # [B, 1]
+            t_p = jnp.take_along_axis(t, anchor[:, None], axis=-1)
+            is_neg = valid & ~is_pos
+            d = jnp.where(is_neg & has_pos[:, None], (f_p - f) - (t_p - t), 0.0)
+            n_pairs = jnp.maximum(jnp.sum(is_neg & has_pos[:, None]), 1.0)
+            loss = jnp.sum(d**2) / n_pairs
+            diagnostics["margin_mse_pairs"] = n_pairs
+        elif self.objective == "kl":
+            teacher_lp = masked_log_softmax(t / self.temperature)
+            student_lp = masked_log_softmax(jnp.where(valid, f, -jnp.inf))
+            terms = jnp.where(valid, jnp.exp(teacher_lp) * (teacher_lp - student_lp), 0.0)
+            rows = jnp.sum(terms, axis=-1)
+            has_any = jnp.any(valid, axis=-1)
+            loss = jnp.sum(jnp.where(has_any, rows, 0.0)) / jnp.maximum(jnp.sum(has_any), 1.0)
+        else:
+            raise ValueError(f"Unknown distillation objective: {self.objective}")
+
+        if self._ce is not None:
+            ce_out = self._ce(
+                batch=batch, query_encoding=query_encoding, section_encoding=section_encoding
+            )
+            loss = loss + self.ce_weight * ce_out.loss
+            diagnostics["ce_loss"] = ce_out.loss
+
+        return RealmOutput(loss=loss, retriever_scores=f, diagnostics=diagnostics)
+
+
 class VodGradients(Gradients):
     """The VOD estimator (arXiv:2210.06345) — implemented, not stubbed.
 

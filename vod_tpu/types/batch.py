@@ -40,6 +40,9 @@ class RealmBatch:
     section__score: jax.Array  # [B, D] merged hybrid score (-inf = padding)
     section__sparse: jax.Array  # [B, D] raw sparse-engine score (nan = missing)
     section__dense: typ.Optional[jax.Array] = None  # [B, D] raw dense score
+    # Cross-encoder teacher scores for distillation (beyond reference):
+    # [B, D], -inf/nan where missing; see `models.gradients.DistillationGradients`
+    section__teacher_score: typ.Optional[jax.Array] = None
     # Priority sampling
     section__log_weight: typ.Optional[jax.Array] = None  # [B, D]
     section__lse_pos: typ.Optional[jax.Array] = None  # [B]
