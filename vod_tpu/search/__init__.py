@@ -35,6 +35,16 @@ from .sharded import (
     sharded_pq_search,
     sharded_sparse_search,
 )
+from .dynamic import (
+    DynamicDenseIndex,
+    dynamic_add,
+    dynamic_compact,
+    dynamic_delete,
+    dynamic_from_dense,
+    dynamic_index_init,
+    dynamic_search,
+    dynamic_update,
+)
 from .sparse import (
     SparseIndex,
     build_impact_index,
@@ -65,6 +75,14 @@ __all__ = [
     "build_pq_index",
     "build_pq_index_from_host",
     "build_sharded_dense_index",
+    "DynamicDenseIndex",
+    "dynamic_add",
+    "dynamic_compact",
+    "dynamic_delete",
+    "dynamic_from_dense",
+    "dynamic_index_init",
+    "dynamic_search",
+    "dynamic_update",
     "build_impact_index",
     "build_sparse_index",
     "build_sparse_index_native",
