@@ -202,6 +202,46 @@ def test_splade_pipeline_end_to_end_matches_bruteforce():
             np.testing.assert_allclose(scores[i, 0], expect[i, best[0]], rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_splade_config_driven_periodic_training():
+    """SPLADE end-to-end through the CLI path: live learned-sparse retrieval
+    (query terms from the current encoder) + per-period impact reindexing
+    (dense engine disabled)."""
+    from vod_tpu.exps.cli import run_experiment
+    from vod_tpu.exps.structconf import Experiment
+    from tests.helpers import tiny_tokenizer
+    from tests.test_exps import _toy_data
+
+    tok = tiny_tokenizer()
+    sections, queries = _toy_data()
+    exp = Experiment.parse({
+        "model": {
+            "kind": "ranker", "gradients": "retrieval",
+            "splade_encoder": True, "splade_flops_weight": 1e-4,
+            "splade_query_k": 16, "splade_doc_k": 24,
+            "vocab_size": tok.vocab_size, "hidden_size": 32, "num_layers": 1,
+            "num_heads": 2, "intermediate_size": 64,
+        },
+        "tokenizer": {"max_length": 24},
+        "collate": {"prefetch_n_sections": 16, "n_sections": 4, "max_pos_sections": 1},
+        "dataloader": {"batch_size": 8},
+        "trainer": {
+            "max_steps": 8, "period": 4, "log_interval": 2,
+            "learning_rate": 3e-3,
+            "parameters": {"sparse": {"mode": "constant", "value": 1.0}},
+        },
+    })
+    logs = []
+    out = run_experiment(
+        exp, sections=sections, queries=queries, tokenizer=tok,
+        on_log=lambda s, m: logs.append((s, m)),
+    )
+    assert out["state"].step == 8
+    assert len(out["history"]) == 2  # two periods -> two impact reindexes
+    train_logs = [m for _, m in logs if "loss" in m]
+    assert train_logs and np.isfinite(train_logs[-1]["loss"])
+
+
 def test_flops_loss_zero_iff_inactive():
     imp = jnp.zeros((4, 8))
     assert float(flops_loss(imp)) == 0.0

@@ -273,6 +273,7 @@ def run_experiment(
         gradient_clip_val=exp.trainer.gradient_clip_val,
         in_batch_negatives=exp.collate.in_batch_negatives,
         accumulate_grad_batches=exp.trainer.accumulate_grad_batches,
+        splade_query_k=exp.model.splade_query_k if exp.model.splade_encoder else None,
     )
 
     # init params with a first collated batch
@@ -346,7 +347,12 @@ def run_experiment(
         sparse_engine=sparse_engine,
         val_queries=val_dl_batches,
         config=PeriodicTrainingConfig(
-            dense=exp.search_defaults.dense,  # full codec config (pq/ivf/opq/...)
+            # splade: the learned impact index replaces the dense engine and is
+            # rebuilt from the current encoder at every period boundary
+            dense=None if exp.model.splade_encoder else exp.search_defaults.dense,
+            splade_doc_k=exp.model.splade_doc_k if exp.model.splade_encoder else None,
+            splade_max_postings=exp.model.splade_max_postings,
+            splade_query_k=exp.model.splade_query_k,
             mesh=mesh,
             dp_axis=dp_axis,
             checkpoint_dir=exp.trainer.checkpoint_path,

@@ -42,7 +42,16 @@ class PeriodicTrainingConfig:
     # Full dense-index factory config — the periodic rebuild honors EVERY codec
     # (flat/int8/pq/ivf, OPQ, sharded), not just flat (parity: the reference
     # rebuilds whatever faiss factory string the config names, `factory.py:131`).
-    dense: DenseFactoryConfig = dataclasses.field(default_factory=DenseFactoryConfig)
+    # None disables the dense engine (learned-sparse-only training).
+    dense: typ.Optional[DenseFactoryConfig] = dataclasses.field(default_factory=DenseFactoryConfig)
+    # SPLADE periodic reindexing (beyond reference): when set, each period
+    # boundary re-encodes the corpus to top-`splade_doc_k` learned term impacts
+    # (`models.splade.encode_corpus_terms` — the [N, V] matrix never
+    # materializes) and rebuilds the impact postings as the SPARSE engine;
+    # pair with `RealmTrainStep(splade_query_k=...)` for live query terms.
+    splade_doc_k: typ.Optional[int] = None
+    splade_max_postings: int = 4096
+    splade_query_k: int = 64  # benchmark-time query sparsification width
     mesh: typ.Any = None  # device mesh for `dense.sharded` rebuilds + dp training
     dp_axis: typ.Optional[str] = None  # mesh axis to dp-shard training batches over
     checkpoint_dir: typ.Optional[str] = None
@@ -91,30 +100,52 @@ def periodic_training(
         #    through the factory, so PQ/OPQ/IVF/sharded configs actually train
         #    against the index codec they name.
         rng, build_rng = jax.random.split(rng)
-        probe = encode(params, corpus.input_ids[:1], corpus.attention_mask[:1])
-        est_bytes = corpus.size * int(probe.shape[-1]) * 4
-        if est_bytes > cfg.embed_hbm_budget_bytes and cfg.dense.codec in ("pq", "int8", "ivfpq"):
-            # scale path: stream embeddings to host RAM, build compressed codes
-            from vod_tpu.runtime.predict import compute_embeddings_to_host
-            from vod_tpu.search.factory import build_dense_from_host
+        if cfg.splade_doc_k is not None:
+            # learned-sparse reindex: the sparse engine is rebuilt from the
+            # CURRENT encoder's document impacts (the SPLADE analogue of the
+            # dense re-embed; parity: `_compute_all_vectors` + index rebuild)
+            from vod_tpu.models.splade import encode_corpus_terms
+            from vod_tpu.search.sparse import build_impact_index
 
-            emb_np = compute_embeddings_to_host(
-                encode, params,
-                np.asarray(corpus.input_ids), np.asarray(corpus.attention_mask),
-                chunk=cfg.embed_chunk,
+            terms, weights = encode_corpus_terms(
+                encode, params, corpus.input_ids, corpus.attention_mask,
+                k=cfg.splade_doc_k, chunk=cfg.embed_chunk,
             )
-            dense = build_dense_from_host(
-                cfg.dense, emb_np, rng=build_rng,
-                subset_ids=corpus.subset_ids, mesh=cfg.mesh,
+            probe = encode(params, corpus.input_ids[:1], corpus.attention_mask[:1])
+            learned_sparse = build_impact_index(
+                terms, weights,
+                n_terms=int(probe.shape[-1]),
+                max_postings=cfg.splade_max_postings,
+                subset_ids=None if corpus.subset_ids is None else np.asarray(corpus.subset_ids),
             )
-            del emb_np
+            engines = HybridEngines(dense=None, sparse=learned_sparse)
+        elif cfg.dense is None:
+            engines = HybridEngines(dense=None, sparse=sparse_engine)
         else:
-            emb = compute_embeddings(encode, params, corpus, chunk=cfg.embed_chunk)
-            dense = build_dense_from_config(
-                cfg.dense, emb, rng=build_rng, subset_ids=corpus.subset_ids, mesh=cfg.mesh,
-            )
-            del emb
-        engines = HybridEngines(dense=dense, sparse=sparse_engine)
+            probe = encode(params, corpus.input_ids[:1], corpus.attention_mask[:1])
+            est_bytes = corpus.size * int(probe.shape[-1]) * 4
+            if est_bytes > cfg.embed_hbm_budget_bytes and cfg.dense.codec in ("pq", "int8", "ivfpq"):
+                # scale path: stream embeddings to host RAM, build compressed codes
+                from vod_tpu.runtime.predict import compute_embeddings_to_host
+                from vod_tpu.search.factory import build_dense_from_host
+
+                emb_np = compute_embeddings_to_host(
+                    encode, params,
+                    np.asarray(corpus.input_ids), np.asarray(corpus.attention_mask),
+                    chunk=cfg.embed_chunk,
+                )
+                dense = build_dense_from_host(
+                    cfg.dense, emb_np, rng=build_rng,
+                    subset_ids=corpus.subset_ids, mesh=cfg.mesh,
+                )
+                del emb_np
+            else:
+                emb = compute_embeddings(encode, params, corpus, chunk=cfg.embed_chunk)
+                dense = build_dense_from_config(
+                    cfg.dense, emb, rng=build_rng, subset_ids=corpus.subset_ids, mesh=cfg.mesh,
+                )
+                del emb
+            engines = HybridEngines(dense=dense, sparse=sparse_engine)
         embed_s = time.time() - t0
 
         summary: dict[str, typ.Any] = {"period": pidx, "embed_s": round(embed_s, 3)}
@@ -123,12 +154,23 @@ def periodic_training(
         if benchmark_queries is not None and (
             cfg.benchmark_between_periods or (pidx == 0 and cfg.benchmark_on_init)
         ):
-            q_vecs = [
-                encode(params, qb.input_ids, qb.attention_mask) for qb in benchmark_queries
-            ]
-            summary["benchmark"] = benchmark_retrieval(
-                engines, benchmark_queries, query_vectors=q_vecs, metrics=cfg.metrics,
-            )
+            if cfg.splade_doc_k is not None:
+                # learned-sparse queries: impacts -> top-k (terms, weights)
+                from vod_tpu.models.splade import splade_topk_terms
+
+                bq = []
+                for qb in benchmark_queries:
+                    imp = encode(params, qb.input_ids, qb.attention_mask)
+                    tq, wq = splade_topk_terms(imp, cfg.splade_query_k)
+                    bq.append(qb.replace(terms=tq, term_weights=wq))
+                summary["benchmark"] = benchmark_retrieval(engines, bq, metrics=cfg.metrics)
+            else:
+                q_vecs = [
+                    encode(params, qb.input_ids, qb.attention_mask) for qb in benchmark_queries
+                ]
+                summary["benchmark"] = benchmark_retrieval(
+                    engines, benchmark_queries, query_vectors=q_vecs, metrics=cfg.metrics,
+                )
 
         # 3. train for one period with live retrieval
         rng, loop_rng = jax.random.split(rng)

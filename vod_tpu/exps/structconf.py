@@ -91,6 +91,9 @@ class ModelConfig(StrictModel):
     # vocab-impact vectors served by the device sparse engine (beyond reference)
     splade_encoder: bool = False
     splade_flops_weight: float = 0.0
+    splade_query_k: int = 64  # live query-term sparsification width
+    splade_doc_k: int = 128  # per-document learned-impact terms (reindexing)
+    splade_max_postings: int = 4096
     # HF checkpoint porting (parity: hydra `model/encoder/e5-small.yaml` etc. —
     # the reference instantiates hub checkpoints; here the tensors are ported
     # into the native flax encoder at init)

@@ -47,9 +47,14 @@ class RealmTrainStep:
         gradient_clip_val: typ.Optional[float] = None,
         in_batch_negatives: bool = False,
         accumulate_grad_batches: int = 1,
+        splade_query_k: typ.Optional[int] = None,
     ):
         self.model = model
         self.tx = tx
+        # learned-sparse live retrieval: encode_field returns [B, V] impacts;
+        # sparsify to the top-k query terms and search the impact postings
+        # (instead of a dense query vector) — beyond reference
+        self.splade_query_k = splade_query_k
         self.prefetch = prefetch
         self.n_sections = n_sections
         self.max_pos_sections = max_pos_sections
@@ -72,7 +77,20 @@ class RealmTrainStep:
         params = full_params(params)  # kbit: dequantized view for the query encode
         weights = dict(zip(engine_names, weights_tuple)) if engine_names else None
         q_vec = None
-        if engines.dense is not None:
+        if self.splade_query_k is not None:
+            # live learned-sparse retrieval: query impacts from the CURRENT
+            # encoder -> top-k (terms, weights) -> the impact postings engine
+            from vod_tpu.models.splade import splade_topk_terms
+
+            impacts = jax.lax.stop_gradient(
+                self.model.apply(
+                    params, queries.input_ids, queries.attention_mask,
+                    method=type(self.model).encode_field,
+                )
+            )
+            terms, term_weights = splade_topk_terms(impacts, self.splade_query_k)
+            queries = queries.replace(terms=terms, term_weights=term_weights)
+        elif engines.dense is not None:
             # live retrieval: embed queries with the CURRENT encoder (the
             # reference uses vectors cached at the last re-embedding period,
             # `realm_dataloader.py:79-89` — fresher is strictly better here).
