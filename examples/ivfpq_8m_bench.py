@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--kmeans_iters", type=int, default=8)
     ap.add_argument("--n_eval", type=int, default=64)
     ap.add_argument("--nprobes", type=str, default="16,32,64,128")
+    ap.add_argument("--spill", action="store_true",
+                    help="SOAR secondary assignments (2x rows, recall at equal nprobe)")
+    ap.add_argument("--soar_lambda", type=float, default=1.0)
     args = ap.parse_args()
 
     import jax
@@ -51,6 +54,7 @@ def main() -> None:
     from vod_tpu.ops import pq as pq_ops
     from vod_tpu.ops.kmeans import _assign_chunked, kmeans
     from vod_tpu.search import SearchQueries, build_ivfpq_from_device_parts, ivfpq_search
+    from vod_tpu.search.ivfpq import assign_soar
 
     n, d, k = args.n, args.d, 10
     n_slabs = 8
@@ -92,30 +96,52 @@ def main() -> None:
 
     @jax.jit
     def assign_slab(key):
-        return _assign_chunked(gen_slab(key), centroids, chunk=16384)
+        x = gen_slab(key)
+        a = _assign_chunked(x, centroids, chunk=16384)
+        a2 = (
+            assign_soar(x, centroids, a, soar_lambda=args.soar_lambda, chunk=4096)
+            if args.spill else a
+        )
+        return a, a2
 
     t0 = time.time()
     refine_rows = jnp.zeros((n_pad, args.refine_dim), jnp.int8)
     assign_np = np.zeros((n_pad,), np.int32)
+    assign2_np = np.zeros((n_pad,), np.int32) if args.spill else None
     for i, kk in enumerate(keys):
         refine_rows = fill(refine_rows, kk, jnp.int32(i * slab))
-        assign_np[i * slab : (i + 1) * slab] = np.asarray(assign_slab(kk))
+        a, a2 = assign_slab(kk)
+        assign_np[i * slab : (i + 1) * slab] = np.asarray(a)
+        if args.spill:
+            assign2_np[i * slab : (i + 1) * slab] = np.asarray(a2)
     refine_rows.block_until_ready()
     print(f"# encoded + assigned 8 slabs in {time.time()-t0:.0f}s", flush=True)
 
     t0 = time.time()
+    assign_all, row_ids_np, refine_dev = assign_np[:n], None, refine_rows[:n]
+    if args.spill:
+        # SOAR duplication: same rerank rows under the secondary cells
+        assign_all = np.concatenate([assign_np[:n], assign2_np[:n]])
+        row_ids_np = np.tile(np.arange(n, dtype=np.int32), 2)
+        refine_dev = jnp.concatenate([refine_rows[:n], refine_rows[:n]])
+        del refine_rows
     index = build_ivfpq_from_device_parts(
         centroids,
         jnp.zeros((1, 1, d), jnp.float32),  # no PQ codes: refine rows score
-        assign_np[:n],
+        assign_all,
         None,
-        refine_dev=refine_rows[:n],
+        refine_dev=refine_dev,
         refine_scale=refine_scale,
         refine_proj=refine_proj,
         window=args.window,
         nprobe=32,
+        row_ids_np=row_ids_np,
+        n_real=n,
+        spilled=args.spill,
     )
-    del refine_rows
+    if not args.spill:
+        del refine_rows
+    del refine_dev
     total = int(index.row_ids.shape[0])
     wc_np = np.asarray(index.win_count)
     mean_w = float(wc_np[wc_np > 0].mean())

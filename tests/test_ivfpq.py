@@ -357,3 +357,143 @@ def test_ivfpq_host_slab_build_matches_device_build():
     gt = _exact_topk(x, q, 10)
     rec = np.mean([len(set(got[i]) & set(gt[i])) / 10 for i in range(8)])
     assert rec >= 0.8, rec
+
+
+# --------------------------------------------------------------------------- #
+# SOAR spilling (ScaNN, Sun et al. NeurIPS 2023 — beyond faiss)
+# --------------------------------------------------------------------------- #
+
+
+def test_assign_soar_picks_orthogonal_residual_cell():
+    """SOAR prefers a secondary cell whose residual is ORTHOGONAL to the
+    primary residual over a nearer cell whose residual is parallel to it."""
+    from vod_tpu.ops.kmeans import _assign_chunked
+    from vod_tpu.search.ivfpq import assign_soar
+
+    x = jnp.asarray([[1.0, 0.0]], dtype=jnp.float32)
+    cents = jnp.asarray(
+        [
+            [0.9, 0.0],  # primary (nearest, dist^2 = 0.01); residual r = (+0.1, 0)
+            [1.5, 0.0],  # 2nd-nearest (0.25) but residual parallel to r
+            [1.0, 0.6],  # farther (0.36) but residual orthogonal to r
+        ],
+        dtype=jnp.float32,
+    )
+    primary = _assign_chunked(x, cents)
+    assert int(primary[0]) == 0
+    # plain 2nd-nearest would pick cell 1; SOAR (lambda=1) picks cell 2:
+    # loss(c1) = 0.25 + 1.0 * 0.25 = 0.50 > loss(c2) = 0.36 + 0
+    second = assign_soar(x, cents, primary, soar_lambda=1.0)
+    assert int(second[0]) == 2
+    # lambda=0 degrades to plain 2nd-nearest
+    second0 = assign_soar(x, cents, primary, soar_lambda=0.0)
+    assert int(second0[0]) == 1
+
+
+def test_soar_full_probe_exact_and_deduped():
+    """A spilled index probing every cell returns EXACT brute-force ids with
+    no duplicate row ids (the two copies of each row are deduped)."""
+    x = _corpus(n=2048)
+    q = _queries(x, b=16)
+    k = 10
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=16, nprobe=16, window=128,
+        n_subquantizers=8, kmeans_iters=4, refine="float32", spill=True,
+        approx_recall=None,
+    )
+    assert ivf.spilled
+    out = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), k))(ivf, q)
+    got = np.asarray(out.indices)
+    for i in range(got.shape[0]):
+        valid = got[i][got[i] >= 0]
+        assert len(set(valid.tolist())) == valid.size, f"dup ids in row {i}: {got[i]}"
+    gt = _exact_topk(x, q, k)
+    rec = np.mean([len(set(got[i]) & set(gt[i])) / k for i in range(got.shape[0])])
+    assert rec >= 0.95, rec
+
+
+def test_soar_improves_pruned_probe_recall():
+    """At a small nprobe the spilled copies recover boundary rows the primary
+    probe misses — recall must not regress and should measurably improve."""
+    x = _corpus(n=8192, seed=3)
+    q = _queries(x, b=64, seed=4)
+    k = 10
+    common = dict(
+        n_clusters=64, nprobe=4, window=128, n_subquantizers=8,
+        kmeans_iters=6, refine="float32", approx_recall=None,
+    )
+    plain = build_ivfpq_index(jax.random.PRNGKey(0), x, **common)
+    soar = build_ivfpq_index(jax.random.PRNGKey(0), x, spill=True, **common)
+    fn = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), k))
+    gt = _exact_topk(x, q, k)
+
+    def recall(ix):
+        got = np.asarray(fn(ix, q).indices)
+        return np.mean([len(set(got[i]) & set(gt[i])) / k for i in range(got.shape[0])])
+
+    r_plain, r_soar = recall(plain), recall(soar)
+    assert r_soar >= r_plain, (r_plain, r_soar)
+    assert r_soar - r_plain >= 0.02, (r_plain, r_soar)
+
+
+def test_soar_from_config_cache_and_host_slab():
+    """`spill: true` routes from DenseFactoryConfig; the spilled flag survives
+    the index cache; the host-slab build matches the in-HBM build."""
+    import tempfile
+
+    from vod_tpu.search.factory import build_dense_from_host
+
+    x = _corpus(n=1536)
+    q = _queries(x, b=8)
+    cfg = DenseFactoryConfig(
+        codec="ivfpq", n_clusters=8, nprobe=4, ivf_window=128,
+        n_subquantizers=8, kmeans_iters=4, refine="int8", refine_dim=32,
+        train_size=1536, approx_recall=None, spill=True,
+    )
+    dev = build_dense_from_config(cfg, x, rng=jax.random.PRNGKey(0))
+    assert dev.spilled and dev.n_real == 1536 and dev.row_ids.shape[0] >= 2 * 1536
+    fn = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), 10))
+    host = build_dense_from_host(cfg, np.asarray(x), rng=jax.random.PRNGKey(0), slab=500)
+    assert host.spilled
+    np.testing.assert_array_equal(
+        np.asarray(fn(dev, q).indices), np.asarray(fn(host, q).indices)
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        built = build_dense_from_config(
+            cfg, x, rng=jax.random.PRNGKey(0), cache_dir=tmp, data_fingerprint="fpS",
+        )
+        loaded = build_dense_from_config(
+            cfg, x, rng=jax.random.PRNGKey(0), cache_dir=tmp, data_fingerprint="fpS",
+        )
+        assert loaded.spilled and loaded.n_real == built.n_real
+        np.testing.assert_array_equal(
+            np.asarray(fn(built, q).indices), np.asarray(fn(loaded, q).indices)
+        )
+
+
+@pytest.mark.slow
+def test_soar_sharded_matches_unsharded():
+    """Spilled copies of a row can land on DIFFERENT shards; the 2k-wide
+    cross-shard merge + global dedup must return the unsharded result set."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import shard_ivfpq_index, sharded_ivfpq_search
+
+    mesh = make_mesh((4,), ("shard",))
+    x = _corpus(n=4096)
+    q = _queries(x, b=8)
+    k = 10
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=32, nprobe=8, window=128,
+        n_subquantizers=8, kmeans_iters=4, refine="float32", spill=True,
+        approx_recall=None,
+    )
+    ref = ivfpq_search(ivf, SearchQueries(vector=q), k)
+    sh = shard_ivfpq_index(ivf, mesh)
+    assert sh.spilled
+    out = sharded_ivfpq_search(sh, SearchQueries(vector=q), k)
+    ref_i, got_i = np.asarray(ref.indices), np.asarray(out.indices)
+    for i in range(q.shape[0]):
+        valid = got_i[i][got_i[i] >= 0]
+        assert len(set(valid.tolist())) == valid.size, f"dup ids in row {i}"
+        assert set(got_i[i].tolist()) == set(ref_i[i].tolist()), i
+    assert np.allclose(np.asarray(out.scores), np.asarray(ref.scores), atol=1e-4)

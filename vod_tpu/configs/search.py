@@ -73,6 +73,11 @@ class DenseFactoryConfig(StrictModel):
     # ivfpq only: False drops the PQ codes and scores probed windows directly
     # against the refine rows (IVF + (PCA-)SQ index; requires `refine`)
     keep_codes: bool = True
+    # ivfpq only: SOAR spilling (ScaNN, Sun et al. NeurIPS 2023 — beyond
+    # faiss): store every row under a second cell whose residual is orthogonal
+    # to the primary's, trading 2x stored bytes for recall at equal nprobe
+    spill: bool = False
+    soar_lambda: float = 1.0
     # sharding over a device mesh (index sharding, SURVEY §2.10)
     sharded: bool = False
     shard_axis: str = "shard"

@@ -158,6 +158,8 @@ def build_dense_from_config(
             mesh=mesh if cfg.sharded else None,
             mesh_axis=cfg.shard_axis,
             aniso_eta=cfg.aniso_eta,
+            spill=cfg.spill,
+            soar_lambda=cfg.soar_lambda,
         )
     elif cfg.codec == "ivf":
         index = build_ivf_index(
@@ -362,10 +364,16 @@ def build_dense_from_host(
             refine_proj, refine_scale = train_refine_int8_params(sample, cfg.refine_dim)
         del sample
 
+        from .ivfpq import assign_soar
+
         @jax.jit
         def enc_slab(x):
             x_rot = x if rotation is None else x @ rotation
             a = _assign_chunked(x_rot, centroids)
+            a2 = (
+                assign_soar(x_rot, centroids, a, soar_lambda=cfg.soar_lambda)
+                if cfg.spill else a
+            )
             codes = None
             if cfg.keep_codes:
                 codes = pq_ops.encode_pq_auto(codebooks, x_rot, eta=aniso_resolved)
@@ -375,9 +383,10 @@ def build_dense_from_host(
             if refine == "int8":
                 xr = x if refine_proj is None else x @ refine_proj
                 rows = jnp.clip(jnp.round(xr / refine_scale), -127, 127).astype(jnp.int8)
-            return a, codes, rows
+            return a, a2, codes, rows
 
         assign_np = np.zeros((n,), np.int32)
+        assign2_np = np.zeros((n,), np.int32) if cfg.spill else None
         m_bytes = cfg.n_subquantizers // (2 if cfg.code_bits == 4 else 1)
         codes_np = np.zeros((n, m_bytes), np.uint8) if cfg.keep_codes else None
         rdim = cfg.refine_dim if (refine == "int8" and cfg.refine_dim and cfg.refine_dim < d) else d
@@ -386,23 +395,39 @@ def build_dense_from_host(
             x = jnp.asarray(
                 np.ascontiguousarray(vectors_np[s0 : s0 + slab]), dtype=jnp.float32
             )
-            a, codes, rows = enc_slab(x)
+            a, a2, codes, rows = enc_slab(x)
             assign_np[s0 : s0 + x.shape[0]] = np.asarray(a)
+            if assign2_np is not None:
+                assign2_np[s0 : s0 + x.shape[0]] = np.asarray(a2)
             if codes is not None:
                 codes_np[s0 : s0 + x.shape[0]] = np.asarray(codes)
             if rows is not None:
                 refine_np[s0 : s0 + x.shape[0]] = np.asarray(rows)
-            del x, a, codes, rows
+            del x, a, a2, codes, rows
+
+        subset_ids_np = None if subset_ids is None else np.asarray(subset_ids).astype(np.int32)
+        row_ids_np = None
+        if cfg.spill:
+            # SOAR duplication on the host (the codes/refine slabs double in
+            # RAM, not HBM — the sorted layout lands on device once, below)
+            assign_np = np.concatenate([assign_np, assign2_np])
+            row_ids_np = np.tile(np.arange(n, dtype=np.int32), 2)
+            if codes_np is not None:
+                codes_np = np.concatenate([codes_np, codes_np])
+            if refine_np is not None:
+                refine_np = np.concatenate([refine_np, refine_np])
+            if subset_ids_np is not None:
+                subset_ids_np = np.tile(subset_ids_np, 2)
 
         index = build_ivfpq_from_parts(
             centroids, codebooks, assign_np, codes_np,
             rotation=rotation,
             refine_np=refine_np, refine_scale=refine_scale, refine_proj=refine_proj,
-            subset_ids_np=None if subset_ids is None
-            else np.asarray(subset_ids).astype(np.int32),
+            subset_ids_np=subset_ids_np,
             window=cfg.ivf_window, nprobe=cfg.nprobe, max_windows=cfg.max_windows,
             code_bits=cfg.code_bits,
             approx_recall=cfg.approx_recall,
+            row_ids_np=row_ids_np, n_real=n, spilled=cfg.spill,
         )
         if cfg.sharded and mesh is not None:
             return shard_ivfpq_index(index, mesh, axis=cfg.shard_axis)

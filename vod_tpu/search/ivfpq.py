@@ -87,6 +87,72 @@ class IVFPQIndex:
     # there is no ADC-pool-then-rerank stage to widen (see module docstring)
     code_bits: int = struct.field(pytree_node=False, default=8)
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
+    # SOAR spilling (Sun et al., NeurIPS 2023 — ScaNN's `soar`): every row is
+    # stored under TWO cells, so search must dedup equal-id candidates
+    spilled: bool = struct.field(pytree_node=False, default=False)
+
+
+def assign_soar(
+    x: jax.Array,
+    centroids: jax.Array,
+    assign: jax.Array,
+    *,
+    soar_lambda: float = 1.0,
+    chunk: int = 2048,
+) -> jax.Array:
+    """Secondary (spilled) cell per row — SOAR (Sun, Guo & Simcha, NeurIPS
+    2023; ScaNN's `soar_lambda`). Beyond faiss (no spilling upstream).
+
+    The primary assignment's worst queries are the ones parallel to its
+    residual r = x - c1; SOAR picks the second cell minimizing
+    ``||x-c'||^2 + lambda * <x-c', r_hat>^2`` over c' != c1, i.e. one whose
+    residual is ORTHOGONAL to r, so whenever the primary cell misses the
+    probe list for such a query the copy is in a cell that scores it well.
+    Chunked like `_assign_chunked`; everything is MXU matmuls.
+    """
+    n, d = x.shape
+    c = centroids.shape[0]
+    cent = centroids.astype(jnp.float32)
+    c_sq = jnp.sum(cent**2, axis=-1)  # [C]
+    iota_c = jnp.arange(c, dtype=jnp.int32)
+
+    n_chunks = max(1, -(-n // chunk))
+    pad = n_chunks * chunk - n
+    x_pad = jnp.pad(x.astype(jnp.float32), ((0, pad), (0, 0)))
+    a_pad = jnp.pad(assign.astype(jnp.int32), (0, pad))
+
+    def one(args):
+        xc, ac = args  # [chunk, D], [chunk]
+        r = xc - cent[ac]
+        r_hat = r / (jnp.linalg.norm(r, axis=-1, keepdims=True) + 1e-12)
+        ip = jnp.dot(xc, cent.T, preferred_element_type=jnp.float32)  # [chunk, C]
+        dist = c_sq[None, :] - 2.0 * ip  # ||x-c'||^2 minus the per-row ||x||^2 const
+        # <x - c', r_hat> = <x, r_hat> - <c', r_hat>
+        xr = jnp.sum(xc * r_hat, axis=-1, keepdims=True)
+        cr = jnp.dot(r_hat, cent.T, preferred_element_type=jnp.float32)
+        loss = dist + soar_lambda * (xr - cr) ** 2
+        loss = jnp.where(iota_c[None, :] == ac[:, None], jnp.inf, loss)
+        return jnp.argmin(loss, axis=-1).astype(jnp.int32)
+
+    out = jax.lax.map(one, (x_pad.reshape(n_chunks, chunk, d), a_pad.reshape(n_chunks, chunk)))
+    return out.reshape(-1)[:n]
+
+
+def _dedup_equal_rows(scores: jax.Array, indices: jax.Array, top_k: int) -> tuple[jax.Array, jax.Array]:
+    """Keep one copy per row id, then cut to top_k.
+
+    Spilled copies are EXACT duplicates (codes/refine rows encode the raw row,
+    not a cell residual, so both copies score identically) — masking any one
+    of an equal-id pair is lossless. `-1` padding ids are exempt (already
+    -inf-scored)."""
+    order = jnp.argsort(indices, axis=-1)
+    sid = jnp.take_along_axis(indices, order, axis=-1)
+    ss = jnp.take_along_axis(scores, order, axis=-1)
+    dup = (sid[:, 1:] == sid[:, :-1]) & (sid[:, 1:] >= 0)
+    ss = jnp.concatenate([ss[:, :1], jnp.where(dup, -jnp.inf, ss[:, 1:])], axis=-1)
+    out_s, pos = jax.lax.top_k(ss, min(top_k, ss.shape[-1]))
+    out_i = jnp.take_along_axis(sid, pos, axis=-1)
+    return out_s, jnp.where(jnp.isfinite(out_s), out_i, -1)
 
 
 def _sorted_window_layout(
@@ -142,13 +208,20 @@ def build_ivfpq_from_parts(
     code_bits: int = 8,
     offset: int = 0,
     approx_recall: typ.Optional[float] = 0.95,
+    row_ids_np: typ.Optional[np.ndarray] = None,  # [rows] original id per stored row
+    n_real: typ.Optional[int] = None,  # distinct real rows (= rows unless spilled)
+    spilled: bool = False,
 ) -> IVFPQIndex:
     """Assemble the sorted window layout from precomputed parts (host-side).
 
     Shared by the on-device build and slab-wise builds at beyond-HBM scale
     (parity: faiss's chunked `index.add`, `faiss_search/build.py:51-81`).
+    SOAR-spilled builds pass every row TWICE (primary + secondary assignment)
+    with `row_ids_np` carrying the duplicated original ids and `spilled=True`.
     """
-    n_real = int(assign_np.shape[0])
+    n_rows = int(assign_np.shape[0])
+    if n_real is None:
+        n_real = n_rows
     c = int(centroids.shape[0])
     dst, total, win_start, win_count, max_windows = _sorted_window_layout(
         assign_np, c, window, nprobe, max_windows
@@ -161,7 +234,10 @@ def build_ivfpq_from_parts(
         codes_sorted = np.zeros((total, codes_np.shape[1]), np.uint8)
         codes_sorted[dst] = codes_np
     row_ids = np.full((total,), -1, np.int32)
-    row_ids[dst] = np.arange(n_real, dtype=np.int32)
+    row_ids[dst] = (
+        np.arange(n_rows, dtype=np.int32) if row_ids_np is None
+        else row_ids_np.astype(np.int32)
+    )
     subs = None
     if subset_ids_np is not None:
         subs = np.full((total,), -1, np.int32)
@@ -190,6 +266,7 @@ def build_ivfpq_from_parts(
         max_windows=int(max_windows),
         code_bits=code_bits,
         approx_recall=approx_recall,
+        spilled=spilled,
     )
 
 
@@ -289,6 +366,8 @@ def build_ivfpq_index(
     mesh: typ.Any = None,
     mesh_axis: str = "shard",
     aniso_eta: pq_ops.AnisoEta = None,
+    spill: bool = False,
+    soar_lambda: float = 1.0,
 ) -> IVFPQIndex:
     """On-device IVF-PQ build (parity: `build_gpu.py:103` `_train_ivf` +
     PQ training; `IVFauto` centroid inference as `support.py:13`).
@@ -301,6 +380,10 @@ def build_ivfpq_index(
     refine store the search scores those rows directly, so `keep_codes=False`
     skips PQ training entirely and drops the codes — an IVF + (PCA-)SQ index
     at R + 4 bytes/row.
+
+    `spill=True` additionally stores every row under a SOAR secondary cell
+    (`assign_soar`) — recall at equal nprobe for 2x the stored bytes; search
+    dedups the equal-id copies exactly.
     """
     from vod_tpu.ops.kmeans import _assign_chunked
 
@@ -323,7 +406,8 @@ def build_ivfpq_index(
         aniso_eta=aniso_eta,
     )
     x_rot = x if rotation is None else x @ rotation
-    assign_np = np.asarray(_assign_chunked(x_rot, centroids)).astype(np.int32)
+    assign = _assign_chunked(x_rot, centroids)
+    assign_np = np.asarray(assign).astype(np.int32)
 
     codes_np = None
     if keep_codes:
@@ -338,6 +422,24 @@ def build_ivfpq_index(
 
         rc, refine_scale, refine_proj = _build_refine(x, refine, 1, refine_dim=refine_dim, train=train)
         refine_np = np.asarray(rc)
+
+    row_ids_np = None
+    subset_ids_np = None if subset_ids is None else np.asarray(subset_ids).astype(np.int32)
+    if spill:
+        # SOAR: duplicate every row under its secondary cell (same codes /
+        # refine rows — they encode the raw row, so copies score identically)
+        assign2_np = np.asarray(
+            assign_soar(x_rot, centroids, assign, soar_lambda=soar_lambda)
+        ).astype(np.int32)
+        assign_np = np.concatenate([assign_np, assign2_np])
+        row_ids_np = np.tile(np.arange(n_real, dtype=np.int32), 2)
+        if codes_np is not None:
+            codes_np = np.concatenate([codes_np, codes_np])
+        if refine_np is not None:
+            refine_np = np.concatenate([refine_np, refine_np])
+        if subset_ids_np is not None:
+            subset_ids_np = np.tile(subset_ids_np, 2)
+
     return build_ivfpq_from_parts(
         centroids,
         codebooks,
@@ -347,13 +449,16 @@ def build_ivfpq_index(
         refine_np=refine_np,
         refine_scale=refine_scale,
         refine_proj=refine_proj,
-        subset_ids_np=None if subset_ids is None else np.asarray(subset_ids).astype(np.int32),
+        subset_ids_np=subset_ids_np,
         window=window,
         nprobe=nprobe,
         max_windows=max_windows,
         code_bits=code_bits,
         offset=offset,
         approx_recall=approx_recall,
+        row_ids_np=row_ids_np,
+        n_real=n_real,
+        spilled=spill,
     )
 
 
@@ -374,14 +479,21 @@ def build_ivfpq_from_device_parts(
     code_bits: int = 8,
     offset: int = 0,
     approx_recall: typ.Optional[float] = 0.95,
+    row_ids_np: typ.Optional[np.ndarray] = None,
+    n_real: typ.Optional[int] = None,
+    spilled: bool = False,
 ) -> IVFPQIndex:
     """Assemble the sorted window layout when the big arrays already live in
     HBM (slab-wise builds at 8.8M+ scale — a host round-trip of the code/refine
     matrices is the expensive part; parity: `faiss_search/build.py:51-81`
     chunked add). Only the [N] assignment vector crosses to the host; the
     permutation into the padded layout runs as one device scatter per array.
+    SOAR-spilled builds pass duplicated rows + `row_ids_np`/`spilled` exactly
+    as `build_ivfpq_from_parts`.
     """
-    n_real = int(assign_np.shape[0])
+    n_rows = int(assign_np.shape[0])
+    if n_real is None:
+        n_real = n_rows
     c = int(centroids.shape[0])
     dst, total, win_start, win_count, max_windows = _sorted_window_layout(
         assign_np, c, window, nprobe, max_windows
@@ -400,7 +512,10 @@ def build_ivfpq_from_device_parts(
 
     codes_sorted = None if codes_dev is None else scatter_rows(codes_dev)
     refine_sorted = None if refine_dev is None else scatter_rows(refine_dev)
-    row_ids = scatter_ids(jnp.arange(n_real, dtype=jnp.int32))
+    row_ids = scatter_ids(
+        jnp.arange(n_rows, dtype=jnp.int32) if row_ids_np is None
+        else jnp.asarray(row_ids_np.astype(np.int32))
+    )
     subs = None
     if subset_ids_np is not None:
         subs = scatter_ids(jnp.asarray(subset_ids_np.astype(np.int32)))
@@ -424,6 +539,7 @@ def build_ivfpq_from_device_parts(
         max_windows=int(max_windows),
         code_bits=code_bits,
         approx_recall=approx_recall,
+        spilled=spilled,
     )
 
 
@@ -538,7 +654,10 @@ def ivfpq_search(
         subs_w = index.subset_ids.reshape(n_windows, window)
 
     rc = wchunk * window  # rows per scoring chunk
-    kc = min(rc, top_k)  # scoring order is final on both paths (see below)
+    # scoring order is final on both paths (see below); a spilled index may
+    # hold BOTH copies of a row in one chunk, so keep 2k candidates per chunk
+    # to guarantee the top-k DISTINCT rows survive the per-chunk cut
+    kc = min(rc, 2 * top_k if index.spilled else top_k)
 
     if do_refine:
         # Score gathered windows DIRECTLY against the rerank rows — the
@@ -601,17 +720,23 @@ def ivfpq_search(
     _, (all_s, all_p) = jax.lax.scan(score_wchunk, None, jnp.arange(n_wchunks))
     all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_wchunks * kc)
     all_p = jnp.moveaxis(all_p, 0, 1).reshape(b, n_wchunks * kc)
-    k_eff = min(top_k, all_s.shape[-1])
+    # spilled: gather 2k (a row id may appear twice), dedup, then cut to k
+    k_eff = min(2 * top_k if index.spilled else top_k, all_s.shape[-1])
     top_s, sel = jax.lax.top_k(all_s, k_eff)
     top_p = jnp.take_along_axis(all_p, sel, axis=-1)
-
-    if top_s.shape[-1] < top_k:
-        padk = top_k - top_s.shape[-1]
-        top_s = jnp.pad(top_s, ((0, 0), (0, padk)), constant_values=-jnp.inf)
-        top_p = jnp.pad(top_p, ((0, 0), (0, padk)), constant_values=-1)
 
     # sorted-layout positions -> original row ids
     top_i = index.row_ids[jnp.clip(top_p, 0, n_sorted - 1)]
     ok = jnp.isfinite(top_s) & (top_p >= 0) & (top_i >= 0)
+    top_s = jnp.where(ok, top_s, -jnp.inf)
     top_i = jnp.where(ok, top_i + index.offset, -1)
-    return RetrievalBatch(scores=jnp.where(ok, top_s, -jnp.inf), indices=top_i)
+    if index.spilled:
+        top_s, top_i = _dedup_equal_rows(top_s, top_i, top_k)
+
+    if top_s.shape[-1] < top_k:
+        padk = top_k - top_s.shape[-1]
+        top_s = jnp.pad(top_s, ((0, 0), (0, padk)), constant_values=-jnp.inf)
+        top_i = jnp.pad(top_i, ((0, 0), (0, padk)), constant_values=-1)
+    else:
+        top_s, top_i = top_s[:, :top_k], top_i[:, :top_k]
+    return RetrievalBatch(scores=top_s, indices=top_i)

@@ -91,14 +91,16 @@ def build_sharded_dense_index(
     )
 
 
-def _merge_across_shards(top_s, top_i, axis, n_shards, b, top_k):
+def _merge_across_shards(top_s, top_i, axis, n_shards, b, top_k, keep=None):
     """Gather k (score, global-id) pairs from every shard over ICI and take the
-    global top-k — the cross-shard merge never moves score matrices."""
+    global top-`keep` (default k) — the cross-shard merge never moves score
+    matrices. `keep > top_k` leaves headroom for a post-merge dedup (SOAR)."""
+    keep = top_k if keep is None else keep
     all_s = jax.lax.all_gather(top_s, axis)  # [n_shards, B, k] on each device
     all_i = jax.lax.all_gather(top_i, axis)
-    all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_shards * top_k)
-    all_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_shards * top_k)
-    out_s, pos = jax.lax.top_k(all_s, top_k)
+    all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_shards * top_s.shape[-1])
+    all_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_shards * top_i.shape[-1])
+    out_s, pos = jax.lax.top_k(all_s, min(keep, all_s.shape[-1]))
     out_i = jnp.take_along_axis(all_i, pos, axis=-1)
     return out_s, jnp.where(jnp.isfinite(out_s), out_i, -1)
 
@@ -768,6 +770,9 @@ class ShardedIVFPQIndex:
     max_windows: int = struct.field(pytree_node=False, default=0)  # per-shard budget
     code_bits: int = struct.field(pytree_node=False, default=8)
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
+    # SOAR-spilled rows: a row's two copies may land on DIFFERENT shards, so
+    # the cross-shard merge gathers 2k per shard and dedups globally
+    spilled: bool = struct.field(pytree_node=False, default=False)
 
 
 def shard_ivfpq_index(
@@ -869,6 +874,7 @@ def shard_ivfpq_index(
         max_windows=int(max_windows_local),
         code_bits=index.code_bits,
         approx_recall=index.approx_recall,
+        spilled=index.spilled,
     )
 
 
@@ -898,9 +904,13 @@ def sharded_ivfpq_search(
             nprobe=index.nprobe, max_windows=index.max_windows,
             code_bits=index.code_bits,
             approx_recall=index.approx_recall,
+            spilled=index.spilled,
         )
         out = ivfpq_search(local, SearchQueries(vector=qv, subset_ids=allow), top_k)
-        return _merge_across_shards(out.scores, out.indices, axis, n_shards, b, top_k)
+        # spilled: a row's copies can live on two shards (each local result is
+        # already deduped) — gather 2k and dedup after the merge
+        keep = 2 * top_k if index.spilled else top_k
+        return _merge_across_shards(out.scores, out.indices, axis, n_shards, b, top_k, keep=keep)
 
     def spec2(x):
         return P(axis, None) if x is not None else None
@@ -924,6 +934,10 @@ def sharded_ivfpq_search(
         index.win_start, index.win_count, index.rotation, index.subset_ids,
         index.refine_codes, index.refine_scale, index.refine_proj, q, allowed,
     )
+    if index.spilled:
+        from .ivfpq import _dedup_equal_rows
+
+        out_s, out_i = _dedup_equal_rows(out_s, out_i.astype(jnp.int32), top_k)
     return RetrievalBatch(scores=out_s, indices=out_i.astype(jnp.int32))
 
 
