@@ -89,6 +89,10 @@ class TrainerConfig(StrictModel):
     log_interval: int = 50
     accumulate_grad_batches: int = 1
     gradient_clip_val: typ.Optional[float] = None
+    # GradCache (Gao et al. 2021, beyond reference): chunk the fused encoder
+    # pass at `chunk_rows` rows so activation memory is ONE chunk's, enabling
+    # beyond-HBM effective batch sizes; exact gradients. Ranker-only.
+    gradcache_chunk_rows: typ.Optional[int] = None
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
     optimizer: typ.Literal["adamw", "adafactor", "sgd"] = "adamw"

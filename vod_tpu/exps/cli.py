@@ -274,6 +274,7 @@ def run_experiment(
         in_batch_negatives=exp.collate.in_batch_negatives,
         accumulate_grad_batches=exp.trainer.accumulate_grad_batches,
         splade_query_k=exp.model.splade_query_k if exp.model.splade_encoder else None,
+        gradcache_chunk_rows=exp.trainer.gradcache_chunk_rows,
     )
 
     # init params with a first collated batch

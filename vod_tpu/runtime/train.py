@@ -48,9 +48,18 @@ class RealmTrainStep:
         in_batch_negatives: bool = False,
         accumulate_grad_batches: int = 1,
         splade_query_k: typ.Optional[int] = None,
+        gradcache_chunk_rows: typ.Optional[int] = None,
     ):
+        if gradcache_chunk_rows is not None and with_lm:
+            # GradCache caches the pooled [rows, H] encodings; the Realm reader
+            # consumes full lm logits, which would defeat the memory saving.
+            raise ValueError("gradcache_chunk_rows requires a retriever-only (Ranker) system")
         self.model = model
         self.tx = tx
+        # GradCache (Gao et al. 2021): chunk the fused encoder pass so the
+        # activation peak is ONE chunk, enabling beyond-HBM effective batch
+        # sizes (e.g. 16k in-batch negatives) — beyond reference
+        self.gradcache_chunk_rows = gradcache_chunk_rows
         # learned-sparse live retrieval: encode_field returns [B, V] impacts;
         # sparsify to the top-k query terms and search the impact postings
         # (instead of a dense query vector) — beyond reference
@@ -121,6 +130,24 @@ class RealmTrainStep:
         aux = sum(jnp.sum(v) for v in jax.tree.leaves(aux_vars.get("losses", {})))
         return out.loss + aux, out
 
+    def _value_and_grad(self, opt_params, batch, param_transform=None):
+        """`((loss, out), grads)` wrt `opt_params`; `param_transform` maps them
+        to full apply params (kbit dequant view; identity otherwise).
+        GradCache replaces the monolithic backward when configured."""
+        if self.gradcache_chunk_rows is not None:
+            from .gradcache import gradcache_value_and_grad
+
+            return gradcache_value_and_grad(
+                self.model, opt_params, batch,
+                chunk_rows=self.gradcache_chunk_rows,
+                param_transform=param_transform,
+            )
+
+        def loss_fn(p):
+            return self._loss(p if param_transform is None else param_transform(p), batch)
+
+        return jax.value_and_grad(loss_fn, has_aux=True)(opt_params)
+
     def _train_step(self, params, opt_state, engines, corpus, queries, rng, weights_tuple, engine_names):
         batch, _sampled = self._collate(params, rng, engines, corpus, queries, weights_tuple, engine_names)
 
@@ -129,16 +156,13 @@ class RealmTrainStep:
         if isinstance(params, KbitParams):
             # kbit (QLoRA-style): differentiate only the trainable subset; the
             # frozen int8 base dequantizes inside the graph (fused by XLA).
-            def loss_t(trainable):
-                full = kbit_materialize(trainable, params.frozen, params.treedef, params.paths)
-                return self._loss(full, batch)
-
-            (loss, out), grads = jax.value_and_grad(loss_t, has_aux=True)(params.trainable)
+            pt = lambda t: kbit_materialize(t, params.frozen, params.treedef, params.paths)
+            (loss, out), grads = self._value_and_grad(params.trainable, batch, pt)
             grads = self._clip(grads)
             updates, opt_state = self.tx.update(grads, opt_state, params.trainable)
             params = params.replace(trainable=optax.apply_updates(params.trainable, updates))
         else:
-            (loss, out), grads = jax.value_and_grad(self._loss, has_aux=True)(params, batch)
+            (loss, out), grads = self._value_and_grad(params, batch)
             grads = self._clip(grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -167,15 +191,11 @@ class RealmTrainStep:
             grads_acc, loss_acc = carry
             q, r = inp
             batch, _ = self._collate(params, r, engines, corpus, q, weights_tuple, engine_names)
-
-            def loss_fn(p):
-                full = (
-                    kbit_materialize(p, params.frozen, params.treedef, params.paths)
-                    if is_kbit else p
-                )
-                return self._loss(full, batch)
-
-            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(opt_params)
+            pt = (
+                (lambda p: kbit_materialize(p, params.frozen, params.treedef, params.paths))
+                if is_kbit else None
+            )
+            (loss, out), grads = self._value_and_grad(opt_params, batch, pt)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             return (grads_acc, loss_acc + loss), (batch.section__relevance, out.retriever_scores)
 
