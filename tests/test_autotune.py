@@ -1,0 +1,145 @@
+"""Autotune: operating-point sweeps over runtime knobs.
+
+Parity: faiss `ParameterSpace`/`OperatingPoints` (`faiss/AutoTune.h`) — the
+reference pins knobs in hydra factory strings and never tunes; `autotune`
+sweeps nprobe/k_factor/n_candidates on a BUILT index (static-metadata replace,
+no data movement), prunes to the Pareto frontier, and picks the cheapest
+setting meeting a recall target. Recall-only mode (`measure_time=False`) is
+deterministic for CI.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vod_tpu.search import (
+    SearchQueries,
+    apply_runtime_params,
+    autotune,
+    build_dense_index,
+    build_ivfpq_index,
+    build_pq_index,
+    ivfpq_search,
+    pareto_front,
+    select_operating_point,
+    sweep_operating_points,
+)
+from vod_tpu.search.autotune import OperatingPoint, default_grid
+
+
+def _corpus(n=4096, d=64, seed=0):
+    r = np.random.default_rng(seed)
+    centers = r.standard_normal((32, d), dtype=np.float32) * 2
+    x = centers[r.integers(0, 32, n)] + r.standard_normal((n, d), dtype=np.float32)
+    return jnp.asarray(x.astype(np.float32))
+
+
+def _queries_and_gt(x, b=32, k=10, seed=1):
+    r = np.random.default_rng(seed)
+    ids = r.integers(0, x.shape[0], b)
+    q = np.asarray(x)[ids] + 0.1 * r.standard_normal((b, x.shape[1]), dtype=np.float32)
+    qd = jnp.asarray(q)
+    gt = np.asarray(jax.lax.top_k(qd @ x.T, k)[1])
+    return qd, gt
+
+
+def test_sweep_recall_monotone_in_nprobe_and_full_probe_exact():
+    x = _corpus()
+    q, gt = _queries_and_gt(x)
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=32, nprobe=8, window=256,
+        n_subquantizers=8, kmeans_iters=4, refine="float32", approx_recall=None,
+    )
+    grid = [{"nprobe": p} for p in (1, 4, 32)]
+    pts = sweep_operating_points(ivf, q, gt, top_k=10, grid=grid, measure_time=False)
+    by_nprobe = {p.params["nprobe"]: p.recall for p in pts}
+    assert by_nprobe[1] <= by_nprobe[4] <= by_nprobe[32]
+    # probing every cell with the full-window budget is exact (refine=f32)
+    assert by_nprobe[32] == 1.0
+
+
+def test_apply_runtime_params_rescales_window_budget():
+    x = _corpus(n=2048)
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=16, nprobe=4, window=256,
+        n_subquantizers=8, kmeans_iters=4, refine="float32", approx_recall=None,
+    )
+    per_probe = ivf.max_windows / ivf.nprobe
+    up = apply_runtime_params(ivf, {"nprobe": 16})
+    assert up.nprobe == 16
+    total = int(jnp.sum(ivf.win_count))
+    assert up.max_windows == min(total, round(per_probe * 16))
+    # same buffers — a view, not a rebuild
+    assert up.refine_codes is ivf.refine_codes and up.row_ids is ivf.row_ids
+
+
+def test_pq_k_factor_sweep_and_selection():
+    x = _corpus(n=2048)
+    q, gt = _queries_and_gt(x)
+    pq = build_pq_index(
+        jax.random.PRNGKey(0), x, n_subquantizers=8, coarse_dim=None,
+        refine="float32", approx_recall=None,
+    )
+    pts = sweep_operating_points(
+        pq, q, gt, top_k=10,
+        grid=[{"k_factor": f} for f in (1, 4, 16)], measure_time=False,
+    )
+    by_kf = {p.params["k_factor"]: p.recall for p in pts}
+    assert by_kf[1] <= by_kf[4] <= by_kf[16]
+    # untimed selection: the SMALLEST k_factor meeting the target (ties on
+    # wall_s=None rank by recall, so min() picks the lowest-recall qualifier)
+    chosen = select_operating_point(pts, target_recall=by_kf[4])
+    assert chosen.params["k_factor"] in (1, 4)
+    assert chosen.recall >= by_kf[4]
+
+
+def test_pareto_front_drops_dominated_points():
+    mk = lambda r, w: OperatingPoint(params={}, recall=r, wall_s=w, _n_queries=10)
+    pts = [mk(0.5, 1.0), mk(0.8, 2.0), mk(0.7, 3.0), mk(0.9, 5.0)]
+    front = pareto_front(pts)
+    assert [(p.recall, p.wall_s) for p in front] == [(0.5, 1.0), (0.8, 2.0), (0.9, 5.0)]
+    # qps derives from the timed wall
+    assert front[0].qps == 10.0
+
+
+def test_select_falls_back_to_best_recall_when_unreachable():
+    mk = lambda r, w: OperatingPoint(params={"nprobe": int(10 * r)}, recall=r, wall_s=w)
+    pts = [mk(0.5, 1.0), mk(0.8, 2.0)]
+    assert select_operating_point(pts, target_recall=0.99).recall == 0.8
+    # cheapest qualifying point, not the best one
+    assert select_operating_point(pts, target_recall=0.4).recall == 0.5
+
+
+def test_autotune_end_to_end_returns_tuned_index():
+    x = _corpus()
+    q, gt = _queries_and_gt(x)
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=32, nprobe=1, window=256,
+        n_subquantizers=8, kmeans_iters=4, refine="float32", approx_recall=None,
+    )
+    tuned, chosen, front = autotune(
+        ivf, q, gt, target_recall=0.9, top_k=10,
+        grid=[{"nprobe": p} for p in (1, 2, 8, 32)], measure_time=False,
+    )
+    assert tuned.nprobe == chosen.params["nprobe"]
+    assert chosen.recall >= 0.9
+    # the tuned view really searches at the chosen setting
+    out = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), 10))(tuned, q)
+    got = np.asarray(out.indices)
+    rec = np.mean([len(set(got[i]) & set(gt[i])) / 10 for i in range(got.shape[0])])
+    assert rec == pytest.approx(chosen.recall, abs=1e-6)
+    assert all(front[i].recall <= front[i + 1].recall for i in range(len(front) - 1))
+
+
+def test_default_grids_shape():
+    x = _corpus(n=1024)
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=16, nprobe=4, window=256,
+        n_subquantizers=8, kmeans_iters=2, refine="float32", approx_recall=None,
+    )
+    assert default_grid(ivf) == [{"nprobe": p} for p in (1, 2, 4, 8, 16)]
+    flat = build_dense_index(x, dtype="float32")
+    assert default_grid(flat) == [{}]
+    pts = sweep_operating_points(flat, *_queries_and_gt(x), top_k=10, measure_time=False)
+    assert len(pts) == 1 and pts[0].recall == 1.0

@@ -52,6 +52,14 @@ from .sparse import (
     build_sparse_index_native,
     sparse_search,
 )
+from .autotune import (
+    OperatingPoint,
+    apply_runtime_params,
+    autotune,
+    pareto_front,
+    select_operating_point,
+    sweep_operating_points,
+)
 from .hybrid import HybridEngines, hybrid_search_and_sample, hybrid_search
 
 __all__ = [
@@ -73,6 +81,8 @@ __all__ = [
     "build_ivfpq_index", "MaxSimIndex", "ShardedMaxSimIndex", "shard_maxsim_index", "sharded_maxsim_rerank", "build_maxsim_index", "maxsim_rerank", "maxsim_search",
     "ivfpq_search",
     "build_pq_index",
+    "OperatingPoint", "apply_runtime_params", "autotune", "pareto_front",
+    "select_operating_point", "sweep_operating_points",
     "build_pq_index_from_host",
     "build_sharded_dense_index",
     "DynamicDenseIndex",

@@ -1,0 +1,214 @@
+"""Operating-point autotuning for the device search engines.
+
+Parity: faiss `ParameterSpace` / `OperatingPoints` autotuning
+(`faiss/AutoTune.h`) — the reference pins its knobs in hydra factory strings
+(`vod_exps/hydra/datasets/search_defaults/faiss/default.yaml`) and leaves
+tuning to the user; this module closes that loop on-device. Given a built
+index, a query sample, and exact ground truth, it sweeps the RUNTIME knobs
+(the ones that do not require a rebuild), measures recall@k — and optionally
+wall time — per setting, prunes to the Pareto frontier, and picks the cheapest
+setting meeting a recall target.
+
+Runtime knobs per engine:
+  * `IVFPQIndex` — `nprobe` (the per-probe window budget `max_windows` is
+    rescaled from the index's built nprobe→budget ratio, capped at the total
+    window count so probing every cell stays exact)
+  * `IVFIndex`  — `nprobe`
+  * `PQIndex`   — `k_factor` (refine pool width) and, in coarse mode,
+    `n_candidates`
+  * flat `DenseIndex` / `SparseIndex` — nothing to tune (single point)
+
+All knobs are static pytree metadata, so each setting is a recompile — sweeps
+are meant for offline tuning (periodic reindex time), not the hot path.
+Timing follows the honest-relay method (distinct pre-staged inputs, fetch
+forced, min over repeats); pass `measure_time=False` for deterministic
+recall-only tuning (e.g. in tests or when the QPS ordering is known to be
+monotone in the knob, as it is for nprobe/k_factor).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+import typing as typ
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import SearchQueries
+from .dense import DenseIndex, IVFIndex, PQIndex, dense_search, ivf_search, pq_search
+from .ivfpq import IVFPQIndex, ivfpq_search
+
+
+@dataclasses.dataclass(frozen=True)
+class OperatingPoint:
+    """One measured (params, recall, speed) setting (faiss `OperatingPoint`)."""
+
+    params: dict[str, int]
+    recall: float
+    wall_s: typ.Optional[float] = None  # per evaluated query batch; None if untimed
+
+    @property
+    def qps(self) -> typ.Optional[float]:
+        return None if not self.wall_s else round(self._n_queries / self.wall_s, 1)
+
+    _n_queries: int = 0
+
+
+def _recall_at_k(got: np.ndarray, gt: np.ndarray, k: int) -> float:
+    got, gt = got[:, :k], gt[:, :k]
+    return float(
+        np.mean([len(set(got[i][got[i] >= 0].tolist()) & set(gt[i].tolist())) / k
+                 for i in range(got.shape[0])])
+    )
+
+
+def apply_runtime_params(index: typ.Any, params: dict[str, int]) -> typ.Any:
+    """Return a view of `index` with the runtime knobs in `params` applied
+    (no data movement — static metadata replace only)."""
+    if not params:
+        return index
+    if isinstance(index, IVFPQIndex):
+        nprobe = int(params["nprobe"])
+        # rescale the per-probe window budget from the built ratio; cap at the
+        # total window count so nprobe == n_cells degenerates to exact search
+        per_probe = index.max_windows / max(index.nprobe, 1)
+        total_windows = int(jnp.sum(index.win_count))
+        mw = int(min(total_windows, max(1, round(per_probe * nprobe))))
+        return index.replace(nprobe=nprobe, max_windows=mw)
+    if isinstance(index, IVFIndex):
+        return index.replace(nprobe=int(params["nprobe"]))
+    if isinstance(index, PQIndex):
+        kw = {}
+        if "k_factor" in params:
+            kw["k_factor"] = int(params["k_factor"])
+        if "n_candidates" in params:
+            if index.coarse_codes is None:
+                raise ValueError("n_candidates only applies to coarse-mode PQ indexes")
+            kw["n_candidates"] = int(params["n_candidates"])
+        return index.replace(**kw)
+    raise TypeError(f"no runtime knobs for {type(index).__name__}")
+
+
+def default_grid(index: typ.Any) -> list[dict[str, int]]:
+    """The faiss-`ParameterSpace`-shaped default sweep for this engine."""
+    if isinstance(index, IVFPQIndex):
+        c = int(index.centroids.shape[0])
+        return [{"nprobe": p} for p in (1, 2, 4, 8, 16, 32, 64, 128, 256) if p <= c]
+    if isinstance(index, IVFIndex):
+        c = int(index.centroids.shape[0])
+        return [{"nprobe": p} for p in (1, 2, 4, 8, 16, 32, 64, 128, 256) if p <= c]
+    if isinstance(index, PQIndex):
+        ks: list[dict[str, int]] = (
+            [{"k_factor": f} for f in (1, 2, 4, 8, 16, 32)]
+            if index.refine_codes is not None else [{}]
+        )
+        if index.coarse_codes is not None:
+            n = int(index.coarse_codes.shape[0])
+            cands = [c for c in (256, 1024, 4096, 16384) if c <= n]
+            ks = [{**k, "n_candidates": c} for k in ks for c in cands]
+        return ks
+    return [{}]  # flat / anything else: a single operating point
+
+
+def _search_fn(index: typ.Any) -> typ.Callable[[typ.Any, jax.Array, int], jax.Array]:
+    if isinstance(index, IVFPQIndex):
+        return lambda ix, q, k: ivfpq_search(ix, SearchQueries(vector=q), k).indices
+    if isinstance(index, IVFIndex):
+        return lambda ix, q, k: ivf_search(ix, SearchQueries(vector=q), k).indices
+    if isinstance(index, PQIndex):
+        return lambda ix, q, k: pq_search(ix, SearchQueries(vector=q), k).indices
+    if isinstance(index, DenseIndex):
+        return lambda ix, q, k: dense_search(ix, SearchQueries(vector=q), k).indices
+    raise TypeError(f"unsupported index type {type(index).__name__}")
+
+
+def sweep_operating_points(
+    index: typ.Any,
+    queries: jax.Array,
+    gt_indices: np.ndarray,
+    *,
+    top_k: int = 10,
+    grid: typ.Optional[typ.Sequence[dict[str, int]]] = None,
+    measure_time: bool = True,
+    time_repeats: int = 3,
+) -> list[OperatingPoint]:
+    """Measure every grid setting; returns points sorted by ascending recall.
+
+    `gt_indices`: [B, >=top_k] exact ids (compute once with a flat f32 scan).
+    """
+    grid = list(grid) if grid is not None else default_grid(index)
+    fn = _search_fn(index)
+    b = int(queries.shape[0])
+    points: list[OperatingPoint] = []
+    # the index rides as a jit ARGUMENT (never close over big device arrays —
+    # the knobs being static metadata still trigger one compile per setting)
+    jitted = jax.jit(lambda ix, q: fn(ix, q, top_k))
+    for params in grid:
+        ix = apply_runtime_params(index, params)
+        got = np.asarray(jitted(ix, queries))  # also the warmup for the timed reps
+        recall = _recall_at_k(got, np.asarray(gt_indices), top_k)
+        wall = None
+        if measure_time:
+            wall = float("inf")
+            for r in range(time_repeats):
+                # distinct inputs per rep (relay dedups identical dispatches)
+                qr = queries + jnp.float32(1e-6 * (r + 1))
+                t0 = time.time()
+                np.asarray(jitted(ix, qr)[-1, -1])
+                wall = min(wall, time.time() - t0)
+        points.append(
+            OperatingPoint(params=dict(params), recall=recall, wall_s=wall, _n_queries=b)
+        )
+    return sorted(points, key=lambda p: (p.recall, -(p.wall_s or 0.0)))
+
+
+def pareto_front(points: typ.Sequence[OperatingPoint]) -> list[OperatingPoint]:
+    """Keep points not dominated in (recall up, wall_s down) — faiss
+    `OperatingPoints::optimal`. Untimed points are ranked by recall only."""
+    out: list[OperatingPoint] = []
+    best_wall = float("inf")
+    # descending recall: a point survives iff it is strictly faster than
+    # every point with >= its recall
+    for p in sorted(points, key=lambda p: -p.recall):
+        w = p.wall_s if p.wall_s is not None else 0.0
+        if w < best_wall:
+            out.append(p)
+            best_wall = w
+    return sorted(out, key=lambda p: p.recall)
+
+
+def select_operating_point(
+    points: typ.Sequence[OperatingPoint],
+    target_recall: float,
+) -> OperatingPoint:
+    """Cheapest point meeting `target_recall`; the best-recall point if none
+    does (with its shortfall visible to the caller via `.recall`)."""
+    meeting = [p for p in points if p.recall >= target_recall]
+    if not meeting:
+        return max(points, key=lambda p: p.recall)
+    return min(meeting, key=lambda p: (p.wall_s if p.wall_s is not None else 0.0, p.recall))
+
+
+def autotune(
+    index: typ.Any,
+    queries: jax.Array,
+    gt_indices: np.ndarray,
+    *,
+    target_recall: float = 0.95,
+    top_k: int = 10,
+    grid: typ.Optional[typ.Sequence[dict[str, int]]] = None,
+    measure_time: bool = True,
+) -> tuple[typ.Any, OperatingPoint, list[OperatingPoint]]:
+    """One-call tuning: sweep → Pareto → select → apply.
+
+    Returns `(tuned_index, chosen_point, pareto_points)`. The tuned index is
+    `index` with the chosen runtime knobs applied (same device buffers).
+    """
+    points = sweep_operating_points(
+        index, queries, gt_indices, top_k=top_k, grid=grid, measure_time=measure_time
+    )
+    front = pareto_front(points)
+    chosen = select_operating_point(front, target_recall)
+    return apply_runtime_params(index, chosen.params), chosen, front
