@@ -132,6 +132,88 @@ def test_autotune_end_to_end_returns_tuned_index():
     assert all(front[i].recall <= front[i + 1].recall for i in range(len(front) - 1))
 
 
+def test_autotune_after_build_device_and_host_paths():
+    """Config-driven post-build tuning (`DenseFactoryConfig.autotune_*`):
+    device-array and host-slab embedding sources agree; flat is a no-op."""
+    from vod_tpu.configs.search import DenseFactoryConfig
+    from vod_tpu.search import autotune_after_build
+
+    x = _corpus()
+    fcfg = DenseFactoryConfig(
+        codec="ivfpq", autotune_target_recall=0.9, autotune_queries=32,
+        autotune_top_k=10,
+    )
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=32, nprobe=1, window=256,
+        n_subquantizers=8, kmeans_iters=4, refine="float32", approx_recall=None,
+    )
+    tuned, info = autotune_after_build(ivf, fcfg, x, rng=jax.random.PRNGKey(1))
+    assert info is not None and info["met"] and info["recall"] >= 0.9
+    assert tuned.nprobe == info["params"]["nprobe"] and tuned.nprobe > 1
+    assert info["front"] and all("recall" in p for p in info["front"])
+    # host-slab source: same corpus as np.ndarray, blocked-host GT
+    tuned_h, info_h = autotune_after_build(
+        ivf, fcfg, np.asarray(x), rng=jax.random.PRNGKey(1)
+    )
+    assert tuned_h.nprobe == tuned.nprobe
+    assert info_h["recall"] == pytest.approx(info["recall"], abs=1e-6)
+    # flat engine: no runtime knobs -> untouched
+    flat = build_dense_index(x, dtype="float32")
+    same, none = autotune_after_build(flat, fcfg, x, rng=jax.random.PRNGKey(1))
+    assert none is None and same is flat
+    # target=None -> off
+    off = DenseFactoryConfig(codec="ivfpq")
+    same2, none2 = autotune_after_build(ivf, off, x, rng=jax.random.PRNGKey(1))
+    assert none2 is None and same2 is ivf
+
+
+def test_exact_topk_host_matches_device():
+    from vod_tpu.search.autotune import _exact_topk_host
+
+    x = _corpus(n=1500, d=32)
+    q, gt = _queries_and_gt(x, b=16, k=10)
+    got = _exact_topk_host(np.asarray(x), np.asarray(q), 10, chunk=400)
+    # same score ties can permute within the tail; compare as sets per row
+    for i in range(got.shape[0]):
+        assert set(got[i].tolist()) == set(gt[i].tolist())
+
+
+@pytest.mark.slow
+def test_periodic_training_autotunes_each_period(monkeypatch) -> None:
+    """`search_defaults.dense.autotune_target_recall` closes the loop from the
+    experiment config: every periodic rebuild re-tunes the runtime knobs and
+    the period summary records the chosen operating point."""
+    from tests.helpers import tiny_tokenizer
+    from tests.test_exps import _toy_data
+    from vod_tpu.exps.cli import run_experiment
+    from vod_tpu.exps.structconf import Experiment
+
+    tok = tiny_tokenizer()
+    sections, queries = _toy_data(n_sections=24, n_queries=24)
+    exp = Experiment.parse({
+        "model": {
+            "kind": "ranker", "gradients": "retrieval",
+            "vocab_size": tok.vocab_size, "hidden_size": 32, "num_layers": 1,
+            "num_heads": 2, "intermediate_size": 64,
+        },
+        "tokenizer": {"max_length": 16},
+        "collate": {"prefetch_n_sections": 8, "n_sections": 2, "max_pos_sections": 1},
+        "dataloader": {"batch_size": 4},
+        "search_defaults": {
+            "dense": {"codec": "pq", "n_subquantizers": 4, "coarse_dim": None,
+                      "refine": "float32", "kmeans_iters": 2,
+                      "autotune_target_recall": 0.8, "autotune_queries": 16,
+                      "autotune_top_k": 4},
+        },
+        "trainer": {"max_steps": 4, "period": 2, "log_interval": 1},
+    })
+    out = run_experiment(exp, sections=sections, queries=queries, tokenizer=tok)
+    assert out["state"].step == 4
+    tunes = [h["autotune"] for h in out["history"] if "autotune" in h]
+    assert len(tunes) == 2  # one per period rebuild
+    assert all("k_factor" in t["params"] for t in tunes)
+
+
 def test_default_grids_shape():
     x = _corpus(n=1024)
     ivf = build_ivfpq_index(

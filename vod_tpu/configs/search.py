@@ -87,6 +87,17 @@ class DenseFactoryConfig(StrictModel):
     # flat-codec scoring path: "scan" (lax.scan + approx_max_k) or "fused"
     # (Pallas matmul+binned-top-k kernel; 118k vs 109k QPS at 1M x 768)
     kernel: typ.Literal["scan", "fused"] = "scan"
+    # closed-loop runtime-knob autotuning after each periodic rebuild (faiss
+    # `ParameterSpace`/`OperatingPoints` parity — the reference pins knobs in
+    # hydra and never tunes, `search_defaults/faiss/default.yaml`): sweep
+    # nprobe / k_factor / n_candidates on a sample of corpus rows against the
+    # exact flat ground truth, keep the Pareto front, apply the cheapest point
+    # with recall@`autotune_top_k` >= target. None = off. Applies to the
+    # pq/ivf/ivfpq codecs (flat has no runtime knobs; sharded skipped).
+    autotune_target_recall: typ.Optional[float] = None
+    autotune_queries: int = 256
+    autotune_top_k: int = 10
+    autotune_measure_time: bool = False  # True adds honest-relay QPS timing
 
     @classmethod
     def from_faiss_factory(cls, factory: str, train_size: typ.Optional[int] = None) -> "DenseFactoryConfig":

@@ -100,6 +100,7 @@ def periodic_training(
         #    through the factory, so PQ/OPQ/IVF/sharded configs actually train
         #    against the index codec they name.
         rng, build_rng = jax.random.split(rng)
+        tune_info: typ.Optional[dict] = None
         if cfg.splade_doc_k is not None:
             # learned-sparse reindex: the sparse engine is rebuilt from the
             # CURRENT encoder's document impacts (the SPLADE analogue of the
@@ -129,26 +130,37 @@ def periodic_training(
                 from vod_tpu.runtime.predict import compute_embeddings_to_host
                 from vod_tpu.search.factory import build_dense_from_host
 
-                emb_np = compute_embeddings_to_host(
+                emb_src: typ.Any = compute_embeddings_to_host(
                     encode, params,
                     np.asarray(corpus.input_ids), np.asarray(corpus.attention_mask),
                     chunk=cfg.embed_chunk,
                 )
                 dense = build_dense_from_host(
-                    cfg.dense, emb_np, rng=build_rng,
+                    cfg.dense, emb_src, rng=build_rng,
                     subset_ids=corpus.subset_ids, mesh=cfg.mesh,
                 )
-                del emb_np
             else:
-                emb = compute_embeddings(encode, params, corpus, chunk=cfg.embed_chunk)
+                emb_src = compute_embeddings(encode, params, corpus, chunk=cfg.embed_chunk)
                 dense = build_dense_from_config(
-                    cfg.dense, emb, rng=build_rng, subset_ids=corpus.subset_ids, mesh=cfg.mesh,
+                    cfg.dense, emb_src, rng=build_rng, subset_ids=corpus.subset_ids, mesh=cfg.mesh,
                 )
-                del emb
+            if cfg.dense.autotune_target_recall is not None:
+                # close the faiss-ParameterSpace loop each period: the knobs
+                # (nprobe/k_factor/n_candidates) are re-tuned against the
+                # CURRENT encoder's embedding geometry, not pinned in config
+                from vod_tpu.search.autotune import autotune_after_build
+
+                rng, tune_rng = jax.random.split(rng)
+                dense, tune_info = autotune_after_build(
+                    dense, cfg.dense, emb_src, rng=tune_rng
+                )
+            del emb_src
             engines = HybridEngines(dense=dense, sparse=sparse_engine)
         embed_s = time.time() - t0
 
         summary: dict[str, typ.Any] = {"period": pidx, "embed_s": round(embed_s, 3)}
+        if tune_info is not None:
+            summary["autotune"] = tune_info
 
         # 2. optional between-period benchmark (parity: `_run_benchmarks`)
         if benchmark_queries is not None and (

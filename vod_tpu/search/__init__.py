@@ -56,6 +56,7 @@ from .autotune import (
     OperatingPoint,
     apply_runtime_params,
     autotune,
+    autotune_after_build,
     pareto_front,
     select_operating_point,
     sweep_operating_points,
@@ -81,7 +82,7 @@ __all__ = [
     "build_ivfpq_index", "MaxSimIndex", "ShardedMaxSimIndex", "shard_maxsim_index", "sharded_maxsim_rerank", "build_maxsim_index", "maxsim_rerank", "maxsim_search",
     "ivfpq_search",
     "build_pq_index",
-    "OperatingPoint", "apply_runtime_params", "autotune", "pareto_front",
+    "OperatingPoint", "apply_runtime_params", "autotune", "autotune_after_build", "pareto_front",
     "select_operating_point", "sweep_operating_points",
     "build_pq_index_from_host",
     "build_sharded_dense_index",

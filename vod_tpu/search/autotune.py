@@ -191,6 +191,85 @@ def select_operating_point(
     return min(meeting, key=lambda p: (p.wall_s if p.wall_s is not None else 0.0, p.recall))
 
 
+def _exact_topk_host(emb: np.ndarray, q: np.ndarray, k: int, chunk: int = 1_000_000) -> np.ndarray:
+    """Exact top-k ids by blocked host matmul (GT for the slab build path,
+    where the full [N, H] matrix lives in host RAM, not HBM)."""
+    nq, n = q.shape[0], emb.shape[0]
+    qf = q.astype(np.float32)
+    best_s = np.full((nq, k), -np.inf, np.float32)
+    best_i = np.full((nq, k), -1, np.int64)
+    for start in range(0, n, chunk):
+        s = qf @ emb[start : start + chunk].astype(np.float32).T
+        ck = min(k, s.shape[1])
+        part = np.argpartition(-s, ck - 1, axis=1)[:, :ck]
+        all_s = np.concatenate([best_s, np.take_along_axis(s, part, 1)], axis=1)
+        all_i = np.concatenate([best_i, part.astype(np.int64) + start], axis=1)
+        order = np.argsort(-all_s, axis=1, kind="stable")[:, :k]
+        best_s = np.take_along_axis(all_s, order, 1)
+        best_i = np.take_along_axis(all_i, order, 1)
+    return best_i
+
+
+def autotune_after_build(
+    index: typ.Any,
+    fcfg: typ.Any,
+    emb: typ.Union[jax.Array, np.ndarray],
+    *,
+    rng: jax.Array,
+) -> tuple[typ.Any, typ.Optional[dict]]:
+    """Config-driven tuning right after a periodic rebuild
+    (`DenseFactoryConfig.autotune_*` — the closed loop faiss leaves to the
+    user and the reference never runs).
+
+    `emb` is the corpus embedding matrix the index was just built from — a
+    device array (in-HBM path) or host np.ndarray (slab path). Queries are a
+    sample of corpus rows; ground truth is the exact f32 scan (on device or
+    blocked on host, matching where `emb` lives). Returns
+    `(tuned_index, info | None)`; None = the engine has no runtime knobs
+    (flat) or is sharded (tune the unsharded build instead).
+    """
+    if getattr(fcfg, "autotune_target_recall", None) is None:
+        return index, None
+    if not isinstance(index, (PQIndex, IVFIndex, IVFPQIndex)):
+        return index, None
+    n = int(emb.shape[0])
+    nq = min(int(fcfg.autotune_queries), n)
+    k = min(int(fcfg.autotune_top_k), n)
+    seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
+    sel = np.random.default_rng(seed).choice(n, size=nq, replace=False)
+    if isinstance(emb, np.ndarray):
+        q_np = emb[sel]
+        gt = _exact_topk_host(emb, q_np, k)
+        queries = jnp.asarray(q_np, dtype=jnp.float32)
+    else:
+        from .dense import build_dense_index
+
+        queries = emb[jnp.asarray(sel)].astype(jnp.float32)
+        flat = build_dense_index(emb, dtype="float32", approx_recall=None)
+        gt = np.asarray(dense_search(flat, SearchQueries(vector=queries), k).indices)
+        del flat
+    tuned, chosen, front = autotune(
+        index,
+        queries,
+        gt,
+        target_recall=float(fcfg.autotune_target_recall),
+        top_k=k,
+        measure_time=bool(fcfg.autotune_measure_time),
+    )
+    info = {
+        "params": dict(chosen.params),
+        "recall": round(chosen.recall, 4),
+        "target": float(fcfg.autotune_target_recall),
+        "met": bool(chosen.recall >= float(fcfg.autotune_target_recall)),
+        "front": [
+            {"params": dict(p.params), "recall": round(p.recall, 4),
+             **({"qps": p.qps} if p.qps is not None else {})}
+            for p in front
+        ],
+    }
+    return tuned, info
+
+
 def autotune(
     index: typ.Any,
     queries: jax.Array,
