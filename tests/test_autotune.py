@@ -167,6 +167,38 @@ def test_autotune_after_build_device_and_host_paths():
     assert none2 is None and same2 is ivf
 
 
+def test_autotune_sharded_ivfpq_matches_unsharded_choice():
+    """The sharded engines expose the same runtime knobs: tuning the cell-
+    sharded IVF-PQ picks an nprobe meeting the target, and the tuned sharded
+    view searches at that setting (virtual CPU mesh)."""
+    from vod_tpu.configs.search import DenseFactoryConfig
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import autotune_after_build
+    from vod_tpu.search.sharded import shard_ivfpq_index, sharded_ivfpq_search
+
+    x = _corpus()
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=32, nprobe=1, window=256,
+        n_subquantizers=8, kmeans_iters=4, refine="float32", approx_recall=None,
+    )
+    mesh = make_mesh((4,), ("shard",))
+    sharded = shard_ivfpq_index(ivf, mesh)
+    fcfg = DenseFactoryConfig(
+        codec="ivfpq", sharded=True, autotune_target_recall=0.9,
+        autotune_queries=32, autotune_top_k=10,
+    )
+    tuned, info = autotune_after_build(sharded, fcfg, x, rng=jax.random.PRNGKey(1))
+    assert info is not None and info["met"] and info["recall"] >= 0.9
+    assert tuned.nprobe == info["params"]["nprobe"] and tuned.nprobe > 1
+    # the tuned sharded view really searches at the chosen recall
+    q, gt = _queries_and_gt(x)
+    got = np.asarray(
+        sharded_ivfpq_search(tuned, SearchQueries(vector=q), 10).indices
+    )
+    rec = np.mean([len(set(got[i]) & set(gt[i])) / 10 for i in range(got.shape[0])])
+    assert rec >= 0.85
+
+
 def test_exact_topk_host_matches_device():
     from vod_tpu.search.autotune import _exact_topk_host
 

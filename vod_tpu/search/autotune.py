@@ -39,6 +39,16 @@ import numpy as np
 from .base import SearchQueries
 from .dense import DenseIndex, IVFIndex, PQIndex, dense_search, ivf_search, pq_search
 from .ivfpq import IVFPQIndex, ivfpq_search
+from .sharded import (
+    ShardedDenseIndex,
+    ShardedIVFIndex,
+    ShardedIVFPQIndex,
+    ShardedPQIndex,
+    sharded_dense_search,
+    sharded_ivf_search,
+    sharded_ivfpq_search,
+    sharded_pq_search,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,9 +87,21 @@ def apply_runtime_params(index: typ.Any, params: dict[str, int]) -> typ.Any:
         total_windows = int(jnp.sum(index.win_count))
         mw = int(min(total_windows, max(1, round(per_probe * nprobe))))
         return index.replace(nprobe=nprobe, max_windows=mw)
-    if isinstance(index, IVFIndex):
+    if isinstance(index, (IVFIndex, ShardedIVFIndex)):
         return index.replace(nprobe=int(params["nprobe"]))
-    if isinstance(index, PQIndex):
+    if isinstance(index, ShardedIVFPQIndex):
+        nprobe = int(params["nprobe"])
+        if index.max_windows <= 0:
+            return index.replace(nprobe=nprobe)  # untruncated stays untruncated
+        per_probe = index.max_windows / max(index.nprobe, 1)
+        # cap at the busiest shard's local window count (win_count is [S*C]
+        # with zeros for non-local cells)
+        n_shards = index.mesh.shape[index.axis]
+        per_shard = np.asarray(index.win_count).reshape(n_shards, -1).sum(axis=1)
+        cap = int(per_shard.max())
+        mw = int(min(cap, max(1, round(per_probe * nprobe))))
+        return index.replace(nprobe=nprobe, max_windows=mw)
+    if isinstance(index, (PQIndex, ShardedPQIndex)):
         kw = {}
         if "k_factor" in params:
             kw["k_factor"] = int(params["k_factor"])
@@ -93,13 +115,10 @@ def apply_runtime_params(index: typ.Any, params: dict[str, int]) -> typ.Any:
 
 def default_grid(index: typ.Any) -> list[dict[str, int]]:
     """The faiss-`ParameterSpace`-shaped default sweep for this engine."""
-    if isinstance(index, IVFPQIndex):
+    if isinstance(index, (IVFPQIndex, IVFIndex, ShardedIVFIndex, ShardedIVFPQIndex)):
         c = int(index.centroids.shape[0])
         return [{"nprobe": p} for p in (1, 2, 4, 8, 16, 32, 64, 128, 256) if p <= c]
-    if isinstance(index, IVFIndex):
-        c = int(index.centroids.shape[0])
-        return [{"nprobe": p} for p in (1, 2, 4, 8, 16, 32, 64, 128, 256) if p <= c]
-    if isinstance(index, PQIndex):
+    if isinstance(index, (PQIndex, ShardedPQIndex)):
         ks: list[dict[str, int]] = (
             [{"k_factor": f} for f in (1, 2, 4, 8, 16, 32)]
             if index.refine_codes is not None else [{}]
@@ -121,6 +140,14 @@ def _search_fn(index: typ.Any) -> typ.Callable[[typ.Any, jax.Array, int], jax.Ar
         return lambda ix, q, k: pq_search(ix, SearchQueries(vector=q), k).indices
     if isinstance(index, DenseIndex):
         return lambda ix, q, k: dense_search(ix, SearchQueries(vector=q), k).indices
+    if isinstance(index, ShardedIVFPQIndex):
+        return lambda ix, q, k: sharded_ivfpq_search(ix, SearchQueries(vector=q), k).indices
+    if isinstance(index, ShardedIVFIndex):
+        return lambda ix, q, k: sharded_ivf_search(ix, SearchQueries(vector=q), k).indices
+    if isinstance(index, ShardedPQIndex):
+        return lambda ix, q, k: sharded_pq_search(ix, SearchQueries(vector=q), k).indices
+    if isinstance(index, ShardedDenseIndex):
+        return lambda ix, q, k: sharded_dense_search(ix, SearchQueries(vector=q), k).indices
     raise TypeError(f"unsupported index type {type(index).__name__}")
 
 
@@ -226,11 +253,15 @@ def autotune_after_build(
     sample of corpus rows; ground truth is the exact f32 scan (on device or
     blocked on host, matching where `emb` lives). Returns
     `(tuned_index, info | None)`; None = the engine has no runtime knobs
-    (flat) or is sharded (tune the unsharded build instead).
+    (flat / sparse / lookup).
     """
     if getattr(fcfg, "autotune_target_recall", None) is None:
         return index, None
-    if not isinstance(index, (PQIndex, IVFIndex, IVFPQIndex)):
+    tunable = (
+        PQIndex, IVFIndex, IVFPQIndex,
+        ShardedPQIndex, ShardedIVFIndex, ShardedIVFPQIndex,
+    )
+    if not isinstance(index, tunable):
         return index, None
     n = int(emb.shape[0])
     nq = min(int(fcfg.autotune_queries), n)
