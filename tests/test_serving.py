@@ -92,3 +92,87 @@ def test_search_server_hybrid_lookup_subset_and_errors() -> None:
         # malformed payload -> structured 500, client raises
         with pytest.raises((RuntimeError, urllib.error.HTTPError)):
             client.search(top_k=5)  # no engine matches an empty query
+
+
+def test_microbatcher_coalesces_and_matches_direct() -> None:
+    """Concurrent single-row submissions ride one padded dispatch; per-request
+    results equal the direct (unbatched) computation; incompatible keys split."""
+    import concurrent.futures
+    import threading
+
+    from vod_tpu.serving import MicroBatcher, _bucket
+
+    assert [_bucket(n, 64) for n in (1, 2, 3, 5, 64, 100)] == [1, 2, 4, 8, 64, 64]
+
+    calls: list[tuple[int, int]] = []  # (rows, top_k)
+    lock = threading.Lock()
+
+    def fake_search(arrays, top_k):
+        with lock:
+            calls.append((arrays["vector"].shape[0], top_k))
+        v = arrays["vector"]
+        return {"sum": v.sum(axis=1), "ids": np.arange(v.shape[0])}
+
+    mb = MicroBatcher(fake_search, max_batch=16, window_ms=50.0)
+    try:
+        rng = np.random.default_rng(0)
+        reqs = [rng.normal(size=(1, 8)).astype("float32") for _ in range(8)]
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            outs = list(ex.map(lambda v: mb.submit({"vector": v}, 10), reqs))
+        # per-request rows are exactly that request's (padding discarded)
+        for v, out in zip(reqs, outs):
+            assert out["sum"].shape == (1,)
+            assert np.allclose(out["sum"], v.sum(axis=1), atol=1e-6)
+        # coalesced: strictly fewer dispatches than requests, all top_k=10,
+        # every dispatch power-of-two padded
+        assert mb.dispatches < 8 and mb.requests == 8
+        assert all(k == 10 for _, k in calls)
+        assert all(r & (r - 1) == 0 for r, _ in calls)
+        # a different top_k never shares a dispatch
+        out_a = ex_out = None
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+            f1 = ex.submit(mb.submit, {"vector": reqs[0]}, 10)
+            f2 = ex.submit(mb.submit, {"vector": reqs[1]}, 5)
+            out_a, ex_out = f1.result(), f2.result()
+        assert {k for _, k in calls} == {10, 5}
+        # oversized requests bypass the batcher entirely
+        before = mb.dispatches
+        big = mb.submit({"vector": rng.normal(size=(32, 8)).astype("float32")}, 10)
+        assert big["sum"].shape == (32,) and mb.dispatches == before
+    finally:
+        mb.close()
+
+
+def test_microbatcher_propagates_errors() -> None:
+    from vod_tpu.serving import MicroBatcher
+
+    def boom(arrays, top_k):
+        raise ValueError("engine exploded")
+
+    mb = MicroBatcher(boom, max_batch=4, window_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="engine exploded"):
+            mb.submit({"vector": np.zeros((1, 4), "float32")}, 10)
+    finally:
+        mb.close()
+
+
+def test_search_server_batched_equals_direct() -> None:
+    """SearchServer(batch_window_ms>0): concurrent HTTP clients get identical
+    results to the unbatched server, over fewer device dispatches."""
+    import concurrent.futures
+
+    rng = np.random.default_rng(3)
+    corpus = rng.normal(size=(200, 16)).astype("float32")
+    engines = HybridEngines(dense=build_dense_index(jnp.asarray(corpus), dtype="float32"))
+    qs = [corpus[i : i + 1] + 0.01 for i in range(6)]
+    with SearchServer(engines) as direct_srv:
+        direct = [SearchHttpClient(direct_srv.url).search(vector=q, top_k=5) for q in qs]
+    with SearchServer(engines, batch_window_ms=50.0, max_batch=16) as srv:
+        client = SearchHttpClient(srv.url)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+            outs = list(ex.map(lambda q: client.search(vector=q, top_k=5), qs))
+        assert srv._batcher is not None and srv._batcher.dispatches < 6
+    for d, b in zip(direct, outs):
+        assert np.array_equal(d.indices, b.indices)
+        assert np.allclose(d.scores, b.scores, atol=1e-5)

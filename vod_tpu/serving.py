@@ -16,6 +16,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import typing as typ
 import urllib.request
@@ -39,6 +40,143 @@ def free_port() -> int:
         return s.getsockname()[1]
 
 
+class _Pending:
+    __slots__ = ("arrays", "top_k", "rows", "event", "result", "error")
+
+    def __init__(self, arrays: dict[str, np.ndarray], top_k: int, rows: int):
+        self.arrays = arrays
+        self.top_k = top_k
+        self.rows = rows
+        self.event = threading.Event()
+        self.result: typ.Optional[dict[str, np.ndarray]] = None
+        self.error: typ.Optional[BaseException] = None
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    """Next power-of-two >= n, capped at max_batch — a handful of static
+    shapes instead of one XLA compile per distinct request batch size."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+class MicroBatcher:
+    """Micro-batching + shape-bucketing front for a batched search callable.
+
+    TPU-first serving: one exhaustive scan (or probed window pass) costs
+    nearly the same for 1 query as for 64 — throughput comes from riding
+    concurrent requests on ONE device dispatch. The reference leaves this to
+    faiss/ES server internals; here it is explicit and engine-agnostic.
+
+    Semantics: `submit` blocks until the worker has (a) drained every
+    compatible pending request up to `max_batch` rows — compatible = same
+    top_k, same field set, same per-field trailing dims — or waited
+    `window_ms` since the first pending request, (b) concatenated the rows,
+    padded the batch up to the next power-of-two bucket by repeating the
+    first row (compile once per bucket), (c) run `search_fn(arrays, top_k)`
+    ONCE, and (d) split the row ranges back per request. Padding rows are
+    computed and discarded.
+    """
+
+    def __init__(
+        self,
+        search_fn: typ.Callable[[dict[str, np.ndarray], int], dict[str, np.ndarray]],
+        *,
+        max_batch: int = 64,
+        window_ms: float = 2.0,
+    ):
+        self.search_fn = search_fn
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1e3
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+        self.dispatches = 0  # observability: device dispatches issued
+        self.requests = 0
+
+    @staticmethod
+    def _key(p: _Pending) -> tuple:
+        return (p.top_k, tuple(sorted((k, v.shape[1:]) for k, v in p.arrays.items())))
+
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            rows = first.rows
+            key = self._key(first)
+            deadline = _now() + self.window_s
+            leftovers: list[_Pending] = []
+            while rows < self.max_batch:
+                remaining = deadline - _now()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if self._key(nxt) == key and rows + nxt.rows <= self.max_batch:
+                    batch.append(nxt)
+                    rows += nxt.rows
+                else:
+                    leftovers.append(nxt)
+            for p in leftovers:  # incompatible/overflow: next dispatch
+                self._q.put(p)
+            self._run(batch, rows)
+
+    def _run(self, batch: list[_Pending], rows: int) -> None:
+        try:
+            arrays = {
+                k: np.concatenate([p.arrays[k] for p in batch], axis=0)
+                for k in batch[0].arrays
+            }
+            bucket = _bucket(rows, max(self.max_batch, rows))
+            if bucket > rows:  # pad by repeating the first row; discarded below
+                pad = bucket - rows
+                arrays = {
+                    k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)], axis=0)
+                    for k, v in arrays.items()
+                }
+            out = self.search_fn(arrays, batch[0].top_k)
+            self.dispatches += 1
+            start = 0
+            for p in batch:
+                p.result = {k: v[start : start + p.rows] for k, v in out.items()}
+                start += p.rows
+                p.event.set()
+        except BaseException as exc:  # noqa: BLE001 - delivered to every waiter
+            for p in batch:
+                p.error = exc
+                p.event.set()
+
+    def submit(self, arrays: dict[str, np.ndarray], top_k: int) -> dict[str, np.ndarray]:
+        rows = next(iter(arrays.values())).shape[0]
+        if rows > self.max_batch:  # oversized requests bypass the batcher
+            return self.search_fn(arrays, top_k)
+        p = _Pending(arrays, int(top_k), rows)
+        self.requests += 1
+        self._q.put(p)
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        assert p.result is not None
+        return p.result
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+
+def _now() -> float:
+    import time
+
+    return time.monotonic()
+
+
 class SearchServer:
     """Serve a HybridEngines bundle over HTTP on a daemon thread."""
 
@@ -49,6 +187,8 @@ class SearchServer:
         weights: typ.Optional[dict[str, float]] = None,
         host: str = "127.0.0.1",
         port: typ.Optional[int] = None,
+        batch_window_ms: float = 0.0,
+        max_batch: int = 64,
     ):
         self.engines = engines
         self.weights = weights
@@ -56,21 +196,22 @@ class SearchServer:
         self.port = port or free_port()
         self._httpd: typ.Optional[ThreadingHTTPServer] = None
         self._thread: typ.Optional[threading.Thread] = None
+        # batch_window_ms > 0 rides concurrent requests on one device
+        # dispatch (shape-bucketed — see MicroBatcher)
+        self._batcher: typ.Optional[MicroBatcher] = None
+        if batch_window_ms > 0:
+            self._batcher = MicroBatcher(
+                self._search_arrays, max_batch=max_batch, window_ms=batch_window_ms
+            )
 
     @property
     def url(self) -> str:
         return f"http://{self.host}:{self.port}"
 
-    def _handle_search(self, payload: dict) -> dict:
-        data = decode_payload(payload)
-        top_k = int(data.pop("top_k", 10))
-        sq = SearchQueries(
-            **{
-                k: jnp.asarray(v)
-                for k, v in data.items()
-                if k in SearchQueries.__dataclass_fields__ and v is not None
-            }
-        )
+    def _search_arrays(
+        self, arrays: dict[str, np.ndarray], top_k: int
+    ) -> dict[str, np.ndarray]:
+        sq = SearchQueries(**{k: jnp.asarray(v) for k, v in arrays.items()})
         merged, raw = hybrid_search(self.engines, sq, top_k, self.weights)
         out = {
             "scores": np.asarray(merged.scores),
@@ -80,6 +221,20 @@ class SearchServer:
             out["labels"] = np.asarray(merged.labels)
         for name, v in raw.items():
             out[f"raw_{name}"] = np.asarray(v)
+        return out
+
+    def _handle_search(self, payload: dict) -> dict:
+        data = decode_payload(payload)
+        top_k = int(data.pop("top_k", 10))
+        arrays = {
+            k: np.asarray(v)
+            for k, v in data.items()
+            if k in SearchQueries.__dataclass_fields__ and v is not None
+        }
+        if self._batcher is not None:
+            out = self._batcher.submit(arrays, top_k)
+        else:
+            out = self._search_arrays(arrays, top_k)
         return encode_payload(out)
 
     def __enter__(self) -> "SearchServer":
@@ -117,6 +272,8 @@ class SearchServer:
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd = None
+        if self._batcher is not None:
+            self._batcher.close()
 
 
 class SearchHttpClient:
