@@ -176,3 +176,18 @@ def test_search_server_batched_equals_direct() -> None:
     for d, b in zip(direct, outs):
         assert np.array_equal(d.indices, b.indices)
         assert np.allclose(d.scores, b.scores, atol=1e-5)
+
+
+def test_search_server_stats_endpoint() -> None:
+    import json as _json
+    import urllib.request
+
+    rng = np.random.default_rng(4)
+    corpus = rng.normal(size=(100, 8)).astype("float32")
+    engines = HybridEngines(dense=build_dense_index(jnp.asarray(corpus), dtype="float32"))
+    with SearchServer(engines, batch_window_ms=1.0) as srv:
+        SearchHttpClient(srv.url).search(vector=corpus[:1], top_k=3)
+        with urllib.request.urlopen(srv.url + "/stats", timeout=5) as r:
+            stats = _json.loads(r.read())
+    assert stats["batching"] is True
+    assert stats["requests"] == 1 and stats["dispatches"] == 1

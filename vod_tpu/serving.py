@@ -244,10 +244,19 @@ class SearchServer:
             def log_message(self, *a: typ.Any) -> None:  # silence
                 pass
 
-            def do_GET(self) -> None:  # /ping readiness probe (`base.py:170`)
+            def do_GET(self) -> None:  # /ping readiness (`base.py:170`), /stats
                 self.send_response(200)
                 self.end_headers()
-                self.wfile.write(b'{"ok": true}')
+                if self.path == "/stats":
+                    b = outer._batcher
+                    stats = {
+                        "batching": b is not None,
+                        "requests": b.requests if b else None,
+                        "dispatches": b.dispatches if b else None,
+                    }
+                    self.wfile.write(json.dumps(stats).encode())
+                else:
+                    self.wfile.write(b'{"ok": true}')
 
             def do_POST(self) -> None:
                 length = int(self.headers["Content-Length"])
