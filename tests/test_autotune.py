@@ -167,6 +167,7 @@ def test_autotune_after_build_device_and_host_paths():
     assert none2 is None and same2 is ivf
 
 
+@pytest.mark.slow
 def test_autotune_sharded_ivfpq_matches_unsharded_choice():
     """The sharded engines expose the same runtime knobs: tuning the cell-
     sharded IVF-PQ picks an nprobe meeting the target, and the tuned sharded
