@@ -103,6 +103,23 @@ def test_pareto_front_drops_dominated_points():
     assert front[0].qps == 10.0
 
 
+def test_untimed_front_keeps_all_points_and_selects_cheapest_proxy():
+    """Regression: untimed sweeps (measure_time=False, the default) used to
+    collapse the Pareto front to the single highest-recall point (wall=None
+    ranked as 0.0), so autotune applied the most expensive knob setting. The
+    cheapest untimed point meeting the target is the LOWEST-recall qualifier
+    (knob cost is monotone in recall for nprobe/k_factor grids)."""
+    mk = lambda n, r: OperatingPoint(params={"nprobe": n}, recall=r, wall_s=None)
+    pts = [mk(1, 0.7), mk(2, 0.91), mk(4, 0.98), mk(8, 1.0)]
+    front = pareto_front(pts)
+    assert len(front) == 4  # nothing dominated: speed axis is unknown
+    chosen = select_operating_point(front, target_recall=0.9)
+    assert chosen.params["nprobe"] == 2
+    # mixed timed/untimed: timed qualifiers win on real wall
+    mixed = pts + [OperatingPoint(params={"nprobe": 3}, recall=0.95, wall_s=0.5)]
+    assert select_operating_point(mixed, 0.9).params["nprobe"] == 3
+
+
 def test_select_falls_back_to_best_recall_when_unreachable():
     mk = lambda r, w: OperatingPoint(params={"nprobe": int(10 * r)}, recall=r, wall_s=w)
     pts = [mk(0.5, 1.0), mk(0.8, 2.0)]

@@ -135,12 +135,47 @@ def test_microbatcher_coalesces_and_matches_direct() -> None:
             f2 = ex.submit(mb.submit, {"vector": reqs[1]}, 5)
             out_a, ex_out = f1.result(), f2.result()
         assert {k for _, k in calls} == {10, 5}
-        # oversized requests bypass the batcher entirely
-        before = mb.dispatches
+        # oversized requests bypass the batcher's queue but still count in
+        # the observability stats (one request, one dispatch)
+        before_d, before_r = mb.dispatches, mb.requests
         big = mb.submit({"vector": rng.normal(size=(32, 8)).astype("float32")}, 10)
-        assert big["sum"].shape == (32,) and mb.dispatches == before
+        assert big["sum"].shape == (32,)
+        assert mb.dispatches == before_d + 1 and mb.requests == before_r + 1
     finally:
         mb.close()
+
+
+def test_microbatcher_close_fails_pending_and_rejects_new() -> None:
+    """close() must fail (not strand) waiters still in the queue, and reject
+    submissions afterwards."""
+    import concurrent.futures
+    import threading
+
+    from vod_tpu.serving import MicroBatcher
+
+    release = threading.Event()
+
+    def slow_search(arrays, top_k):
+        release.wait(timeout=10)  # hold the worker so the next request queues
+        return {"sum": arrays["vector"].sum(axis=1)}
+
+    mb = MicroBatcher(slow_search, max_batch=1, window_ms=1.0)
+    v = np.zeros((1, 4), "float32")
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(mb.submit, {"vector": v}, 10)  # worker blocks in search
+        import time as _t
+
+        _t.sleep(0.1)
+        f2 = ex.submit(mb.submit, {"vector": v}, 10)  # sits in the queue
+        _t.sleep(0.1)
+        mb._stop.set()  # stop the worker loop before releasing it
+        release.set()
+        assert f1.result(timeout=10)["sum"].shape == (1,)  # in-flight completes
+        mb.close()  # drains the queue: f2 fails instead of hanging forever
+        with pytest.raises(RuntimeError, match="batcher closed"):
+            f2.result(timeout=10)
+    with pytest.raises(RuntimeError, match="batcher closed"):
+        mb.submit({"vector": v}, 10)
 
 
 def test_microbatcher_propagates_errors() -> None:

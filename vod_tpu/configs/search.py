@@ -93,7 +93,8 @@ class DenseFactoryConfig(StrictModel):
     # nprobe / k_factor / n_candidates on a sample of corpus rows against the
     # exact flat ground truth, keep the Pareto front, apply the cheapest point
     # with recall@`autotune_top_k` >= target. None = off. Applies to the
-    # pq/ivf/ivfpq codecs (flat has no runtime knobs; sharded skipped).
+    # pq/ivf/ivfpq codecs, sharded variants included (per-shard window
+    # budgets are rescaled); flat has no runtime knobs.
     autotune_target_recall: typ.Optional[float] = None
     autotune_queries: int = 256
     autotune_top_k: int = 10

@@ -95,13 +95,7 @@ def build_model(cfg: ModelConfig, *, proposal_temperature: float = 1.0) -> typ.A
                 cfg=enc_cfg, reader_cfg=reader_cfg, gradients=gradients,
                 debug_encoder=cfg.debug_encoder,
             )
-        lm_cfg = CausalLMConfig(
-            vocab_size=cfg.vocab_size,
-            hidden_size=cfg.lm_hidden_size,
-            num_layers=cfg.lm_num_layers,
-            num_heads=cfg.num_heads,
-            intermediate_size=cfg.intermediate_size,
-        )
+        lm_cfg = _causal_lm_config(cfg)
         return Realm(cfg=enc_cfg, lm_cfg=lm_cfg, gradients=gradients, debug_encoder=cfg.debug_encoder)
     if cfg.splade_encoder and cfg.debug_encoder:
         raise ValueError("splade_encoder and debug_encoder are mutually exclusive")
@@ -112,6 +106,55 @@ def build_model(cfg: ModelConfig, *, proposal_temperature: float = 1.0) -> typ.A
         splade_encoder=cfg.splade_encoder,
         splade_flops_weight=cfg.splade_flops_weight,
     )
+
+
+def _causal_lm_config(cfg: ModelConfig) -> CausalLMConfig:
+    """Reader config: from the pretrained checkpoint when `lm_name_or_path`
+    is set (parity: hydra `model/lm/pygmalion-350m.yaml` — hub LM dims win),
+    else from the ModelConfig knobs."""
+    if cfg.lm_name_or_path is not None:
+        try:
+            import transformers
+
+            from vod_tpu.models.lm import gpt2_config_from_hf
+
+            hf_cfg = transformers.AutoConfig.from_pretrained(cfg.lm_name_or_path)
+            return gpt2_config_from_hf(hf_cfg)
+        except Exception as exc:  # noqa: BLE001 - hub/cache errors surface here
+            if cfg.hf_fallback != "random":
+                raise
+            import warnings
+
+            warnings.warn(f"HF LM config {cfg.lm_name_or_path!r} unavailable ({exc}); config dims")
+    return CausalLMConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.lm_hidden_size,
+        num_layers=cfg.lm_num_layers,
+        num_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+    )
+
+
+def _maybe_port_hf_lm(params: dict, cfg: ModelConfig) -> dict:
+    """Graft a ported HF GPT-2-family reader into freshly-initialized Realm
+    params (the decoder-only leg of the checkpoint-porting story; encoder
+    grafting is `_maybe_port_hf_encoder` below)."""
+    if cfg.lm_name_or_path is None or cfg.kind != "realm" or cfg.reader != "causal":
+        return params
+    try:
+        from vod_tpu.models.lm import load_hf_causal_lm
+
+        _, lm_params = load_hf_causal_lm(cfg.lm_name_or_path)
+    except Exception as exc:  # noqa: BLE001
+        if cfg.hf_fallback == "random":
+            import warnings
+
+            warnings.warn(f"HF port of {cfg.lm_name_or_path!r} unavailable ({exc}); random init")
+            return params
+        raise
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow-safe copy
+    params["params"]["lm"] = lm_params
+    return params
 
 
 def _maybe_port_hf_encoder(params: dict, cfg: ModelConfig) -> dict:
@@ -293,6 +336,7 @@ def run_experiment(
     )
     params = model.init(jax.random.PRNGKey(exp.sys.seed), init_batch, mode="evaluate")
     params = _maybe_port_hf_encoder(params, exp.model)
+    params = _maybe_port_hf_lm(params, exp.model)
     if exp.model.kbit:
         # QLoRA-style: int8-freeze the base, optimize LoRA/pooler only
         if exp.model.lora_rank <= 0:

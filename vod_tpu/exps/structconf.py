@@ -101,6 +101,11 @@ class ModelConfig(StrictModel):
     hf_fallback: typ.Literal["error", "random"] = "error"  # cache miss behavior
     # reader family for `kind: realm` (parity: hydra `model/lm/` group)
     reader: typ.Literal["causal", "seq2seq"] = "causal"
+    # pretrained decoder-only reader (parity: `model/lm/pygmalion-350m.yaml` —
+    # the reference instantiates hub LMs directly into Realm); GPT-2 layout,
+    # tensors ported at init; lm dims then come from the checkpoint config.
+    # Cache misses obey `hf_fallback` like the encoder port.
+    lm_name_or_path: typ.Optional[str] = None
     # tweaks (parity: hydra `model/tweaks/` — checkpointing.yaml / qlora.yaml)
     remat: bool = False
     lora_rank: int = 0

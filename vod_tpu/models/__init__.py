@@ -3,7 +3,14 @@ pooling, Ranker/Realm systems, gradient estimators, retrieval metrics."""
 
 from .pooler import VodPooler, VodPoolerConfig
 from .encoder import TransformerEncoder, TransformerEncoderConfig, VodEncoder, DebugEncoder
-from .lm import CausalLM, CausalLMConfig
+from .lm import (
+    CausalLM,
+    CausalLMConfig,
+    gpt2_config_from_hf,
+    lm_generate,
+    load_hf_causal_lm,
+    port_gpt2_weights,
+)
 from .systems import Ranker, Realm
 from .gradients import (
     DistillationGradients,
@@ -29,6 +36,10 @@ from .cross_encoder import (
 __all__ = [
     "CausalLM",
     "CausalLMConfig",
+    "gpt2_config_from_hf",
+    "lm_generate",
+    "load_hf_causal_lm",
+    "port_gpt2_weights",
     "DebugEncoder",
     "DistillationGradients",
     "Gradients",

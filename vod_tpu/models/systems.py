@@ -139,36 +139,27 @@ class Realm(nn.Module):
         """Greedy decoding from the reader over [context; question] prompts.
 
         Parity: `VodSystem` mode="generate" dispatch (`vod_systems/base.py:37-51`).
-        Re-runs the full causal LM per step on a fixed-width buffer (no KV cache
-        yet); returns generated token ids [B*D, max_new_tokens].
+        KV-cached: one prefill pass over the prompt fills per-layer caches, then
+        each of the `max_new_tokens` scan steps is a single [N, 1] decode
+        (`models/lm.py` prefill/decode_step — no quadratic recompute). Returns
+        generated token ids [B*D, max_new_tokens].
         """
         ids = batch.lm__input_ids
         mask = batch.lm__attention_mask
         flat_ids = ids.reshape(-1, ids.shape[-1])
         flat_mask = mask.reshape(-1, mask.shape[-1])
         n, l = flat_ids.shape
-        # fixed-width decode buffer: [prompt | generated]
-        buf = jnp.concatenate(
-            [flat_ids, jnp.zeros((n, max_new_tokens), dtype=flat_ids.dtype)], axis=-1
-        )
-        buf_mask = jnp.concatenate(
-            [flat_mask, jnp.zeros((n, max_new_tokens), dtype=flat_mask.dtype)], axis=-1
-        )
-        prompt_len = jnp.sum(flat_mask, axis=-1)  # [N]
+        logits_all, cache = self.lm.prefill(flat_ids, flat_mask, l + max_new_tokens)
+        last = jnp.sum(flat_mask > 0, axis=-1) - 1  # [N] last valid position
+        logits = logits_all[jnp.arange(n), last]
 
-        def step(carry, t):
-            buf, buf_mask = carry
-            logits = self.lm(buf, buf_mask)  # [N, L+T, V]
-            pos = prompt_len + t - 1  # last valid position
-            last = jnp.take_along_axis(logits, pos[:, None, None], axis=1)[:, 0]
-            nxt = jnp.argmax(last, axis=-1).astype(buf.dtype)  # [N]
-            write = prompt_len + t
-            col = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 1) == write[:, None]
-            buf = jnp.where(col, nxt[:, None], buf)
-            buf_mask = jnp.where(col, 1, buf_mask)
-            return (buf, buf_mask), nxt
+        def step(carry, _):
+            logits, cache = carry
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            logits, cache = self.lm.decode_step(nxt, cache)
+            return (logits, cache), nxt
 
-        (_, _), toks = jax.lax.scan(step, (buf, buf_mask), jnp.arange(max_new_tokens))
+        (_, _), toks = jax.lax.scan(step, (logits, cache), jnp.arange(max_new_tokens))
         return jnp.moveaxis(toks, 0, 1)  # [N, T]
 
     def __call__(self, batch: RealmBatch, mode: str = "evaluate", **kw: typ.Any) -> typ.Any:

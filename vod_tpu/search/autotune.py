@@ -193,16 +193,19 @@ def sweep_operating_points(
 
 def pareto_front(points: typ.Sequence[OperatingPoint]) -> list[OperatingPoint]:
     """Keep points not dominated in (recall up, wall_s down) — faiss
-    `OperatingPoints::optimal`. Untimed points are ranked by recall only."""
+    `OperatingPoints::optimal`. Untimed points (wall_s=None) always survive:
+    their speed is unknown, so nothing can dominate them on that axis."""
     out: list[OperatingPoint] = []
     best_wall = float("inf")
-    # descending recall: a point survives iff it is strictly faster than
-    # every point with >= its recall
+    # descending recall: a timed point survives iff it is strictly faster
+    # than every point with >= its recall
     for p in sorted(points, key=lambda p: -p.recall):
-        w = p.wall_s if p.wall_s is not None else 0.0
-        if w < best_wall:
+        if p.wall_s is None:
             out.append(p)
-            best_wall = w
+            continue
+        if p.wall_s < best_wall:
+            out.append(p)
+            best_wall = p.wall_s
     return sorted(out, key=lambda p: p.recall)
 
 
@@ -211,11 +214,18 @@ def select_operating_point(
     target_recall: float,
 ) -> OperatingPoint:
     """Cheapest point meeting `target_recall`; the best-recall point if none
-    does (with its shortfall visible to the caller via `.recall`)."""
+    does (with its shortfall visible to the caller via `.recall`).
+
+    For untimed points (measure_time=False sweeps) the lowest recall meeting
+    the target is the cost proxy — every runtime knob here (nprobe, k_factor,
+    n_candidates) has cost monotone in recall."""
     meeting = [p for p in points if p.recall >= target_recall]
     if not meeting:
         return max(points, key=lambda p: p.recall)
-    return min(meeting, key=lambda p: (p.wall_s if p.wall_s is not None else 0.0, p.recall))
+    timed = [p for p in meeting if p.wall_s is not None]
+    if timed:
+        return min(timed, key=lambda p: (p.wall_s, p.recall))
+    return min(meeting, key=lambda p: p.recall)
 
 
 def _exact_topk_host(emb: np.ndarray, q: np.ndarray, k: int, chunk: int = 1_000_000) -> np.ndarray:

@@ -42,6 +42,11 @@ class DenseIndex:
     # matmul+binned-top-k kernel (ops/mips_pallas.py) — measured 118k vs 109k
     # QPS at the 1M x 768 headline shape, recall@10 0.985 vs 0.998.
     kernel: str = struct.field(pytree_node=False, default="scan")
+    # fused-kernel selection knobs (runtime-tunable static metadata, like
+    # nprobe/k_factor): more bins = higher recall (~1-(k-1)/(2*bins)) at more
+    # VMEM; qblock shrinks to keep the bin buffers in scoped VMEM at bins=1024.
+    fused_bins: int = struct.field(pytree_node=False, default=512)
+    fused_qblock: int = struct.field(pytree_node=False, default=2048)
 
 
 @struct.dataclass
@@ -423,6 +428,7 @@ def dense_search(
             q_k = jnp.pad(q_i8, ((0, b_pad), (0, 0))) if b_pad else q_i8
             top_s, top_i = fused_mips_binned(
                 index.vectors, q_k, k=top_k, n_real=index.n_real,
+                bins=index.fused_bins, qblock=index.fused_qblock,
                 interpret=jax.default_backend() == "cpu",
             )
             top_s = top_s[:b].astype(jnp.float32) * q_row_scale
@@ -462,6 +468,7 @@ def dense_search(
         q_k = jnp.pad(q_eff, ((0, b_pad), (0, 0))) if b_pad else q_eff
         top_s, top_i = fused_mips_binned(
             index.vectors, q_k, k=top_k, n_real=index.n_real,
+            bins=index.fused_bins, qblock=index.fused_qblock,
             interpret=jax.default_backend() == "cpu",
         )
         top_s, top_i = top_s[:b], top_i[:b]

@@ -90,11 +90,16 @@ class MicroBatcher:
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1e3
         self._q: "queue.Queue[_Pending]" = queue.Queue()
+        # incompatible requests pulled mid-collection wait here and are
+        # consumed AHEAD of _q next cycle (re-queuing at the tail would defer
+        # a minority-key request behind newer arrivals, unboundedly under load)
+        self._held: "list[_Pending]" = []
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
         self.dispatches = 0  # observability: device dispatches issued
         self.requests = 0
+        self._stats_lock = threading.Lock()  # handler threads are concurrent
 
     @staticmethod
     def _key(p: _Pending) -> tuple:
@@ -102,15 +107,26 @@ class MicroBatcher:
 
     def _worker(self) -> None:
         while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            if self._held:  # deferred requests go first — bounded deferral
+                first = self._held.pop(0)
+            else:
+                try:
+                    first = self._q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
             batch = [first]
             rows = first.rows
             key = self._key(first)
             deadline = _now() + self.window_s
-            leftovers: list[_Pending] = []
+            held_next: list[_Pending] = []
+            # drain compatible held requests before touching the queue
+            for p in self._held:
+                if self._key(p) == key and rows + p.rows <= self.max_batch:
+                    batch.append(p)
+                    rows += p.rows
+                else:
+                    held_next.append(p)
+            self._held = held_next
             while rows < self.max_batch:
                 remaining = deadline - _now()
                 if remaining <= 0:
@@ -123,9 +139,7 @@ class MicroBatcher:
                     batch.append(nxt)
                     rows += nxt.rows
                 else:
-                    leftovers.append(nxt)
-            for p in leftovers:  # incompatible/overflow: next dispatch
-                self._q.put(p)
+                    self._held.append(nxt)  # incompatible/overflow: next cycle
             self._run(batch, rows)
 
     def _run(self, batch: list[_Pending], rows: int) -> None:
@@ -142,7 +156,8 @@ class MicroBatcher:
                     for k, v in arrays.items()
                 }
             out = self.search_fn(arrays, batch[0].top_k)
-            self.dispatches += 1
+            with self._stats_lock:
+                self.dispatches += 1
             start = 0
             for p in batch:
                 p.result = {k: v[start : start + p.rows] for k, v in out.items()}
@@ -154,11 +169,17 @@ class MicroBatcher:
                 p.event.set()
 
     def submit(self, arrays: dict[str, np.ndarray], top_k: int) -> dict[str, np.ndarray]:
+        if self._stop.is_set():
+            raise RuntimeError("batcher closed")
         rows = next(iter(arrays.values())).shape[0]
+        with self._stats_lock:
+            self.requests += 1
         if rows > self.max_batch:  # oversized requests bypass the batcher
-            return self.search_fn(arrays, top_k)
+            out = self.search_fn(arrays, top_k)
+            with self._stats_lock:
+                self.dispatches += 1
+            return out
         p = _Pending(arrays, int(top_k), rows)
-        self.requests += 1
         self._q.put(p)
         p.event.wait()
         if p.error is not None:
@@ -169,6 +190,18 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=2)
+        # fail anything still pending (held or enqueued between the worker's
+        # last check and stop) — otherwise its submitter waits forever
+        pending = list(self._held)
+        self._held = []
+        while True:
+            try:
+                pending.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        for p in pending:
+            p.error = RuntimeError("batcher closed")
+            p.event.set()
 
 
 def _now() -> float:
