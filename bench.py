@@ -125,6 +125,26 @@ def bench_hybrid() -> None:
 # --------------------------------------------------------------------------- #
 
 
+def _serve_ms_block(sfn, index, make_queries, d, sb=64, reps=3):
+    """Marginal serving-block wall: 9-block vs 1-block lax.map (RTT cancels)."""
+    import jax
+    import jax.numpy as jnp
+
+    p_one = [jnp.asarray(make_queries(sb, seed=100 + i)[None]) for i in range(reps)]
+    p_nine = [
+        jnp.asarray(np.stack([make_queries(sb, seed=200 + 9 * i + j) for j in range(9)]))
+        for i in range(reps)
+    ]
+    fb = jax.jit(lambda ix, qb: jax.lax.map(lambda v: sfn(ix, v), qb))
+    np.asarray(fb(index, p_one[0])[0, 0, 0])
+    np.asarray(fb(index, p_nine[0])[0, 0, 0])
+    w1 = w9 = float("inf")
+    for i in range(reps):
+        t = time.time(); np.asarray(fb(index, p_one[i])[-1, -1]); w1 = min(w1, time.time() - t)
+        t = time.time(); np.asarray(fb(index, p_nine[i])[-1, -1]); w9 = min(w9, time.time() - t)
+    return max((w9 - w1) / 8 * 1000, 1e-6)
+
+
 def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 10) -> None:
     import jax
     import jax.numpy as jnp
@@ -338,6 +358,69 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
         "vs_baseline": None,
     })
 
+    # B=64 serving rate of the SAME exhaustive pq4fs index — the comparator
+    # the serving codec below must beat (the exhaustive scan's fixed one-hot
+    # decode temps dominate at serving batch; VERDICT r3 #1)
+    _log("msmarco: exhaustive pq4fs B=64 serving rate (comparator)")
+    sfn_pq = lambda ix, v: pq_search(ix, SearchQueries(vector=v), top_k=k).indices
+    pq_serve_ms = _serve_ms_block(sfn_pq, pq_index, make_queries, d)
+    pq_serve_qps = 64 / (pq_serve_ms / 1000)
+    _log(f"msmarco: exhaustive pq4fs serving: {pq_serve_ms:.1f} ms/block = {pq_serve_qps:,.0f} QPS")
+
+    # ---- THE serving operating point: coarse(pca128) -> refine(pca256) -----
+    # keep_codes=False PQIndex (`search/dense.py`): stage 1 is ONE int8 MXU
+    # matmul over the pca128 store (1.1 GB read once, shared by all 64
+    # queries — no decode temps, no per-query window gathers), stage 2 exactly
+    # re-ranks the top k_factor*k against pca256-int8 rows. 384 B/vec.
+    # Measured (examples/serving_codec_bench.py): recall@10 0.969 at 23k QPS
+    # B=64 — vs the exhaustive pq4fs scan's ~1k and SOAR-ivfpq's 1.9k @ 0.844.
+    del pq_index, pq_codes, out, got
+    _log("msmarco: serving codec — pca128 coarse + pca256 refine (keep_codes=False)")
+    t0 = time.time()
+    train = gen_slab(keys[0])[:262_144]
+    proj256, _m = pq_ops.train_projection(train, 256)
+    r256_sample = train @ proj256
+    scale256 = jnp.maximum(jnp.max(jnp.abs(r256_sample), axis=0, keepdims=True), 1e-8) / 127.0
+    del train, r256_sample
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fill_r256(buf, key, row0):
+        x = gen_slab(key)
+        r = jnp.clip(jnp.round((x @ proj256) / scale256), -127, 127).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(buf, r, (row0, 0))
+
+    refine256 = jnp.zeros((n_pad, 256), jnp.int8)
+    for i, kk in enumerate(keys):
+        refine256 = fill_r256(refine256, kk, jnp.int32(i * slab))
+    refine256.block_until_ready()
+    serve_build_s = time.time() - t0
+    serve_index = PQIndex(
+        codebooks=jnp.zeros((1, 1, 1), jnp.float32), codes=None,
+        coarse_codes=refine_rows, coarse_scale=refine_scale, proj=refine_proj,
+        refine_codes=refine256, refine_scale=scale256, refine_proj=proj256,
+        n_real=n, k_factor=8, approx_recall=0.95,
+    )
+    got_sv = np.asarray(jax.jit(sfn_pq)(serve_index, jq))
+    serve_recall = float(np.mean(
+        [len(set(got_sv[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(n_eval)]
+    ))
+    serve_ms = _serve_ms_block(sfn_pq, serve_index, make_queries, d)
+    serve_qps = 64 / (serve_ms / 1000)
+    serve_gb = n_pad * (128 + 256) / 2**30
+    _emit({
+        "metric": (
+            f"8.8M B=64 SERVING operating point (pca128-int8 coarse -> pca256-int8 "
+            f"refine k_factor=8, 384 B/vec, {serve_gb:.2f} GB HBM, build {serve_build_s:.0f}s): "
+            f"recall@10={serve_recall:.3f} vs exact f32; {serve_ms:.2f} ms per 64-query block "
+            f"(exhaustive pq4fs scan at B=64: {pq_serve_ms:.1f} ms = {pq_serve_qps:,.0f} QPS)"
+        ),
+        "value": round(serve_qps, 1),
+        "unit": "serving QPS (B=64)",
+        "recall": round(serve_recall, 4),
+        "vs_baseline": None,
+    })
+    del serve_index, refine256, got_sv
+
     # ---- IVF-PQ serving latency (small-batch regime) -----------------------
     # The exhaustive scans above amortize their fixed decode/matmul cost over
     # 2048-query blocks — at SERVING batch (64) that fixed cost dominates.
@@ -346,7 +429,6 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     # against the SAME pca128 int8 refine rows (keep_codes=False production
     # mode: IVF + PCA-SQ at 132 B/vec). Reuses refine_rows/proj/scale from
     # the pq section; same exact-f32 ground truth.
-    del pq_index, pq_codes, out, got
     _log("msmarco: ivfpq — kmeans4096 + slab assignment (SOAR spilled)")
     from vod_tpu.ops.kmeans import _assign_chunked, kmeans
     from vod_tpu.search import build_ivfpq_from_device_parts, ivfpq_search

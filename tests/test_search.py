@@ -1002,3 +1002,102 @@ def test_sharded_pq4_matches_unsharded() -> None:
     r_ref, r_shard = recall(np.asarray(ref.indices)), recall(np.asarray(out.indices))
     assert r_shard >= r_ref - 0.13, (r_ref, r_shard)
     assert r_shard >= 0.7, r_shard
+
+
+def test_pq_direct_serving_codec_matches_bruteforce() -> None:
+    """coarse→refine direct (keep_codes=False): the serving codec — coarse int8
+    scan feeds the exact re-rank with no PQ/ADC stage. With a full-width coarse
+    projection, wide pool and exact refine, the result equals brute force."""
+    rng = np.random.default_rng(21)
+    n, d, b, k = 3000, 32, 8, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    index = build_pq_index(
+        jax.random.PRNGKey(0), jnp.asarray(corpus),
+        coarse_dim=d, refine="float32", k_factor=16,
+        approx_recall=None, keep_codes=False,
+    )
+    assert index.codes is None and index.coarse_codes is not None
+    out = pq_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+    got = np.asarray(out.indices)
+    for i in range(b):
+        assert set(got[i].tolist()) == set(expected[i].tolist()), i
+    # truncated coarse + int8 refine: decent recall at 2x less scan bytes —
+    # i.i.d. gaussian data is the documented worst case for any PCA filter
+    # (real embeddings concentrate variance; see build_pq_index CAUTION)
+    idx2 = build_pq_index(
+        jax.random.PRNGKey(0), jnp.asarray(corpus),
+        coarse_dim=16, refine="int8", k_factor=32,
+        approx_recall=None, keep_codes=False,
+    )
+    got2 = np.asarray(pq_search(idx2, SearchQueries(vector=jnp.asarray(q)), top_k=k).indices)
+    rec = np.mean([len(set(got2[i]) & set(expected[i])) / k for i in range(b)])
+    assert rec >= 0.7, rec
+
+
+def test_pq_direct_build_validations() -> None:
+    rng = np.random.default_rng(22)
+    corpus = jnp.asarray(_corpus(rng, 600, 16))
+    with pytest.raises(ValueError, match="keep_codes=False requires"):
+        build_pq_index(jax.random.PRNGKey(0), corpus, coarse_dim=None, keep_codes=False)
+    with pytest.raises(ValueError, match="keep_codes=False requires"):
+        build_pq_index(
+            jax.random.PRNGKey(0), corpus, coarse_dim=8, refine="none", keep_codes=False
+        )
+
+
+def test_sharded_pq_direct_matches_unsharded() -> None:
+    """The serving codec sharded over the mesh: same ids as unsharded."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import shard_pq_index, sharded_pq_search
+
+    mesh = make_mesh((8,), ("shard",))
+    rng = np.random.default_rng(23)
+    n, d, b, k = 3000, 32, 4, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    # full-width coarse: the int8 coarse order's top k_factor*k certainly
+    # contains the exact top-k, so sharded (per-shard pools are supersets)
+    # and unsharded agree exactly after the identical int8 refine
+    pq = build_pq_index(
+        jax.random.PRNGKey(0), jnp.asarray(corpus),
+        coarse_dim=d, refine="int8", k_factor=16,
+        approx_recall=None, keep_codes=False,
+    )
+    ref = pq_search(pq, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=256)
+    spq = shard_pq_index(pq, mesh)
+    assert spq.codes is None
+    out = sharded_pq_search(spq, SearchQueries(vector=jnp.asarray(q)), top_k=k, chunk=128)
+    ref_i, got_i = np.asarray(ref.indices), np.asarray(out.indices)
+    for i in range(b):
+        assert set(got_i[i].tolist()) == set(ref_i[i].tolist()), i
+    assert np.allclose(np.asarray(out.scores), np.asarray(ref.scores), atol=1e-4)
+
+
+def test_pq_direct_from_host_and_config() -> None:
+    """Host-slab build + config routing (codec: pq, keep_codes: false)."""
+    from vod_tpu.configs.search import DenseFactoryConfig
+    from vod_tpu.search import build_pq_index_from_host
+    from vod_tpu.search.factory import build_dense_from_config
+
+    rng = np.random.default_rng(24)
+    corpus = _corpus(rng, 1200, 32)
+    q = _corpus(rng, 4, 32)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :10]
+
+    idx = build_pq_index_from_host(
+        jax.random.PRNGKey(0), corpus, coarse_dim=16, refine="int8", k_factor=16,
+        train_size=1200, slab=500, approx_recall=None, keep_codes=False,
+    )
+    assert idx.codes is None
+    got = np.asarray(pq_search(idx, SearchQueries(vector=jnp.asarray(q)), top_k=10).indices)
+    rec = np.mean([len(set(got[i]) & set(expected[i])) / 10 for i in range(4)])
+    assert rec >= 0.8, rec
+
+    cfg = DenseFactoryConfig(
+        codec="pq", coarse_dim=16, refine="int8", k_factor=16,
+        keep_codes=False, approx_recall=None,
+    )
+    idx_c = build_dense_from_config(cfg, jnp.asarray(corpus), rng=jax.random.PRNGKey(0))
+    assert idx_c.codes is None and idx_c.refine_codes is not None

@@ -70,8 +70,13 @@ class DenseFactoryConfig(StrictModel):
     nprobe: int = 8
     ivf_window: int = 512
     max_windows: typ.Optional[int] = None
-    # ivfpq only: False drops the PQ codes and scores probed windows directly
-    # against the refine rows (IVF + (PCA-)SQ index; requires `refine`)
+    # pq/ivfpq: False drops the PQ codes entirely (requires `refine`). For
+    # `ivfpq`, probed windows score directly against the refine rows (IVF +
+    # (PCA-)SQ index). For `pq` (requires `coarse_dim` too), the coarse int8
+    # scan's top k_factor*k feed the exact re-rank with no ADC stage — the
+    # SERVING codec: one int8 MXU matmul over coarse_dim B/row, none of the
+    # one-hot decode temps that make the exhaustive ADC scan fixed-cost heavy
+    # at small batches (faiss `PCAR{dc},SQ8,Refine(...)` analogue).
     keep_codes: bool = True
     # ivfpq only: SOAR spilling (ScaNN, Sun et al. NeurIPS 2023 — beyond
     # faiss): store every row under a second cell whose residual is orthogonal
@@ -165,6 +170,11 @@ class SparseFactoryConfig(StrictModel):
     language: typ.Optional[str] = None  # analyzer language (stopwords)
     lowercase: bool = True
     min_token_len: int = 2
+    # Porter-stem ASCII tokens after the stopword filter (parity: ES language
+    # analyzers stem — `es_body.py:32`; the reference's `english` analyzer is
+    # lowercase -> stop -> porter_stem). Applies at BOTH index and query time
+    # (analyze_texts(stem=...)); non-ASCII tokens pass through unstemmed.
+    stem: bool = False
     max_vocab: typ.Optional[int] = None
     section_template: str = "{{ title }} {{ content }}"
     # doc-shard the postings over a mesh axis (parity: ES under

@@ -123,7 +123,9 @@ def default_grid(index: typ.Any) -> list[dict[str, int]]:
             [{"k_factor": f} for f in (1, 2, 4, 8, 16, 32)]
             if index.refine_codes is not None else [{}]
         )
-        if index.coarse_codes is not None:
+        # n_candidates only gates the ADC stage; in coarse→refine direct mode
+        # (codes=None) the pool is k_factor*k straight from the coarse scan
+        if index.coarse_codes is not None and index.codes is not None:
             n = int(index.coarse_codes.shape[0])
             cands = [c for c in (256, 1024, 4096, 16384) if c <= n]
             ks = [{**k, "n_candidates": c} for k in ks for c in cands]

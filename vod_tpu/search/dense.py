@@ -53,13 +53,20 @@ class DenseIndex:
 class PQIndex:
     """PQ-compressed index: exhaustive ADC or int8 coarse-scan + ADC rescore.
 
-    Two candidate-generation modes (chosen at build time):
+    Three candidate-generation modes (chosen at build time):
       * exhaustive (`coarse_codes is None`) — ADC over ALL rows. Key identity:
         the ADC inner product sum_m lut[m, code] equals q . decode(codes), so
         exhaustive ADC is a decode-then-matmul streaming scan on the MXU — no
         per-row LUT gathers, no coarse-stage recall loss. Memory = M B/vector.
       * coarse — int8 PCA-projected scan picks `n_candidates`, ADC rescores
         them (adds coarse_dim B/vector, trades recall for speed at large N).
+      * coarse→refine direct (`codes is None`, requires coarse + refine) —
+        the coarse scan's top k_factor*k go STRAIGHT to the exact re-rank, no
+        PQ stage at all (faiss `PCAR{dc},SQ8,Refine(...)` analogue). This is
+        the small-batch SERVING codec: the whole pass is ONE int8 MXU matmul
+        over coarse_dim B/row plus a tiny gather — none of the per-chunk
+        one-hot decode temps that make the exhaustive ADC scan fixed-cost
+        heavy at serving batch sizes (keep_codes=False, as in `ivfpq.py`).
 
     Optional exact re-rank ("refine", parity: faiss `RFlat`/`Refine(SQ8)`):
     `refine_codes` keeps raw rows (int8 when `refine_scale` is set, else
@@ -71,7 +78,9 @@ class PQIndex:
     """
 
     codebooks: jax.Array  # [M, n_codes, dsub] f32 (n_codes = 1 << code_bits)
-    codes: jax.Array  # [N, M] uint8, or [N, M//2] nibble-packed when code_bits=4
+    # [N, M] uint8, or [N, M//2] nibble-packed when code_bits=4; None =
+    # coarse→refine direct mode (keep_codes=False)
+    codes: typ.Optional[jax.Array]
     coarse_codes: typ.Optional[jax.Array] = None  # [N, dc] int8 (None = exhaustive ADC)
     coarse_scale: typ.Optional[jax.Array] = None  # [1, dc] f32
     proj: typ.Optional[jax.Array] = None  # [D, dc] f32 (PCA projection, coarse stage)
@@ -194,6 +203,7 @@ def build_pq_index(
     approx_recall: typ.Optional[float] = 0.95,
     code_bits: int = 8,
     aniso_eta: pq_ops.AnisoEta = None,
+    keep_codes: bool = True,
 ) -> PQIndex:
     """Build a PQ index (parity: faiss `OPQ{M}_{d},IVFauto,PQ{M}x8[,RFlat]`;
     code_bits=4 is the fast-scan `PQ{M}x4fs` codec — 16-entry codebooks,
@@ -204,6 +214,10 @@ def build_pq_index(
     scan (+coarse_dim B/vector) for cheaper candidate generation at large N.
     refine='int8'|'bfloat16'|'float32' stores raw rows for exact re-ranking of
     the ADC top (k_factor * k).
+
+    `keep_codes=False` (requires coarse_dim + refine) skips PQ training and
+    drops the codes entirely: the coarse scan's top k_factor*k feed the exact
+    re-rank directly — the serving codec (see PQIndex docstring).
 
     CAUTION: size `coarse_dim` to the data's spectrum. The coarse PCA filter
     works because real embedding matrices concentrate variance in the top
@@ -217,17 +231,22 @@ def build_pq_index(
         raise ValueError(f"code_bits must be 8 or 4, got {code_bits}")
     if code_bits == 4 and n_subquantizers % 2:
         raise ValueError("code_bits=4 requires an even n_subquantizers (nibble packing)")
+    if not keep_codes and (coarse_dim is None or refine == "none"):
+        raise ValueError("keep_codes=False requires coarse_dim and a refine store")
     n_codes = 1 << code_bits
     pad_multiple = _auto_pad_multiple(n_real, pad_multiple)
     x = vectors.astype(jnp.float32)
     train = x if train_size is None or train_size >= n_real else x[:train_size]
 
-    # OPQ rotation balances subspace energies (faiss OPQ{M}_{d} parity);
-    # aniso_eta switches to the score-aware ScaNN objective (beyond faiss)
-    rotation, codebooks, aniso_resolved = pq_ops.train_pq_codebooks(
-        rng, train, n_subquantizers, n_codes=n_codes, kmeans_iters=kmeans_iters,
-        use_opq=use_opq, opq_iters=opq_iters, aniso_eta=aniso_eta,
-    )
+    if keep_codes:
+        # OPQ rotation balances subspace energies (faiss OPQ{M}_{d} parity);
+        # aniso_eta switches to the score-aware ScaNN objective (beyond faiss)
+        rotation, codebooks, aniso_resolved = pq_ops.train_pq_codebooks(
+            rng, train, n_subquantizers, n_codes=n_codes, kmeans_iters=kmeans_iters,
+            use_opq=use_opq, opq_iters=opq_iters, aniso_eta=aniso_eta,
+        )
+    else:
+        rotation, codebooks, aniso_resolved = None, jnp.zeros((1, 1, 1), jnp.float32), None
     x_rot = x if rotation is None else x @ rotation
     train_rot = train if rotation is None else train @ rotation
 
@@ -240,10 +259,12 @@ def build_pq_index(
         coarse_codes, coarse_scale = pq_ops.quantize_int8(coarse, axis=0)
         coarse_codes = _pad_rows(coarse_codes, pad_multiple)
 
-    codes = pq_ops.encode_pq_auto(codebooks, x_rot, eta=aniso_resolved)
-    if code_bits == 4:
-        codes = _pack_codes4(codes)
-    codes = _pad_rows(codes, pad_multiple)
+    codes = None
+    if keep_codes:
+        codes = pq_ops.encode_pq_auto(codebooks, x_rot, eta=aniso_resolved)
+        if code_bits == 4:
+            codes = _pack_codes4(codes)
+        codes = _pad_rows(codes, pad_multiple)
     refine_codes, refine_scale, refine_proj = _build_refine(
         x, refine, pad_multiple, refine_dim=refine_dim, train=train
     )
@@ -583,7 +604,7 @@ def _refine_rerank(
     cand_i are LOCAL row ids (offset not yet applied). Gathers [B, K, D] raw
     rows — K = k_factor * top_k, so the gather is tiny relative to the scan.
     """
-    n = index.codes.shape[0]
+    n = index.refine_codes.shape[0]
     safe = jnp.clip(cand_i, 0, n - 1)
     raw = index.refine_codes[safe]  # [B, K, R]
     if index.refine_proj is not None:  # truncated-PCA refine: project queries
@@ -619,9 +640,12 @@ def pq_search(
     if q is None:
         raise ValueError("pq_search requires queries.vector")
     b, d = q.shape
-    n = index.codes.shape[0]
     exhaustive = index.coarse_codes is None
     do_refine = index.refine_codes is not None
+    direct = index.codes is None  # coarse→refine, no ADC stage (keep_codes=False)
+    if direct and (exhaustive or not do_refine):
+        raise ValueError("PQIndex built with keep_codes=False requires coarse + refine stores")
+    n = (index.coarse_codes if direct else index.codes).shape[0]
     if exhaustive:
         if do_refine and index.code_bits == 8:
             # int8 one-hot decode path: [chunk, M, 256] int8 temp (512MB at
@@ -649,7 +673,7 @@ def pq_search(
     # and OOMed HBM).
     m_sub = index.codebooks.shape[0]
     r_dim = index.refine_codes.shape[-1] if do_refine else 0
-    per_q = (n_cand * m_sub if not exhaustive else 0) + n_pool * r_dim
+    per_q = (n_cand * m_sub if not (exhaustive or direct) else 0) + n_pool * r_dim
     qchunk = max(8, _PQ_RESCORE_ELEMS // max(1, per_q))
     if b > qchunk:
         pad = (-b) % qchunk
@@ -730,29 +754,42 @@ def pq_search(
             )
     else:
         # Stage 1: coarse scores over all rows via the projected int8 corpus.
+        # The coarse query is row-quantized to int8 so the scan runs on the
+        # int8 MXU path (2x the bf16 rate); the positive per-row scale
+        # preserves ordering and factors back out of the int32 accumulator.
         q_proj = (q_eff @ index.proj) * index.coarse_scale  # [B, dc]
+        q_cr = jnp.maximum(jnp.max(jnp.abs(q_proj), axis=-1, keepdims=True), 1e-8) / 127.0
+        q_ci8 = jnp.clip(jnp.round(q_proj / q_cr), -127, 127).astype(jnp.int8)
 
         def score_chunk(start: jax.Array) -> jax.Array:
             v = jax.lax.dynamic_slice_in_dim(index.coarse_codes, start, chunk, axis=0)
-            s = jnp.dot(q_proj, v.T.astype(jnp.float32), preferred_element_type=jnp.float32)
-            return _mask_chunk(s, start)
+            acc = jax.lax.dot_general(
+                q_ci8, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            return _mask_chunk(acc.astype(jnp.float32) * q_cr, start)
 
+        # coarse→refine direct: the scan's top pool feeds the re-rank with no
+        # ADC stage in between (candidate pool = k_factor * top_k)
+        n_stage1 = n_pool if direct else n_cand
         cand_s, cand_i = _scan_collect_topk(
-            score_chunk, n, index.n_real, b, n_cand, chunk,
+            score_chunk, n, index.n_real, b, n_stage1, chunk,
             approx_recall=approx_recall, concentrated=filtered,
         )
 
-        # Stage 2: ADC rescore of the candidates (B * n_cand * M bytes gather).
-        safe_i = jnp.clip(cand_i, 0, n - 1)
-        cand_codes = index.codes[safe_i]  # [B, n_cand, M (or M//2 packed)]
-        if index.code_bits == 4:
-            cand_codes = _unpack_codes4(cand_codes)
-        lut = pq_ops.adc_lut(index.codebooks, q_eff)
-        adc = pq_ops.adc_score_codes(lut, cand_codes)  # [B, n_cand]
-        adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
-        k_pool = min(n_pool, adc.shape[-1])
-        pool_s, pos = jax.lax.top_k(adc, k_pool)
-        pool_i = jnp.take_along_axis(cand_i, pos, axis=-1)
+        if direct:
+            pool_s, pool_i = cand_s, cand_i
+        else:
+            # Stage 2: ADC rescore of the candidates (B * n_cand * M bytes gather).
+            safe_i = jnp.clip(cand_i, 0, n - 1)
+            cand_codes = index.codes[safe_i]  # [B, n_cand, M (or M//2 packed)]
+            if index.code_bits == 4:
+                cand_codes = _unpack_codes4(cand_codes)
+            lut = pq_ops.adc_lut(index.codebooks, q_eff)
+            adc = pq_ops.adc_score_codes(lut, cand_codes)  # [B, n_cand]
+            adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
+            k_pool = min(n_pool, adc.shape[-1])
+            pool_s, pos = jax.lax.top_k(adc, k_pool)
+            pool_i = jnp.take_along_axis(cand_i, pos, axis=-1)
 
     if pool_s.shape[-1] < top_k:  # tiny corpus / n_candidates < k
         pad = top_k - pool_s.shape[-1]
@@ -903,6 +940,7 @@ def build_pq_index_from_host(
     approx_recall: typ.Optional[float] = 0.95,
     code_bits: int = 8,
     aniso_eta: pq_ops.AnisoEta = None,
+    keep_codes: bool = True,
 ) -> PQIndex:
     """PQ build for corpora larger than device HBM: train on a sample, then
     encode host slabs on device one at a time (parity: faiss's chunked
@@ -913,6 +951,8 @@ def build_pq_index_from_host(
     in the truncated-PCA space) for the exact re-rank stage — scale/projection
     come from the training sample, applied slab-by-slab. bf16/f32 refine is
     refused here: at host-slab scale it defeats the point.
+    `keep_codes=False` (requires coarse_dim + refine) builds the serving
+    codec: coarse scan -> direct refine, no PQ codes at all.
     """
     import numpy as np
 
@@ -924,14 +964,19 @@ def build_pq_index_from_host(
         raise ValueError(f"code_bits must be 8 or 4, got {code_bits}")
     if code_bits == 4 and n_subquantizers % 2:
         raise ValueError("code_bits=4 requires an even n_subquantizers (nibble packing)")
+    if not keep_codes and (coarse_dim is None or refine == "none"):
+        raise ValueError("keep_codes=False requires coarse_dim and a refine store")
     n_codes = 1 << code_bits
     n_real, d = vectors_np.shape
     train = jnp.asarray(np.ascontiguousarray(vectors_np[:train_size]), dtype=jnp.float32)
 
-    rotation, codebooks, aniso_resolved = pq_ops.train_pq_codebooks(
-        rng, train, n_subquantizers, n_codes=n_codes, kmeans_iters=kmeans_iters,
-        use_opq=use_opq, opq_iters=4, aniso_eta=aniso_eta,
-    )
+    if keep_codes:
+        rotation, codebooks, aniso_resolved = pq_ops.train_pq_codebooks(
+            rng, train, n_subquantizers, n_codes=n_codes, kmeans_iters=kmeans_iters,
+            use_opq=use_opq, opq_iters=4, aniso_eta=aniso_eta,
+        )
+    else:
+        rotation, codebooks, aniso_resolved = None, jnp.zeros((1, 1, 1), jnp.float32), None
     train_rot = train if rotation is None else train @ rotation
     proj = coarse_scale = None
     if coarse_dim is not None:
@@ -954,9 +999,11 @@ def build_pq_index_from_host(
     @jax.jit
     def encode_slab(x):
         xr = x @ rotation if rotation is not None else x
-        codes = pq_ops.encode_pq_auto(codebooks, xr, eta=aniso_resolved)
-        if code_bits == 4:
-            codes = _pack_codes4(codes)
+        codes = None
+        if keep_codes:
+            codes = pq_ops.encode_pq_auto(codebooks, xr, eta=aniso_resolved)
+            if code_bits == 4:
+                codes = _pack_codes4(codes)
         coarse = None
         if proj is not None:
             coarse = jnp.clip(jnp.round((xr @ proj) / coarse_scale), -127, 127).astype(jnp.int8)
@@ -969,14 +1016,15 @@ def build_pq_index_from_host(
     pad_multiple = _auto_pad_multiple(n_real, None)
     n_pad = -(-n_real // pad_multiple) * pad_multiple
     code_cols = n_subquantizers // 2 if code_bits == 4 else n_subquantizers
-    codes_np = np.zeros((n_pad, code_cols), np.uint8)
+    codes_np = np.zeros((n_pad, code_cols), np.uint8) if keep_codes else None
     coarse_np = np.zeros((n_pad, coarse_dim), np.int8) if coarse_dim is not None else None
     r_dim = d if refine_dim is None else min(refine_dim, d)
     refine_np = np.zeros((n_pad, r_dim), np.int8) if refine == "int8" else None
     for s0 in range(0, n_real, slab):
         x = jnp.asarray(np.ascontiguousarray(vectors_np[s0 : s0 + slab]), dtype=jnp.float32)
         c, cc, rr = encode_slab(x)
-        codes_np[s0 : s0 + x.shape[0]] = np.asarray(c)
+        if codes_np is not None:
+            codes_np[s0 : s0 + x.shape[0]] = np.asarray(c)
         if coarse_np is not None:
             coarse_np[s0 : s0 + x.shape[0]] = np.asarray(cc)
         if refine_np is not None:
@@ -987,7 +1035,7 @@ def build_pq_index_from_host(
         subset_ids = _pad_rows(subset_ids.astype(jnp.int32)[:, None], pad_multiple)[:, 0]
     return PQIndex(
         codebooks=codebooks,
-        codes=jax.device_put(codes_np),
+        codes=None if codes_np is None else jax.device_put(codes_np),
         coarse_codes=None if coarse_np is None else jax.device_put(coarse_np),
         coarse_scale=coarse_scale,
         proj=proj,

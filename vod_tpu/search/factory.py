@@ -136,6 +136,7 @@ def build_dense_from_config(
             subset_ids=subset_ids,
             approx_recall=cfg.approx_recall,
             aniso_eta=cfg.aniso_eta,
+            keep_codes=cfg.keep_codes,
         )
     elif cfg.codec == "ivfpq":
         index = build_ivfpq_index(
@@ -260,6 +261,7 @@ def build_dense_from_host(
             subset_ids=subset_ids,
             approx_recall=cfg.approx_recall,
             aniso_eta=cfg.aniso_eta,
+            keep_codes=cfg.keep_codes,
         )
         if cfg.sharded and mesh is not None:
             return shard_pq_index(index, mesh, axis=cfg.shard_axis)

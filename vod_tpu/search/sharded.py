@@ -255,7 +255,7 @@ def shard_pq_index(
         return _pad_rows(x[: index.n_real] if x.shape[0] >= index.n_real else x, mult)
 
     row_sharded = NamedSharding(mesh, P(axis, None))
-    codes = jax.device_put(repad2(index.codes), row_sharded)
+    codes = None if index.codes is None else jax.device_put(repad2(index.codes), row_sharded)
     coarse = None
     if index.coarse_codes is not None:
         coarse = jax.device_put(repad2(index.coarse_codes), row_sharded)
@@ -286,7 +286,7 @@ def shard_pq_index(
         refine_scale=rep_opt(index.refine_scale),
         refine_proj=rep_opt(index.refine_proj),
         n_real=index.n_real,
-        rows_per_shard=codes.shape[0] // n_shards,
+        rows_per_shard=(codes if codes is not None else coarse).shape[0] // n_shards,
         axis=axis,
         mesh=mesh,
         n_candidates=index.n_candidates,
@@ -318,6 +318,9 @@ def sharded_pq_search(
     n_shards = mesh.shape[axis]
     rows = index.rows_per_shard
     exhaustive = index.coarse_codes is None
+    direct = index.codes is None  # coarse→refine, no ADC (keep_codes=False)
+    if direct and (exhaustive or index.refine_codes is None):
+        raise ValueError("ShardedPQIndex with codes=None requires coarse + refine stores")
     if exhaustive:
         if index.refine_codes is not None and index.code_bits == 8:
             chunk = min(chunk, 32768)  # int8 one-hot decode: [chunk, M, 256] temp
@@ -398,25 +401,36 @@ def sharded_pq_search(
                     approx_recall=index.approx_recall,
                 )
         else:
+            # int8 MXU coarse scan: per-row quantized query (identical math to
+            # the unsharded pq_search so sharded == unsharded holds exactly)
             q_proj = (q_eff @ index.proj) * index.coarse_scale  # [B, dc]
+            q_cr = jnp.maximum(jnp.max(jnp.abs(q_proj), axis=-1, keepdims=True), 1e-8) / 127.0
+            q_ci8 = jnp.clip(jnp.round(q_proj / q_cr), -127, 127).astype(jnp.int8)
 
             def score_chunk(start):
                 v = jax.lax.dynamic_slice_in_dim(coarse, start, chunk, axis=0)
-                s = jnp.dot(q_proj, v.T.astype(jnp.float32), preferred_element_type=jnp.float32)
-                return _mask_chunk(s, start)
+                acc = jax.lax.dot_general(
+                    q_ci8, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+                )
+                return _mask_chunk(acc.astype(jnp.float32) * q_cr, start)
 
+            n_stage1 = n_pool if direct else n_cand
             cand_s, cand_i = _scan_collect_topk(
-                score_chunk, rows, rows, b, n_cand, chunk,
+                score_chunk, rows, rows, b, n_stage1, chunk,
                 approx_recall=index.approx_recall, concentrated=filtered,
             )
-            # ADC rescore of the local candidates against the local codes
-            safe_i = jnp.clip(cand_i, 0, rows - 1)
-            cand_codes = unpack(codes[safe_i])  # [B, n_cand, M (unpacked)]
-            lut = pq_ops.adc_lut(index.codebooks, q_eff)
-            adc = pq_ops.adc_score_codes(lut, cand_codes)
-            adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
-            pool_s, pos = jax.lax.top_k(adc, min(n_pool, adc.shape[-1]))
-            pool_i = jnp.take_along_axis(cand_i, pos, axis=-1)
+            if direct:
+                # coarse→refine direct (keep_codes=False): no ADC stage
+                pool_s, pool_i = cand_s, cand_i
+            else:
+                # ADC rescore of the local candidates against the local codes
+                safe_i = jnp.clip(cand_i, 0, rows - 1)
+                cand_codes = unpack(codes[safe_i])  # [B, n_cand, M (unpacked)]
+                lut = pq_ops.adc_lut(index.codebooks, q_eff)
+                adc = pq_ops.adc_score_codes(lut, cand_codes)
+                adc = jnp.where(jnp.isfinite(cand_s), adc, -jnp.inf)
+                pool_s, pos = jax.lax.top_k(adc, min(n_pool, adc.shape[-1]))
+                pool_i = jnp.take_along_axis(cand_i, pos, axis=-1)
 
         if do_refine:
             safe = jnp.clip(pool_i, 0, rows - 1)
@@ -457,7 +471,7 @@ def sharded_pq_search(
         return jnp.where(jnp.isfinite(out_s), out_s, -jnp.inf), out_i
 
     in_specs = (
-        P(axis, None),
+        P(axis, None) if index.codes is not None else None,
         P(axis, None) if index.coarse_codes is not None else None,
         P(axis) if index.subset_ids is not None else None,
         P(axis) if index.corpus_shard is not None else None,
