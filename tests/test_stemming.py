@@ -1,0 +1,137 @@
+"""Porter stemmer: canonical-cases + native/fallback parity + BM25 quality.
+
+Parity: ES language analyzers stem (reference `vod_configs/utils/es_body.py:32`
+— the `english` analyzer pipeline is lowercase -> stop -> porter_stem). The
+stemmer exists twice (native `analyzer.cpp` and `native/porter.py`); these
+tests keep the two in lock-step and prove stemming recovers morphology-variant
+matches BM25 misses unstemmed.
+"""
+
+import numpy as np
+import pytest
+
+from vod_tpu.native.porter import porter_stem
+
+# (word, stem) pairs from Porter (1980) — every example in the paper's rules
+CANONICAL = [
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"), ("caress", "caress"),
+    ("cats", "cat"), ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("bled", "bled"), ("motoring", "motor"), ("sing", "sing"), ("conflated", "conflat"),
+    ("troubled", "troubl"), ("sized", "size"), ("hopping", "hop"), ("tanned", "tan"),
+    ("falling", "fall"), ("hissing", "hiss"), ("fizzed", "fizz"), ("failing", "fail"),
+    ("filing", "file"), ("happy", "happi"), ("sky", "sky"), ("relational", "relat"),
+    ("conditional", "condit"), ("rational", "ration"), ("valenci", "valenc"),
+    ("hesitanci", "hesit"), ("digitizer", "digit"), ("conformabli", "conform"),
+    ("radicalli", "radic"), ("differentli", "differ"), ("vileli", "vile"),
+    ("analogousli", "analog"), ("vietnamization", "vietnam"), ("predication", "predic"),
+    ("operator", "oper"), ("feudalism", "feudal"), ("decisiveness", "decis"),
+    ("hopefulness", "hope"), ("callousness", "callous"), ("formaliti", "formal"),
+    ("sensitiviti", "sensit"), ("sensibiliti", "sensibl"), ("triplicate", "triplic"),
+    ("formative", "form"), ("formalize", "formal"), ("electriciti", "electr"),
+    ("electrical", "electr"), ("hopeful", "hope"), ("goodness", "good"),
+    ("revival", "reviv"), ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("gyroscopic", "gyroscop"), ("adjustable", "adjust"),
+    ("defensible", "defens"), ("irritant", "irrit"), ("replacement", "replac"),
+    ("adjustment", "adjust"), ("dependent", "depend"), ("adoption", "adopt"),
+    ("homologou", "homolog"), ("communism", "commun"), ("activate", "activ"),
+    ("angulariti", "angular"), ("homologous", "homolog"), ("effective", "effect"),
+    ("bowdlerize", "bowdler"), ("probate", "probat"), ("rate", "rate"),
+    ("cease", "ceas"), ("controll", "control"), ("roll", "roll"),
+]
+
+
+def test_porter_canonical_cases() -> None:
+    bad = [(w, porter_stem(w), s) for w, s in CANONICAL if porter_stem(w) != s]
+    assert not bad, bad
+
+
+def test_porter_native_matches_python() -> None:
+    """The C++ stemmer must agree with porter.py token-for-token — on the
+    canonical pairs AND a randomized suffix soup."""
+    import ctypes
+
+    from vod_tpu.native.loader import _get_lib
+
+    lib = _get_lib()
+    if lib is None:
+        pytest.skip("no C++ toolchain; python fallback is the only path")
+
+    def native_stem(word: str) -> str:
+        buf = ctypes.create_string_buffer(word.encode("ascii"), len(word) + 1)
+        n = lib.porter_stem_token(buf, len(word))
+        return buf.raw[:n].decode("ascii")
+
+    words = [w for w, _ in CANONICAL]
+    rng = np.random.default_rng(0)
+    stems = ["connect", "hope", "relate", "nation", "operate", "digitize", "xx"]
+    sufs = ["", "s", "es", "ed", "ing", "ional", "ization", "iveness", "able",
+            "ment", "ly", "li", "ful", "ness", "ation", "ator", "e", "y"]
+    for _ in range(300):
+        words.append(
+            str(rng.choice(stems)) + str(rng.choice(sufs)) + str(rng.choice(sufs))
+        )
+    bad = [(w, native_stem(w), porter_stem(w)) for w in words if native_stem(w) != porter_stem(w)]
+    assert not bad, bad[:10]
+
+
+def test_analyze_texts_stem_parity_and_merging() -> None:
+    """stem=True merges morphology variants into one term id, native ==
+    fallback, and stemming composes with stopword filtering."""
+    from vod_tpu.native.loader import _get_lib, _py_analyze, analyze_texts, fnv1a_id
+
+    texts = ["The connected connections are connecting!", "A connection connects."]
+    ids, counts = analyze_texts(texts, vocab_size=1 << 16, stem=True)
+    # all surviving tokens stem to "connect"
+    want = fnv1a_id("connect", 1 << 16)
+    for i in range(2):
+        assert counts[i] > 0
+        assert set(ids[i, : counts[i]].tolist()) == {want}, ids[i, : counts[i]]
+    # native and fallback agree exactly
+    if _get_lib() is not None:
+        for t, c_row, n_count in zip(texts, ids, counts):
+            py = _py_analyze(t, 1 << 16, 2, True, 512, True)
+            assert py == c_row[: n_count].tolist()
+    # unstemmed: variants hash apart
+    ids0, counts0 = analyze_texts(texts, vocab_size=1 << 16, stem=False)
+    assert len(set(ids0[0, : counts0[0]].tolist())) > 1
+
+
+def test_stemmed_bm25_recovers_morphology_variants() -> None:
+    """The BM25 quality proof: a query in one inflection retrieves a document
+    written in another ONLY with stemming; unstemmed recall on the variant
+    pairs is strictly lower (VERDICT r3 #5)."""
+    import jax.numpy as jnp
+
+    from vod_tpu.native import analyze_texts
+    from vod_tpu.search import SearchQueries, build_sparse_index_native, sparse_search
+
+    # each doc uses one inflection; each query uses ANOTHER inflection of the
+    # same lemma, padded with shared filler so BM25 must rely on the stem match
+    pairs = [
+        ("the engineers are optimizing the compiler pipeline", "optimized compilers"),
+        ("she studies retrieval augmentation daily", "studying augmented retrieval"),
+        ("the indexes were partitioned across devices", "partitioning an index"),
+        ("training converges after regularization", "converged regularized training"),
+        ("quantization reduces memory consumption", "quantized memories"),
+        ("the relational database normalizes tables", "relations normalized"),
+    ]
+    docs = [d for d, _ in pairs] + [
+        "completely unrelated text about cooking pasta",
+        "another filler document mentioning gardens and flowers",
+    ]
+    queries = [q for _, q in pairs]
+
+    def recall(stem: bool) -> float:
+        d_ids, d_counts = analyze_texts(docs, vocab_size=1 << 16, stem=stem)
+        terms = [d_ids[i, : d_counts[i]].tolist() for i in range(len(docs))]
+        index = build_sparse_index_native(terms, n_terms=1 << 16, max_postings=64)
+        q_ids, q_counts = analyze_texts(queries, vocab_size=1 << 16, max_terms=32, stem=stem)
+        q_arr = np.full((len(queries), 32), -1, np.int32)
+        for i in range(len(queries)):
+            q_arr[i, : q_counts[i]] = q_ids[i, : q_counts[i]]
+        out = sparse_search(index, SearchQueries(terms=jnp.asarray(q_arr)), top_k=1)
+        got = np.asarray(out.indices)[:, 0]
+        return float(np.mean(got == np.arange(len(queries))))
+
+    assert recall(stem=True) == 1.0
+    assert recall(stem=False) < recall(stem=True)

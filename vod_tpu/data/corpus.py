@@ -31,6 +31,8 @@ def tokenize_corpus(
     with_sparse_terms: bool = False,
     sparse_vocab_size: int = 1 << 18,
     sparse_max_terms: int = 512,
+    sparse_language: typ.Optional[str] = None,
+    sparse_stem: bool = False,
 ) -> dict[str, np.ndarray]:
     """Render + tokenize all sections.
 
@@ -70,7 +72,8 @@ def tokenize_corpus(
         from vod_tpu.native import analyze_texts
 
         terms, counts = analyze_texts(
-            texts, vocab_size=sparse_vocab_size, max_terms=sparse_max_terms
+            texts, vocab_size=sparse_vocab_size, max_terms=sparse_max_terms,
+            language=sparse_language, stem=sparse_stem,
         )
         out["terms"] = terms
         out["term_counts"] = counts
@@ -92,6 +95,8 @@ def tokenize_queries(
     with_sparse_terms: bool = False,
     sparse_vocab_size: int = 1 << 18,
     sparse_max_terms: int = 32,
+    sparse_language: typ.Optional[str] = None,
+    sparse_stem: bool = False,
 ) -> dict[str, np.ndarray]:
     """Render + tokenize a query list; resolve gold section ids + subset ids to
     int rows (parity: the collate's relevance-map extraction + subset filters).
@@ -143,7 +148,8 @@ def tokenize_queries(
         from vod_tpu.native import analyze_texts
 
         terms, counts = analyze_texts(
-            texts, vocab_size=sparse_vocab_size, max_terms=sparse_max_terms
+            texts, vocab_size=sparse_vocab_size, max_terms=sparse_max_terms,
+            language=sparse_language, stem=sparse_stem,
         )
         out["terms"] = terms
         out["term_counts"] = counts

@@ -40,6 +40,8 @@ class RealmDataloader:
         with_answers: bool = False,
         with_sparse_terms: bool = False,
         sparse_vocab_size: int = 1 << 18,
+        sparse_language: str | None = None,
+        sparse_stem: bool = False,
     ):
         self.rows = list(queries)
         self.tokenizer = tokenizer
@@ -55,6 +57,8 @@ class RealmDataloader:
         self.with_answers = with_answers
         self.with_sparse_terms = with_sparse_terms
         self.sparse_vocab_size = sparse_vocab_size
+        self.sparse_language = sparse_language
+        self.sparse_stem = sparse_stem
         self._probs = None
         if self.config.sampler is not None:
             self._probs = dl_sampler_factory(self.config.sampler)(self.rows)
@@ -87,6 +91,8 @@ class RealmDataloader:
             with_answers=self.with_answers,
             with_sparse_terms=self.with_sparse_terms,
             sparse_vocab_size=self.sparse_vocab_size,
+            sparse_language=self.sparse_language,
+            sparse_stem=self.sparse_stem,
         )
         shard = None
         if self.shard_map is not None:

@@ -250,6 +250,8 @@ def run_experiment(
         max_length=exp.tokenizer.max_length,
         templates=exp.templates,
         with_sparse_terms=True,
+        sparse_language=sparse_cfg.language,
+        sparse_stem=sparse_cfg.stem,
     )
     corpus = DeviceCorpus(
         input_ids=jnp.asarray(enc["input_ids"]),
@@ -281,6 +283,8 @@ def run_experiment(
         max_length=exp.tokenizer.max_length,
         with_answers=with_lm,
         with_sparse_terms=True,
+        sparse_language=sparse_cfg.language,
+        sparse_stem=sparse_cfg.stem,
     )
     val_dl_batches = None
     if val_queries is not None:
@@ -289,6 +293,7 @@ def run_experiment(
             config=DataLoaderConfig(batch_size=exp.dataloader.batch_size, shuffle=False),
             templates=exp.templates, id_map=enc["id_map"], subset_id_map=enc["subset_id_map"],
             max_length=exp.tokenizer.max_length, with_answers=with_lm, with_sparse_terms=True,
+            sparse_language=sparse_cfg.language, sparse_stem=sparse_cfg.stem,
         )
         val_dl_batches = list(val_dl.epoch(seed=0))
 

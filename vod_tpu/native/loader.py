@@ -70,8 +70,10 @@ def _compile() -> typ.Optional[ctypes.CDLL]:
         ctypes.c_int,
         np.ctypeslib.ndpointer(np.int32, flags="C"),
         np.ctypeslib.ndpointer(np.int32, flags="C"),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    lib.porter_stem_token.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.porter_stem_token.restype = ctypes.c_int
     lib.build_postings.argtypes = [
         np.ctypeslib.ndpointer(np.int32, flags="C"),
         np.ctypeslib.ndpointer(np.int64, flags="C"),
@@ -104,13 +106,20 @@ def fnv1a_id(token: str, vocab_size: int) -> int:
     return h & (vocab_size - 1)
 
 
-def _py_analyze(text: str, vocab_size: int, min_len: int, use_stopwords: bool, max_terms: int) -> list[int]:
+def _py_analyze(
+    text: str, vocab_size: int, min_len: int, use_stopwords: bool, max_terms: int,
+    use_stemmer: bool = False,
+) -> list[int]:
     out = []
     for token in _TOKEN_RE.findall(text.lower()):
         if len(token) < min_len:
             continue
         if use_stopwords and token in _STOPWORDS:
             continue
+        if use_stemmer and token.isascii():
+            from .porter import porter_stem
+
+            token = porter_stem(token)
         h = _FNV_OFFSET
         for byte in token.encode("utf-8"):
             h = ((h ^ byte) * _FNV_PRIME) & _MASK64
@@ -128,6 +137,7 @@ def analyze_texts(
     use_stopwords: bool = True,
     max_terms: int = 512,
     language: typ.Optional[str] = None,
+    stem: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Tokenize + hash a batch of texts.
 
@@ -135,6 +145,9 @@ def analyze_texts(
     must be a power of two (FNV hash mask). `language` filters that language's
     stopword list post-hoc by hashed id (parity: ES `__auto_stopwords__`
     language analyzers, `es_body.py:101`); English is filtered in-kernel.
+    `stem=True` Porter-stems ASCII tokens after the stopword filter (parity:
+    ES `<lang>` analyzers stem — the English pipeline is lowercase -> stop ->
+    porter_stem, `es_body.py:32`). Non-ASCII tokens pass through unstemmed.
     """
     assert vocab_size & (vocab_size - 1) == 0, "vocab_size must be a power of two"
     n = len(texts)
@@ -151,14 +164,15 @@ def analyze_texts(
             offsets[i + 1] = offsets[i] + len(blob) + 1
         buf = b"\x00".join(blobs) + b"\x00"
         lib.analyze_batch(
-            buf, offsets, n, out_ids, counts, max_terms, vocab_size, min_len, int(use_stopwords)
+            buf, offsets, n, out_ids, counts, max_terms, vocab_size, min_len,
+            int(use_stopwords), int(stem),
         )
         # native writes ids contiguously; pad the tail
         for i in range(n):
             out_ids[i, counts[i]:] = -1
     else:
         for i, t in enumerate(texts):
-            ids = _py_analyze(t, vocab_size, min_len, use_stopwords, max_terms)
+            ids = _py_analyze(t, vocab_size, min_len, use_stopwords, max_terms, stem)
             counts[i] = len(ids)
             out_ids[i, : len(ids)] = ids
 
