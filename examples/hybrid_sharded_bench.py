@@ -4,8 +4,20 @@ over 2 devices.
 No multi-chip hardware exists in this environment, so this runs on a 2-device
 virtual CPU mesh (the same mechanism the driver's `dryrun_multichip` uses) and
 reports correctness (sharded == unsharded ids) plus the sharded/unsharded
-latency ratio — the number that must stay ~1 for the ICI merge design to be
-sound. Invoked by bench.py as a subprocess with JAX_PLATFORMS=cpu.
+latency ratio. Invoked by bench.py as a subprocess with JAX_PLATFORMS=cpu.
+
+On the ratio (`vs_baseline` ~0.8, not ~1.0): profiled decomposition (r4) —
+the ALGORITHMIC overhead of sharding (two per-shard top-ks + cross-shard
+merge instead of one top-k) is <= 0 here: scanning the two halves serially
+and merging in plain jit measured FASTER than the single full scan (308 vs
+339 ms on the dense engine alone), and `shard_map` over a 1-DEVICE mesh
+matches unsharded (291 ms). The ~20% only appears with 2 virtual devices
+time-slicing ONE physical core (346 ms): XLA-CPU runs each partition in its
+own thread and synchronizes them at every emulated collective, so the
+single-core host pays thread ping-pong that real multi-chip ICI does not —
+on real hardware each shard also has its own chip, halving the scan wall.
+The assertion below bounds the artifact rather than demanding ratio ~1 on a
+mesh that cannot deliver it by construction.
 
 Run standalone:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=2 \
@@ -109,6 +121,10 @@ def main() -> None:
         overlaps.append(len(got_set & ref_set) / max(len(ref_set), 1))
     agreement = float(np.mean(overlaps))
     assert agreement >= 0.9, agreement
+    # virtual-mesh artifact bound (see module docstring): two partitions on
+    # one physical core cost ~20% thread ping-pong; anything worse than 40%
+    # would indicate a real regression in the sharded program itself
+    assert t_un / t_sh >= 0.6, (t_un, t_sh)
 
     result = {
         "metric": (
