@@ -120,6 +120,10 @@ def main():
     ap.add_argument("--n", type=int, default=8_841_823)
     ap.add_argument("--requests", type=int, default=128)
     ap.add_argument("--clients", type=int, default=16)
+    # coalescing window: size it to the dispatch cost, not below the host's
+    # request-arrival jitter — a too-small window fragments batches (measured
+    # on this 1-core host: 4 ms -> 2.4 rows/dispatch, 25 ms -> full buckets)
+    ap.add_argument("--window_ms", type=float, default=25.0)
     args = ap.parse_args()
 
     log(f"building serving index at n={args.n}")
@@ -128,17 +132,15 @@ def main():
     log(f"built in {time.time()-t0:.0f}s")
     engines = HybridEngines(dense=index)
 
-    # warm both request shapes (single + the batcher's padded buckets)
-    from vod_tpu.search.hybrid import hybrid_search
-
-    for b in (1, 2, 4, 8, 16):
-        np.asarray(hybrid_search(
-            engines, SearchQueries(vector=jnp.asarray(q_pool[:b])), K
-        )[0].indices)
-
     out = {"n": args.n, "requests": args.requests, "clients": args.clients}
-    for label, window in (("uncoalesced", 0.0), ("coalesced", 4.0)):
+    for label, window in (("uncoalesced", 0.0), ("coalesced", args.window_ms)):
         with SearchServer(engines, batch_window_ms=window, max_batch=16) as srv:
+            # pre-compile every padded bucket through the server's own jitted
+            # dispatch — without this the first request per bucket pays a full
+            # TPU compile inside its measured latency
+            log(f"{label}: warming buckets")
+            srv.warmup({"vector": q_pool[:1]}, top_k=K,
+                       batch_sizes=(1, 2, 4, 8, 16))
             # sequential singles: pure per-request latency floor
             seq = run_clients(srv.url, q_pool, 32, 1)
             # concurrent singles: what a loaded server delivers per request

@@ -226,3 +226,18 @@ def test_search_server_stats_endpoint() -> None:
             stats = _json.loads(r.read())
     assert stats["batching"] is True
     assert stats["requests"] == 1 and stats["dispatches"] == 1
+
+
+def test_search_server_warmup_precompiles_buckets() -> None:
+    """warmup() drives the jitted dispatch at every padded bucket size, so the
+    first real request per bucket hits a cached compile; results unaffected."""
+    rng = np.random.default_rng(5)
+    corpus = rng.normal(size=(150, 8)).astype("float32")
+    engines = HybridEngines(dense=build_dense_index(jnp.asarray(corpus), dtype="float32"))
+    with SearchServer(engines, batch_window_ms=1.0, max_batch=8) as srv:
+        srv.warmup({"vector": corpus[:1]}, top_k=5)
+        # one jitted fn per top_k; jax caches the (1,2,4,8)-row avals inside
+        assert list(srv._jit_cache) == [5]
+        out = SearchHttpClient(srv.url).search(vector=corpus[3:4] + 0.01, top_k=5)
+        exact = np.argsort(-(corpus[3:4] + 0.01) @ corpus.T, axis=-1)[:, :5]
+        assert np.array_equal(out.indices, exact)

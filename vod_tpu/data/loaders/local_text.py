@@ -41,13 +41,19 @@ def harvest_text_passages(
     passage_words: int = 48,
     min_words: int = 16,
     max_bytes_per_file: int = 1 << 20,
+    stride: typ.Optional[int] = None,
 ) -> list[dict]:
     """Harvest up to `n_passages` word-window passages from on-disk text.
 
     Each passage is `passage_words` consecutive word tokens from one file
     (code + prose both carry natural Zipfian statistics). Rows follow the
-    section schema: {id, content, title, subset_id}.
+    section schema: {id, content, title, subset_id}. `stride` < passage_words
+    yields overlapping windows — the same semantics as the sectioning
+    pipeline's overlap (`data/sectioning.py`; reference sentence/window
+    sectioning overlaps too) and the lever for corpora larger than the raw
+    on-disk word count.
     """
+    step = stride or passage_words
     out: list[dict] = []
     for p in _iter_files(roots, exts):
         try:
@@ -56,7 +62,7 @@ def harvest_text_passages(
             continue
         words = _WORD_RE.findall(text)
         title = p.stem
-        for s0 in range(0, max(0, len(words) - min_words), passage_words):
+        for s0 in range(0, max(0, len(words) - min_words), step):
             chunk = words[s0 : s0 + passage_words]
             if len(chunk) < min_words:
                 break

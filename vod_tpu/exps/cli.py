@@ -235,6 +235,21 @@ def run_experiment(
                 f"in sys.mesh_axes {list(mesh.axis_names)}"
             )
 
+    # --- effective-batch accounting (parity: the reference's accumulation
+    # resolver `resolvers.py:111` + the `hydra/patch/arch/*` batch_size
+    # blocks): when `trainer.batch_size` is set explicitly, `per_device`
+    # drives the dataloader and accumulate_grad_batches is inferred as
+    # ceil(effective / (per_device * dp_degree)) unless pinned by hand ---
+    dl_config = exp.dataloader
+    accumulate = exp.trainer.accumulate_grad_batches
+    bs = exp.trainer.batch_size
+    if bs.model_fields_set:
+        if "per_device" in bs.model_fields_set and bs.per_device != dl_config.batch_size:
+            dl_config = dl_config.model_copy(update={"batch_size": bs.per_device})
+        n_dp = mesh.shape[dp_axis] if (mesh is not None and dp_axis is not None) else 1
+        if accumulate == 1:
+            accumulate = max(1, -(-bs.effective // (n_dp * dl_config.batch_size)))
+
     if sections is None or queries is None:
         from vod_tpu.data.interface import load_queries, load_sections
         from vod_tpu.data.postprocessing import combine_datasets
@@ -276,7 +291,7 @@ def run_experiment(
     train_dl = RealmDataloader(
         list(queries),
         tokenizer,
-        config=exp.dataloader,
+        config=dl_config,
         templates=exp.templates,
         id_map=enc["id_map"],
         subset_id_map=enc["subset_id_map"],
@@ -320,7 +335,7 @@ def run_experiment(
         with_lm=with_lm,
         gradient_clip_val=exp.trainer.gradient_clip_val,
         in_batch_negatives=exp.collate.in_batch_negatives,
-        accumulate_grad_batches=exp.trainer.accumulate_grad_batches,
+        accumulate_grad_batches=accumulate,
         splade_query_k=exp.model.splade_query_k if exp.model.splade_encoder else None,
         gradcache_chunk_rows=exp.trainer.gradcache_chunk_rows,
     )
@@ -357,7 +372,7 @@ def run_experiment(
     state = TrainerState(
         max_steps=exp.trainer.max_steps,
         period=exp.trainer.period,
-        accumulate_grad_batches=exp.trainer.accumulate_grad_batches,
+        accumulate_grad_batches=accumulate,
         parameters={k: s.instantiate() for k, s in exp.trainer.parameters.items()},
     )
 
