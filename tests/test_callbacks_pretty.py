@@ -101,3 +101,46 @@ def test_render_retrieval_batch_html() -> None:
 
     html = render_retrieval_batch_html(B(), Tok())
     assert "w5 w6" in html and "w7 w8" in html and "+1.500" in html
+
+
+def test_export_module_upload_fsspec(tmp_path) -> None:
+    """upload_to= puts the export dir at an fsspec URL at fit end (parity:
+    the reference's gcs upload, `callbacks/export_module.py:23`; local fs
+    stands in for the bucket here)."""
+    params = {"params": {"encoder": {"w": jnp.ones((2, 2))}}}
+    remote = tmp_path / "remote"
+    cb = ExportModule(tmp_path / "export", upload_to=f"file://{remote}")
+    cb.on_fit_end(params=params, config={"a": 1})
+    up = remote / "export"
+    assert (up / "config.json").exists() and (up / "params").is_dir()
+    restored = load_export(up, {"params": {"encoder": {"w": jnp.zeros((2, 2))}}})
+    assert np.allclose(np.asarray(restored["params"]["encoder"]["w"]), 1.0)
+
+
+def test_format_helpers() -> None:
+    from vod_tpu.utils.pretty import human_format_bytes, human_format_nb, repr_array
+
+    assert human_format_nb(1_234_567) == "1.23M"
+    assert human_format_nb(999) == "999.00"
+    assert human_format_bytes(3 << 20, "MB") == "3.00 MB"
+    s = repr_array(jnp.zeros((4, 8), dtype=jnp.bfloat16))
+    assert "[4, 8]" in s and "bfloat16" in s
+
+
+def test_pprint_batch_stats_and_config(capsys) -> None:
+    from vod_tpu.utils.pretty import pprint_config
+
+    b = type("B", (), {})()
+    b.x = np.asarray([[1.0, 2.0], [3.0, np.inf]])
+    b.names = ["a", "b"]
+    b.flag = True
+
+    pprint_batch(b, header="b")
+    out = capsys.readouterr().out
+    assert "x" in out and "(2, 2)" in out
+    # stats column: finite min/mean/max + non-finite count
+    assert "min=1" in out and "1 non-finite" in out
+
+    pprint_config({"model": {"hidden": 8, "api_key": "SECRET"}, "lr": 1e-3}, header="cfg")
+    out = capsys.readouterr().out
+    assert "hidden" in out and "SECRET" not in out

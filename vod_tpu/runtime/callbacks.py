@@ -44,9 +44,17 @@ class ExportModule(Callback):
     `load_export` restores.
     """
 
-    def __init__(self, output_dir: str | pathlib.Path, submodules: typ.Optional[list[str]] = None):
+    def __init__(
+        self,
+        output_dir: str | pathlib.Path,
+        submodules: typ.Optional[list[str]] = None,
+        upload_to: typ.Optional[str] = None,
+    ):
         self.output_dir = pathlib.Path(output_dir)
         self.submodules = submodules
+        # remote destination (any fsspec URL — gs://, s3://, file://; parity:
+        # the reference's gcs upload, `callbacks/export_module.py:23`)
+        self.upload_to = upload_to
 
     def on_fit_end(self, *, params: typ.Any = None, tokenizer: typ.Any = None, config: typ.Any = None, **kw: typ.Any) -> None:
         import orbax.checkpoint as ocp
@@ -63,6 +71,21 @@ class ExportModule(Callback):
         if config is not None:
             cfg = config.model_dump_json() if hasattr(config, "model_dump_json") else json.dumps(config)
             (self.output_dir / "config.json").write_text(cfg)
+        if self.upload_to:
+            self.upload(self.upload_to)
+
+    def upload(self, url: str) -> None:
+        """Recursively put the export dir at an fsspec URL (gs://bucket/path,
+        s3://..., file:///...). Parity: the reference uploads the export to a
+        gcs bucket at fit end."""
+        import fsspec
+
+        fs, root = fsspec.core.url_to_fs(url)
+        # fsspec's dir-into-dir heuristics depend on whether the target
+        # exists; pin the layout to <url>/<export-dir-name>/** explicitly
+        dest = f"{root.rstrip('/')}/{self.output_dir.name}"
+        fs.makedirs(dest, exist_ok=True)
+        fs.put(f"{self.output_dir}/", dest, recursive=True)
 
 
 def load_export(output_dir: str | pathlib.Path, params_like: typ.Any) -> typ.Any:

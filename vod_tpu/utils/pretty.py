@@ -21,20 +21,65 @@ def _console():
         return None
 
 
-def _shape_dtype(v: typ.Any) -> str:
+def human_format_nb(num: float, precision: int = 2, base: float = 1000.0) -> str:
+    """1234567 -> '1.23M' (parity: `pretty/format.py:21`)."""
+    magnitude = 0
+    num = float(num)
+    while abs(num) >= base and magnitude < 6:
+        magnitude += 1
+        num /= base
+    return f"{num:.{precision}f}{['', 'K', 'M', 'B', 'T', 'P', 'E'][magnitude]}"
+
+
+def human_format_bytes(x: int, unit: str = "MB") -> str:
+    """Bytes -> '12.3 MB' (parity: `pretty/format.py:11`)."""
+    divisor = {"B": 1, "KB": 1 << 10, "MB": 1 << 20, "GB": 1 << 30, "TB": 1 << 40}[unit]
+    return f"{x / divisor:.2f} {unit}"
+
+
+def repr_array(x: typ.Any) -> str:
+    """One-line shape/dtype/device summary of an array (parity: `repr_tensor`)."""
+    dev = ""
+    if hasattr(x, "devices"):
+        try:
+            dev = f" @{next(iter(x.devices())).platform}"
+        except Exception:
+            dev = ""
+    return f"{type(x).__name__}[{', '.join(map(str, x.shape))}] {x.dtype}{dev}"
+
+
+def _properties(v: typ.Any) -> tuple[str, str]:
+    """(shape/dtype, stats) columns for one batch field (parity: the
+    reference's `infer_properties` table — shape, dtype, device, min/mean/max,
+    nan count; `print_batch.py:61`)."""
     if hasattr(v, "shape") and hasattr(v, "dtype"):
-        return f"{tuple(v.shape)} {v.dtype}"
-    return type(v).__name__
+        arr = np.asarray(v)
+        stats = ""
+        if arr.size and np.issubdtype(arr.dtype, np.number):
+            f = arr.astype(np.float64, copy=False)
+            finite = np.isfinite(f)
+            n_bad = int(arr.size - finite.sum())
+            if finite.any():
+                ff = f[finite]
+                stats = f"min={ff.min():.3g} mean={ff.mean():.3g} max={ff.max():.3g}"
+            if n_bad:
+                stats += f" ({n_bad} non-finite)"
+        return f"{tuple(v.shape)} {v.dtype}", stats
+    if isinstance(v, (list, tuple, set)):
+        return f"{type(v).__name__}[{len(v)}]", ""
+    return type(v).__name__, str(v)[:40] if isinstance(v, (int, float, str, bool)) else ""
 
 
-def pprint_batch(batch: typ.Any, header: str = "batch") -> None:
-    """Tabulate a batch's fields with shapes/dtypes (parity: `pprint_batch`)."""
-    items: list[tuple[str, str]] = []
+def pprint_batch(batch: typ.Any, header: str = "batch", stats: bool = True) -> None:
+    """Tabulate a batch's fields with shapes/dtypes (+min/mean/max/non-finite
+    when `stats`; parity: `pprint_batch`, `print_batch.py:246`)."""
+    items: list[tuple[str, str, str]] = []
     source = batch.__dict__ if hasattr(batch, "__dict__") else dict(batch)
     for k, v in source.items():
         if v is None or k in ("extras", "diagnostics"):
             continue
-        items.append((k, _shape_dtype(v)))
+        sd, st = _properties(v)
+        items.append((k, sd, st if stats else ""))
     console = _console()
     if console is not None:
         import rich.table
@@ -42,13 +87,55 @@ def pprint_batch(batch: typ.Any, header: str = "batch") -> None:
         table = rich.table.Table(title=header)
         table.add_column("field")
         table.add_column("shape / dtype")
-        for k, s in items:
-            table.add_row(k, s)
+        if stats:
+            table.add_column("stats")
+        for row in items:
+            table.add_row(*(row if stats else row[:2]))
         console.print(table)
     else:
         print(f"== {header} ==")
-        for k, s in items:
-            print(f"  {k:28s} {s}")
+        for k, sd, st in items:
+            print(f"  {k:28s} {sd:24s} {st}")
+
+
+def pprint_config(
+    config: typ.Any,
+    header: str = "config",
+    exclude: typ.Sequence[str] = ("api_key", "token", "password"),
+) -> None:
+    """Pretty-print a pydantic/dataclass/dict config tree, pruning secret keys
+    (parity: `pretty/print_config.py:17`)."""
+    if hasattr(config, "model_dump"):
+        data = config.model_dump()
+    elif hasattr(config, "__dict__") and not isinstance(config, dict):
+        data = dict(config.__dict__)
+    else:
+        data = dict(config)
+
+    def _prune(x: typ.Any) -> typ.Any:
+        if isinstance(x, dict):
+            return {k: _prune(v) for k, v in x.items() if not any(e in k.lower() for e in exclude)}
+        if isinstance(x, (list, tuple)):
+            return [_prune(v) for v in x]
+        return x
+
+    data = _prune(data)
+    console = _console()
+    try:
+        import yaml
+
+        text = yaml.safe_dump(data, sort_keys=False, default_flow_style=False)
+    except Exception:
+        import json
+
+        text = json.dumps(data, indent=2, default=str)
+    if console is not None:
+        import rich.panel
+        import rich.syntax
+
+        console.print(rich.panel.Panel(rich.syntax.Syntax(text, "yaml"), title=header))
+    else:
+        print(f"== {header} ==\n{text}")
 
 
 def pprint_metrics(metrics: typ.Mapping[str, typ.Any], header: str = "metrics") -> None:
