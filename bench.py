@@ -1,7 +1,9 @@
 """Driver benchmark: machine-captures the BASELINE.json configs, one JSON line
 per config (VERDICT r2 #4), headline (flat 1M dense MIPS) LAST.
 
-Configs (select with VOD_BENCH_CONFIGS=csv of {hybrid,msmarco,realm,flat}):
+Configs (select with VOD_BENCH_CONFIGS=csv of {hybrid,msmarco,realtext,realm,flat}):
+  realtext— real-text 1M: recall/QPS + BM25 stemming proof on real passages
+            (subprocess: examples/real_text_1m_bench.py; /tmp-cached embeds)
   hybrid  — #3: dense+BM25 sharded over 2 devices w/ subset filtering
             (2-device virtual CPU mesh subprocess; correctness + shard ratio)
   msmarco — #4: 8.8M x 768 compressed indexes — int8 (768 B/vec),
@@ -32,6 +34,15 @@ Field semantics (uniform across every emitted line, VERDICT r3 #4):
 Path selection is recall-floored: a faster path is only chosen if its
 MEASURED recall meets the line's floor (flat: 0.99; compressed 8.8M: 0.95) —
 the headline can no longer trade recall for QPS silently.
+
+CPU-comparator limits (faiss is not installed in this image): the BLAS
+matmul+topk proxy is a fair IndexFlatIP stand-in, so the flat `vs_baseline`
+ratio is meaningful. It is NOT a fair proxy for faiss's SIMD fast-scan PQ
+(`PQ128x4fs` scans 4-bit LUTs in registers, far faster than a BLAS scan), so
+NO `vs_baseline` is claimed on any compressed-codec line — those report
+absolute QPS + recall@10 vs exact-f32 GT at stated bytes/vector only. If a
+faiss wheel ever lands in this image, wire `faiss.IndexPQ`/`index_factory`
+into bench_msmarco for a direct measurement.
 """
 
 import functools
@@ -125,24 +136,31 @@ def bench_hybrid() -> None:
 # --------------------------------------------------------------------------- #
 
 
-def _serve_ms_block(sfn, index, make_queries, d, sb=64, reps=3):
-    """Marginal serving-block wall: 9-block vs 1-block lax.map (RTT cancels)."""
+def _serve_ms_block(sfn, index, make_queries, d, sb=64, reps=3, blocks=9):
+    """Marginal serving-block wall: `blocks`-block vs 1-block lax.map (RTT
+    cancels). If the marginal falls below the relay noise floor (cheap
+    kernels), fall back to the amortized per-block wall of the multi-block
+    run — a conservative upper bound."""
     import jax
     import jax.numpy as jnp
 
     p_one = [jnp.asarray(make_queries(sb, seed=100 + i)[None]) for i in range(reps)]
-    p_nine = [
-        jnp.asarray(np.stack([make_queries(sb, seed=200 + 9 * i + j) for j in range(9)]))
+    p_many = [
+        jnp.asarray(np.stack(
+            [make_queries(sb, seed=200 + blocks * i + j) for j in range(blocks)]
+        ))
         for i in range(reps)
     ]
     fb = jax.jit(lambda ix, qb: jax.lax.map(lambda v: sfn(ix, v), qb))
     np.asarray(fb(index, p_one[0])[0, 0, 0])
-    np.asarray(fb(index, p_nine[0])[0, 0, 0])
-    w1 = w9 = float("inf")
+    np.asarray(fb(index, p_many[0])[0, 0, 0])
+    w1 = wn = float("inf")
     for i in range(reps):
         t = time.time(); np.asarray(fb(index, p_one[i])[-1, -1]); w1 = min(w1, time.time() - t)
-        t = time.time(); np.asarray(fb(index, p_nine[i])[-1, -1]); w9 = min(w9, time.time() - t)
-    return max((w9 - w1) / 8 * 1000, 1e-6)
+        t = time.time(); np.asarray(fb(index, p_many[i])[-1, -1]); wn = min(wn, time.time() - t)
+    marginal = (wn - w1) / (blocks - 1) * 1000
+    amortized = wn / blocks * 1000
+    return marginal if marginal >= amortized / 4 else amortized
 
 
 def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 10) -> None:
@@ -475,19 +493,7 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     _log(f"msmarco ivfpq: recall@10={ivf_recall:.3f} (built in {ivf_build_s:.0f}s); serving timing")
     # marginal 64-query block: 9-block vs 1-block lax.map walls (RTT cancels)
     sb = 64
-    p_one = [jnp.asarray(make_queries(sb, seed=100 + i)[None]) for i in range(3)]
-    p_nine = [
-        jnp.asarray(np.stack([make_queries(sb, seed=200 + 9 * i + j) for j in range(9)]))
-        for i in range(3)
-    ]
-    fb = jax.jit(lambda ix, qb: jax.lax.map(lambda v: sfn(ix, v), qb))
-    np.asarray(fb(ivf_index, p_one[0])[0, 0, 0])
-    np.asarray(fb(ivf_index, p_nine[0])[0, 0, 0])
-    w1 = w9 = float("inf")
-    for i in range(3):
-        t = time.time(); np.asarray(fb(ivf_index, p_one[i])[-1, -1]); w1 = min(w1, time.time() - t)
-        t = time.time(); np.asarray(fb(ivf_index, p_nine[i])[-1, -1]); w9 = min(w9, time.time() - t)
-    ms_block = max((w9 - w1) / 8 * 1000, 1e-6)
+    ms_block = _serve_ms_block(sfn, ivf_index, make_queries, d, sb=sb)
     scan_frac = ivf_index.max_windows * 512 / n
     _emit({
         "metric": (
@@ -535,6 +541,60 @@ def bench_realm() -> None:
         "recall": None,  # not a retrieval line
         "vs_baseline": None,  # reference publishes no train-step comparator
     })
+
+
+# --------------------------------------------------------------------------- #
+# real-text 1M: recall/QPS on REAL passages (VERDICT r3 #3)
+# --------------------------------------------------------------------------- #
+
+
+def bench_realtext() -> None:
+    """1,048,576 real text passages (zero-egress local harvest), in-repo
+    dual encoder trained on them, exact-f32 GT — recall@10 + B=64 serving QPS
+    for int8 / pq4fs+refine / serving-direct / ivfpq-SOAR, plus stemmed vs
+    unstemmed BM25 gold-hit@10. Embeddings are /tmp-cached by the subprocess,
+    so repeat runs skip train+embed (~5 min of the ~20 min cold time)."""
+    script = pathlib.Path(__file__).parent / "examples" / "real_text_1m_bench.py"
+    out = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True, timeout=5400,
+    )
+    if out.returncode != 0:
+        _log(f"realtext bench failed: {out.stderr[-800:]}")
+        return
+    data = None
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            data = json.loads(line)
+    if data is None:
+        _log(f"realtext bench produced no JSON: {out.stdout[-500:]}")
+        return
+    n = data["n"]
+    for name in ("int8", "pq96x4fs+ref", "serving-direct", "ivfpq-soar"):
+        if name not in data:
+            continue
+        line = data[name]
+        _emit({
+            "metric": f"real-text {name} @ {n} sections (B=64 serving, dim {data['dim']})",
+            "value": line["serve64_qps"],
+            "unit": "serving QPS (B=64)",
+            "recall": line["recall10"],
+            "vs_baseline": None,
+        })
+    for key in ("bm25_unstemmed", "bm25_stemmed"):
+        if key not in data:
+            continue
+        for field, label in (
+            ("gold_hit10", "verbatim queries"),
+            ("gold_hit10_inflected", "inflected queries"),
+        ):
+            if field in data[key]:
+                _emit({
+                    "metric": f"real-text {key} gold-hit@10 ({label}) @ {n} sections",
+                    "value": data[key][field],
+                    "unit": "gold-hit@10",
+                    "recall": None,
+                    "vs_baseline": None,
+                })
 
 
 # --------------------------------------------------------------------------- #
@@ -636,9 +696,12 @@ def bench_flat() -> None:
 
 
 def main() -> None:
-    configs = os.environ.get("VOD_BENCH_CONFIGS", "hybrid,msmarco,realm,flat").split(",")
+    configs = os.environ.get(
+        "VOD_BENCH_CONFIGS", "hybrid,msmarco,realtext,realm,flat"
+    ).split(",")
     for name in configs:
         fn = {"hybrid": bench_hybrid, "msmarco": bench_msmarco,
+              "realtext": bench_realtext,
               "realm": bench_realm, "flat": bench_flat}.get(name.strip())
         if fn is None:
             _log(f"unknown config {name!r}")

@@ -169,12 +169,16 @@ def train_and_embed(passages, args, cache: pathlib.Path):
     return emb, q_emb, qrows, qtexts
 
 
-def serve_ms_block(sfn, index, q_src, d, sb=64, reps=3):
-    """Marginal B=64 serving-block wall: 9-block vs 1-block lax.map."""
+def serve_ms_block(sfn, index, q_src, d, sb=64, reps=4, blocks=17):
+    """Marginal B=64 serving-block wall: `blocks`-block vs 1-block lax.map.
+
+    The marginal difference cancels per-dispatch relay overhead, but for very
+    cheap kernels (e.g. a 96-dim coarse scan at 1M) the marginal is below the
+    relay noise floor and the subtraction can go ~0 or negative. In that case
+    fall back to the amortized per-block wall of the multi-block run — a
+    conservative upper bound on the per-block cost."""
     import jax
     import jax.numpy as jnp
-
-    r = np.random.default_rng(77)
 
     def mk(seed):
         i = np.random.default_rng(seed).choice(len(q_src), sb, replace=False)
@@ -182,15 +186,20 @@ def serve_ms_block(sfn, index, q_src, d, sb=64, reps=3):
         return q / np.linalg.norm(q, axis=-1, keepdims=True)
 
     p_one = [jnp.asarray(mk(100 + i)[None]) for i in range(reps)]
-    p_nine = [jnp.asarray(np.stack([mk(200 + 9 * i + j) for j in range(9)])) for i in range(reps)]
+    p_many = [
+        jnp.asarray(np.stack([mk(200 + blocks * i + j) for j in range(blocks)]))
+        for i in range(reps)
+    ]
     fb = jax.jit(lambda ix, qb: jax.lax.map(lambda v: sfn(ix, v), qb))
-    np.asarray(fb(index, p_one[0])[0, 0, 0])
-    np.asarray(fb(index, p_nine[0])[0, 0, 0])
-    w1 = w9 = float("inf")
+    np.asarray(fb(index, p_one[0])[0, 0, 0])  # warm both shapes
+    np.asarray(fb(index, p_many[0])[0, 0, 0])
+    w1 = wn = float("inf")
     for i in range(reps):
         t = time.time(); np.asarray(fb(index, p_one[i])[-1, -1]); w1 = min(w1, time.time() - t)
-        t = time.time(); np.asarray(fb(index, p_nine[i])[-1, -1]); w9 = min(w9, time.time() - t)
-    return max((w9 - w1) / 8 * 1000, 1e-6)
+        t = time.time(); np.asarray(fb(index, p_many[i])[-1, -1]); wn = min(wn, time.time() - t)
+    marginal = (wn - w1) / (blocks - 1) * 1000
+    amortized = wn / blocks * 1000
+    return marginal if marginal >= amortized / 4 else amortized
 
 
 def main() -> None:
@@ -275,10 +284,13 @@ def main() -> None:
         rec = float(np.mean(
             [len(set(got[i].tolist()) & set(gt_i[i].tolist())) / K for i in range(args.q)]
         ))
-        # block QPS (2048 amortized): marginal 2x-block vs 1x-block
+        # block QPS (2048 amortized): marginal 2x-block vs 1x-block.
+        # BOTH shapes warmed first — an unwarmed 2x shape would time XLA
+        # compilation, not the search (the r2-eval trap).
         f = jax.jit(sfn)
         jq2 = jnp.concatenate([jq, jq + 1e-5], axis=0)
         _ = np.asarray(f(index, jq))
+        _ = np.asarray(f(index, jq2))
         t1 = time.time(); _ = np.asarray(f(index, jq)); d1 = time.time() - t1
         t2 = time.time(); _ = np.asarray(f(index, jq2)); d2 = time.time() - t2
         qps = args.q / max(d2 - d1, 1e-9)
@@ -292,11 +304,22 @@ def main() -> None:
         del index
 
     if not args.skip_bm25:
-        # stemmed vs unstemmed BM25 gold-hit@10 at the full corpus size
+        # Stemmed vs unstemmed BM25 gold-hit@10 at the full corpus size, on
+        # TWO query sets: verbatim windows (exact-match is optimal — stemming
+        # can only add collisions here) and morphologically INFLECTED windows
+        # (pluralized content words — the regime stemming exists for; parity:
+        # ES language analyzers stem, es_body.py:32,101).
         from vod_tpu.native import analyze_texts
         from vod_tpu.search import build_sparse_index_native
         from vod_tpu.search.sparse import sparse_search
 
+        def inflect(text: str) -> str:
+            return " ".join(
+                w + "s" if w.isalpha() and len(w) > 3 and not w.endswith("s") else w
+                for w in text.split()
+            )
+
+        q_variants = {"": qtexts, "_inflected": [inflect(t) for t in qtexts]}
         contents = [p["content"] for p in passages]
         for stem in (False, True):
             t0 = time.time()
@@ -306,17 +329,21 @@ def main() -> None:
             doc_terms = [d_ids[i, : d_counts[i]].tolist() for i in range(len(contents))]
             sidx = build_sparse_index_native(doc_terms, n_terms=1 << 18, max_postings=2048)
             build_s = time.time() - t0
-            q_ids, q_counts = analyze_texts(
-                qtexts, vocab_size=1 << 18, max_terms=32, stem=stem
-            )
-            out = sparse_search(
-                sidx, SearchQueries(terms=jnp.asarray(q_ids)), top_k=K
-            )
-            got = np.asarray(out.indices)
-            hit = float(np.mean([qrows[i] in set(got[i].tolist()) for i in range(args.q)]))
             key = "bm25_stemmed" if stem else "bm25_unstemmed"
-            results[key] = {"gold_hit10": round(hit, 4), "build_s": round(build_s, 1)}
-            log(f"{key}: gold-hit@10 {hit:.4f} (analyze+build {build_s:.0f}s)")
+            results[key] = {"build_s": round(build_s, 1)}
+            for suffix, texts in q_variants.items():
+                q_ids, _q_counts = analyze_texts(
+                    texts, vocab_size=1 << 18, max_terms=32, stem=stem
+                )
+                out = sparse_search(
+                    sidx, SearchQueries(terms=jnp.asarray(q_ids)), top_k=K
+                )
+                got = np.asarray(out.indices)
+                hit = float(np.mean(
+                    [qrows[i] in set(got[i].tolist()) for i in range(args.q)]
+                ))
+                results[key][f"gold_hit10{suffix}"] = round(hit, 4)
+                log(f"{key}: gold-hit@10{suffix} {hit:.4f}")
             del sidx
 
     print(json.dumps(results), flush=True)

@@ -90,7 +90,10 @@ class DenseFactoryConfig(StrictModel):
     chunk: int = 131072
     approx_recall: typ.Optional[float] = 0.95  # None = exact top-k
     # flat-codec scoring path: "scan" (lax.scan + approx_max_k) or "fused"
-    # (Pallas matmul+binned-top-k kernel; 118k vs 109k QPS at 1M x 768)
+    # (Pallas matmul+binned-top-k kernel; 118k vs 109k QPS at 1M x 768).
+    # The EXACT Pallas kernel (`fused_mips_topk`) is deliberately not routable:
+    # measured slower than both paths at every shape; kept as the exactness
+    # oracle the binned kernel is tested against (ops/mips_pallas.py).
     kernel: typ.Literal["scan", "fused"] = "scan"
     # closed-loop runtime-knob autotuning after each periodic rebuild (faiss
     # `ParameterSpace`/`OperatingPoints` parity — the reference pins knobs in

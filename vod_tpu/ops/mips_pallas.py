@@ -27,8 +27,11 @@ Two selection strategies:
 
   * `fused_mips_topk` (exact): per tile, fold into a top-K_PAD buffer with k
     iterative masked argmaxes. Exact, but the selection VPU work (~k passes
-    over [QB, K_PAD+TILE]) exceeds the tile's MXU time — slower than the
-    binned path. Kept for exactness parity and small batches.
+    over [QB, K_PAD+TILE]) exceeds the tile's MXU time — measured slower than
+    BOTH the scan and the binned path at every shape tried
+    (`examples/mips_kernel_bench.py`). REFERENCE-ONLY: nothing
+    routes here from config (`kernel: "fused"` selects the binned kernel); it
+    is kept as the exactness oracle the binned kernel is tested against.
   * `fused_mips_binned` (approx, the fast path): per tile, a strided max
     folds scores into `bins` running (score, id) cells — bin(j) = j mod bins —
     exactly the PartialReduce binning `lax.approx_max_k` uses, but fused with
