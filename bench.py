@@ -517,7 +517,7 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
 def bench_realm() -> None:
     script = pathlib.Path(__file__).parent / "examples" / "seq2seq_realm_bench.py"
     out = subprocess.run(
-        [sys.executable, str(script), "--steps", "10"],
+        [sys.executable, str(script), "--steps", "50"],
         capture_output=True, text=True, timeout=1800,
     )
     if out.returncode != 0:

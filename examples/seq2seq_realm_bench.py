@@ -109,6 +109,17 @@ def main() -> dict:
     float(metrics["loss"])
     print(f"# compile + first step: {time.time()-t0:.0f}s", flush=True)
 
+    # untimed warm steps: the first post-compile steps still pay one-time
+    # device/cache effects (measured: a 10-step window right after compile
+    # reads 90 ms/step where a 50-step window reads 85.8 — the r3 "regression"
+    # to 89.8 was exactly this sampling artifact)
+    for i in range(3):
+        params, opt_state, metrics, _rel, _scores = step_fn.train_step(
+            params, opt_state, engines, corpus, make_queries(9000 + i),
+            jax.random.PRNGKey(9000 + i), weights,
+        )
+    float(metrics["loss"])
+
     t0 = time.time()
     for i in range(args.steps):
         params, opt_state, metrics, _rel, _scores = step_fn.train_step(
