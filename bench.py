@@ -641,12 +641,21 @@ def bench_flat() -> None:
     _log(f"CPU baseline: {cpu_qps:.1f} QPS; building TPU indexes")
 
     corpus_dev = jnp.asarray(corpus)
-    index = build_dense_index(corpus_dev, dtype="bfloat16")
-    index_fused = build_dense_index(corpus_dev, dtype="bfloat16", kernel="fused")
-    # higher-recall fused operating point: bins=1024 halves the expected bin-
-    # collision loss (~1-(k-1)/(2*bins)); qblock=1024 keeps the bin buffers in
-    # scoped VMEM at the wider bin count
-    index_fused_hi = index_fused.replace(fused_bins=1024, fused_qblock=1024)
+    # ONE buffer set for every variant: bf16 store (1.5 GB) + f32 refine rows
+    # (3 GB), shared via static-field replace. kernel="fused" at build time
+    # pads rows to the kernel tile so both kernels run on the same arrays.
+    base = build_dense_index(
+        corpus_dev, dtype="bfloat16", kernel="fused", refine="float32"
+    )
+    index = base.replace(refine_rows=None, kernel="scan")
+    index_fused = base.replace(refine_rows=None)
+    # "+rr": exact-f32 re-rank of the k_factor*k candidate pool — bf16 score
+    # rounding alone caps recall@10 at ~0.989 here (measured: exact-selection
+    # bf16 scan), so the refined paths are the only ones that can clear the
+    # 0.99 floor. bins=1024 halves the fused kernel's bin-collision loss;
+    # qblock=1024 keeps the bin buffers in scoped VMEM at the wider bin count.
+    index_scan_rr = base.replace(kernel="scan")
+    index_fused_hi_rr = base.replace(fused_bins=1024, fused_qblock=1024)
     del corpus, corpus_dev
 
     def make_queries(nq, seed=0):
@@ -662,7 +671,10 @@ def bench_flat() -> None:
 
     results = {}
     for label, ix in (
-        ("scan", index), ("fused", index_fused), ("fused-b1024", index_fused_hi)
+        ("scan", index),
+        ("fused", index_fused),
+        ("scan+rr", index_scan_rr),
+        ("fused-b1024+rr", index_fused_hi_rr),
     ):
         try:
             _log(f"[{label}] timing")
@@ -679,14 +691,18 @@ def bench_flat() -> None:
     # recall@10 >= 0.99 — the headline can no longer trade recall for QPS
     floor = 0.99
     meeting = {lb: rv for lb, rv in results.items() if rv[1] >= floor}
-    pool = meeting or results  # all-below-floor: report best with its shortfall
-    path = max(pool, key=lambda lb: pool[lb][0])
+    if meeting:  # fastest path that clears the floor
+        path = max(meeting, key=lambda lb: meeting[lb][0])
+    else:  # nothing clears it: report the HIGHEST-RECALL path (never trade
+        #    recall for QPS below the floor — that was the r1→r3 slide)
+        path = max(results, key=lambda lb: results[lb][1])
     tpu_qps, recall = results[path]
     detail = " ".join(f"{lb}={qq:,.0f}@{rc:.3f}" for lb, (qq, rc) in results.items())
     _emit({
         "metric": (
             f"dense MIPS QPS/chip (1M x 768 bf16 flat, {path}, recall floor {floor}, "
-            f"recall@10={recall:.3f}; {detail}; cpu={cpu_qps:.1f})"
+            f"recall@10={recall:.3f}; {detail}; cpu={cpu_qps:.1f} on "
+            f"{os.cpu_count()} host cores)"
         ),
         "value": round(tpu_qps, 1),
         "unit": "QPS",

@@ -1101,3 +1101,102 @@ def test_pq_direct_from_host_and_config() -> None:
     )
     idx_c = build_dense_from_config(cfg, jnp.asarray(corpus), rng=jax.random.PRNGKey(0))
     assert idx_c.codes is None and idx_c.refine_codes is not None
+
+
+# --------------------------------------------------------------------------- #
+# flat exact-f32 refine (faiss `Flat,RFlat` analogue on a bf16/int8 store)
+# --------------------------------------------------------------------------- #
+
+
+def test_flat_refine_exact_order() -> None:
+    """bf16 store + f32 refine rows reproduces the exact f32 brute-force
+    ordering (bf16 score rounding alone reorders near-ties)."""
+    rng = np.random.default_rng(31)
+    n, d, b, k = 2000, 64, 8, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    index = build_dense_index(jnp.asarray(corpus), dtype="bfloat16", refine="float32")
+    assert index.refine_rows is not None and index.refine_rows.dtype == jnp.float32
+    out = dense_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k)
+    expected_i = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+    expected_s = np.sort((q @ corpus.T), axis=-1)[:, ::-1][:, :k]
+    got = np.asarray(out.indices)
+    for i in range(b):
+        assert set(got[i].tolist()) == set(expected_i[i].tolist()), i
+    np.testing.assert_allclose(np.asarray(out.scores), expected_s, rtol=1e-5, atol=1e-6)
+
+
+def test_flat_refine_int8_exact_recall() -> None:
+    """int8 store + f32 refine: the k_factor*k int8 candidate pool contains the
+    true top-k at this size, so the refined result is exact."""
+    rng = np.random.default_rng(32)
+    n, d, b, k = 2000, 64, 8, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    index = build_dense_index(jnp.asarray(corpus), dtype="int8", refine="float32", k_factor=8)
+    out = dense_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+    got = np.asarray(out.indices)
+    recall = np.mean([len(set(got[i]) & set(expected[i])) / k for i in range(b)])
+    assert recall == 1.0, recall
+
+
+def test_flat_refine_respects_subset_filter() -> None:
+    """Refine rescoring must not resurrect candidates the subset filter
+    excluded (-inf first-stage scores stay -inf)."""
+    rng = np.random.default_rng(33)
+    n, d, b, k = 1000, 32, 4, 5
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    subset = (np.arange(n) % 3).astype("int32")  # three interleaved datasets
+    index = build_dense_index(
+        jnp.asarray(corpus), dtype="bfloat16", refine="float32",
+        subset_ids=jnp.asarray(subset),
+    )
+    allowed = jnp.asarray([[0], [1], [2], [0]], jnp.int32)
+    out = dense_search(
+        index, SearchQueries(vector=jnp.asarray(q), subset_ids=allowed), top_k=k
+    )
+    got = np.asarray(out.indices)
+    scores = q @ corpus.T
+    for i in range(b):
+        ok_rows = np.where(subset == int(allowed[i, 0]))[0]
+        expected = ok_rows[np.argsort(-scores[i, ok_rows])][:k]
+        assert set(got[i].tolist()) == set(expected.tolist()), i
+
+
+def test_flat_refine_fused_kernel() -> None:
+    """The fused binned kernel selects the k_factor*k pool; refine restores
+    exact ordering of whatever the kernel's bins kept."""
+    rng = np.random.default_rng(34)
+    n, d, b, k = 2000, 64, 8, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    index = build_dense_index(
+        jnp.asarray(corpus), dtype="bfloat16", kernel="fused", refine="float32"
+    )
+    out = dense_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+    got = np.asarray(out.indices)
+    recall = np.mean([len(set(got[i]) & set(expected[i])) / k for i in range(b)])
+    assert recall >= 0.9, recall
+    # returned scores are the exact f32 dot of the returned ids
+    scores = q @ corpus.T
+    got_s = np.asarray(out.scores)
+    for i in range(b):
+        np.testing.assert_allclose(got_s[i], scores[i, got[i]], rtol=1e-5, atol=1e-6)
+
+
+def test_factory_flat_refine_reachable() -> None:
+    from vod_tpu.configs.search import DenseFactoryConfig
+    from vod_tpu.search.factory import build_dense_from_config
+
+    rng = np.random.default_rng(35)
+    corpus = _corpus(rng, 800, 32)
+    cfg = DenseFactoryConfig(codec="flat", dtype="bfloat16", refine="float32")
+    index = build_dense_from_config(cfg, jnp.asarray(corpus))
+    assert index.refine_rows is not None
+    q = _corpus(rng, 4, 32)
+    out = dense_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=5)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :5]
+    assert np.array_equal(np.asarray(out.indices), expected)

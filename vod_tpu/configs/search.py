@@ -52,7 +52,10 @@ class DenseFactoryConfig(StrictModel):
     opq_iters: int = 4
     # exact re-rank of the ADC top (k_factor * k) against raw rows
     # (parity: faiss `RFlat` / `Refine(SQ8)` suffixes). refine_dim stores the
-    # rerank rows in a truncated-PCA space (refine_dim B/vec int8 instead of D)
+    # rerank rows in a truncated-PCA space (refine_dim B/vec int8 instead of D).
+    # On the flat/int8 codecs, refine="float32" keeps exact f32 rows rescoring
+    # the scan's k_factor*k pool (`Flat,RFlat` analogue) — bf16 score rounding
+    # alone costs ~1.1pp recall@10 vs f32 ground truth at 1M x 768.
     refine: typ.Literal["none", "int8", "bfloat16", "float32"] = "none"
     refine_dim: typ.Optional[int] = None
     k_factor: int = 4

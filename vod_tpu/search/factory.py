@@ -115,9 +115,13 @@ def build_dense_from_config(
 
     if cfg.codec == "flat" or cfg.codec == "int8":
         dtype = "int8" if cfg.codec == "int8" else cfg.dtype
+        # flat/int8 + refine='float32' keeps exact f32 rows for a k_factor*k
+        # re-rank (faiss `Flat,RFlat` analogue): bf16/int8 scan recall is
+        # rounding-capped (~0.989 at 1M x 768) without it
+        flat_refine = "float32" if cfg.refine == "float32" else "none"
         index = build_dense_index(
             vectors, subset_ids=subset_ids, dtype=dtype, approx_recall=cfg.approx_recall,
-            kernel=cfg.kernel,
+            kernel=cfg.kernel, refine=flat_refine, k_factor=cfg.k_factor,
         )
     elif cfg.codec == "pq":
         index = build_pq_index(
