@@ -182,7 +182,13 @@ class MicroBatcher:
             return out
         p = _Pending(arrays, int(top_k), rows)
         self._q.put(p)
-        p.event.wait()
+        # bounded wait: a put() racing close()'s drain could otherwise park
+        # this thread forever (close drains _q, then our put lands unseen).
+        # Only give up once the worker is DEAD — an in-flight batch may still
+        # complete and set the event during shutdown.
+        while not p.event.wait(timeout=1.0):
+            if self._stop.is_set() and not self._thread.is_alive():
+                raise RuntimeError("batcher closed")
         if p.error is not None:
             raise p.error
         assert p.result is not None
