@@ -185,8 +185,13 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     basis, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(99), (d, d)))
     basis = basis.astype(jnp.float32)
 
+    # NOTE (remote-relay): big device arrays (basis 2.3 MB, centroids 12.6 MB,
+    # projections, jq) ride as jit ARGUMENTS, never closures — a closed-over
+    # array is embedded in the program as a literal, and the remote-compile
+    # relay ships literals at ~100 s/MB per compiled program (measured:
+    # one 2.3 MB literal = 252 s compile; as a parameter = 1.6 s).
     @jax.jit
-    def gen_slab(key):
+    def gen_slab(key, spec, basis):
         z = jax.random.normal(key, (slab, d), dtype=jnp.float32) * spec
         x = z @ basis
         return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
@@ -207,12 +212,14 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     # on-device concatenate would hold sources + result (2 x 6.8 GB) at once.
     # Donated dynamic_update_slice keeps peak HBM at buffer + one slab.
     @functools.partial(jax.jit, donate_argnums=0)
-    def fill(codes, key, row0):
-        return jax.lax.dynamic_update_slice(codes, quant(gen_slab(key)), (row0, 0))
+    def fill(codes, key, row0, spec, basis):
+        return jax.lax.dynamic_update_slice(
+            codes, quant(gen_slab(key, spec, basis)), (row0, 0)
+        )
 
     codes = jnp.zeros((n_pad, d), jnp.int8)
     for i, kk in enumerate(keys):
-        codes = fill(codes, kk, jnp.int32(i * slab))
+        codes = fill(codes, kk, jnp.int32(i * slab), spec, basis)
     codes.block_until_ready()
     index = DenseIndex(vectors=codes, scale=scale, n_real=n, approx_recall=0.95)
 
@@ -221,7 +228,7 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     # the same manifold; i.i.d. noise would put most query energy into
     # low-variance directions no real query has (measured: it drops the
     # pq64+pca128 recall from 0.945 to 0.60 while int8 stays ~0.96).
-    s0 = np.asarray(gen_slab(keys[0])[:n_eval])
+    s0 = np.asarray(gen_slab(keys[0], spec, basis)[:n_eval])
     rng = np.random.default_rng(0)
     noise = (rng.standard_normal((n_eval, d)).astype(np.float32) * spec_np) @ np.asarray(basis)
     q = s0 + 0.1 * noise
@@ -230,8 +237,8 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
 
     # exact f32 ground truth: regenerate each slab, score, running top-k
     @jax.jit
-    def gt_slab(key, top_s, top_i, offset):
-        x = gen_slab(key)
+    def gt_slab(key, top_s, top_i, offset, jq, spec, basis):
+        x = gen_slab(key, spec, basis)
         s = jnp.dot(jq, x.T, preferred_element_type=jnp.float32)
         row = offset + jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
         s = jnp.where(row < n, s, -jnp.inf)
@@ -245,7 +252,7 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     top_i = jnp.full((n_eval, k), -1, jnp.int32)
     _log("msmarco: exact f32 ground-truth scan (regenerated slabs)")
     for i, kk in enumerate(keys):
-        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab))
+        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab), jq, spec, basis)
     gt_i = np.asarray(top_i)
 
     out = dense_search(index, SearchQueries(vector=jq), top_k=k)
@@ -319,7 +326,7 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     _log("msmarco: training pq128x4 + pca128 refine")
     m_sub, rdim = 128, 128
     t0 = time.time()
-    train = gen_slab(keys[0])[:262_144]
+    train = gen_slab(keys[0], spec, basis)[:262_144]
     codebooks = pq_ops.train_pq(jax.random.PRNGKey(7), train, m_sub, n_codes=16, n_iters=6)
     refine_proj, _mean = pq_ops.train_projection(train, rdim)
     ref_sample = train @ refine_proj
@@ -330,8 +337,8 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     from vod_tpu.search.dense import _pack_codes4
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def fill_pq(pq_codes, refine_rows, key, row0):
-        x = gen_slab(key)
+    def fill_pq(pq_codes, refine_rows, key, row0, spec, basis, codebooks, refine_proj, refine_scale):
+        x = gen_slab(key, spec, basis)
         c = _pack_codes4(pq_ops.encode_pq(codebooks, x))
         r = jnp.clip(
             jnp.round((x @ refine_proj) / refine_scale), -127, 127
@@ -344,7 +351,10 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     pq_codes = jnp.zeros((n_pad, m_sub // 2), jnp.uint8)
     refine_rows = jnp.zeros((n_pad, rdim), jnp.int8)
     for i, kk in enumerate(keys):
-        pq_codes, refine_rows = fill_pq(pq_codes, refine_rows, kk, jnp.int32(i * slab))
+        pq_codes, refine_rows = fill_pq(
+            pq_codes, refine_rows, kk, jnp.int32(i * slab),
+            spec, basis, codebooks, refine_proj, refine_scale,
+        )
     pq_codes.block_until_ready()
     pq_build_s = time.time() - t0
     pq_index = PQIndex(
@@ -395,41 +405,60 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     del pq_index, pq_codes, out, got
     _log("msmarco: serving codec — pca128 coarse + pca256 refine (keep_codes=False)")
     t0 = time.time()
-    train = gen_slab(keys[0])[:262_144]
+    train = gen_slab(keys[0], spec, basis)[:262_144]
     proj256, _m = pq_ops.train_projection(train, 256)
     r256_sample = train @ proj256
     scale256 = jnp.maximum(jnp.max(jnp.abs(r256_sample), axis=0, keepdims=True), 1e-8) / 127.0
     del train, r256_sample
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def fill_r256(buf, key, row0):
-        x = gen_slab(key)
+    def fill_r256(buf, key, row0, spec, basis, proj256, scale256):
+        x = gen_slab(key, spec, basis)
         r = jnp.clip(jnp.round((x @ proj256) / scale256), -127, 127).astype(jnp.int8)
         return jax.lax.dynamic_update_slice(buf, r, (row0, 0))
 
     refine256 = jnp.zeros((n_pad, 256), jnp.int8)
     for i, kk in enumerate(keys):
-        refine256 = fill_r256(refine256, kk, jnp.int32(i * slab))
+        refine256 = fill_r256(refine256, kk, jnp.int32(i * slab), spec, basis, proj256, scale256)
     refine256.block_until_ready()
     serve_build_s = time.time() - t0
-    serve_index = PQIndex(
+    # two candidate paths, recall-floored selection (>=0.95) like bench_flat:
+    # the scan coarse stage vs the Pallas fused matmul+binned-top-k coarse
+    # stage (tile=16384 is the measured HBM-roofline point at this shape —
+    # the scan's per-chunk score traffic ~doubles the 1.1 GB coarse read).
+    base_serve = PQIndex(
         codebooks=jnp.zeros((1, 1, 1), jnp.float32), codes=None,
         coarse_codes=refine_rows, coarse_scale=refine_scale, proj=refine_proj,
         refine_codes=refine256, refine_scale=scale256, refine_proj=proj256,
-        n_real=n, k_factor=8, approx_recall=0.95,
+        n_real=n, k_factor=16, approx_recall=0.95,
     )
-    got_sv = np.asarray(jax.jit(sfn_pq)(serve_index, jq))
-    serve_recall = float(np.mean(
-        [len(set(got_sv[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(n_eval)]
-    ))
-    serve_ms = _serve_ms_block(sfn_pq, serve_index, make_queries, d)
+    serve_results = {}
+    for s_label, s_ix in (
+        ("scan", base_serve),
+        ("fused", base_serve.replace(kernel="fused", fused_bins=2048, fused_tile=16384)),
+    ):
+        got_sv = np.asarray(jax.jit(sfn_pq)(s_ix, jq))
+        rec = float(np.mean(
+            [len(set(got_sv[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(n_eval)]
+        ))
+        ms = _serve_ms_block(sfn_pq, s_ix, make_queries, d)
+        _log(f"msmarco serving [{s_label}]: recall@10={rec:.4f} {ms:.2f} ms/block")
+        serve_results[s_label] = (ms, rec)
+    (scan_ms, scan_rec), (fused_ms, fused_rec) = serve_results["scan"], serve_results["fused"]
+    floor = 0.95
+    if fused_ms < scan_ms and fused_rec >= floor:
+        serve_ms, serve_recall, serve_path = fused_ms, fused_rec, "pallas-fused tile=16k"
+    else:
+        serve_ms, serve_recall, serve_path = scan_ms, scan_rec, "scan"
     serve_qps = 64 / (serve_ms / 1000)
     serve_gb = n_pad * (128 + 256) / 2**30
     _emit({
         "metric": (
             f"8.8M B=64 SERVING operating point (pca128-int8 coarse -> pca256-int8 "
-            f"refine k_factor=8, 384 B/vec, {serve_gb:.2f} GB HBM, build {serve_build_s:.0f}s): "
-            f"recall@10={serve_recall:.3f} vs exact f32; {serve_ms:.2f} ms per 64-query block "
+            f"refine k_factor=16, 384 B/vec, {serve_gb:.2f} GB HBM, build {serve_build_s:.0f}s, "
+            f"{serve_path}, recall floor {floor}): recall@10={serve_recall:.3f} vs exact f32; "
+            f"{serve_ms:.2f} ms per 64-query block; "
+            f"scan={scan_ms:.2f}ms@{scan_rec:.3f} fused={fused_ms:.2f}ms@{fused_rec:.3f} "
             f"(exhaustive pq4fs scan at B=64: {pq_serve_ms:.1f} ms = {pq_serve_qps:,.0f} QPS)"
         ),
         "value": round(serve_qps, 1),
@@ -437,7 +466,7 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
         "recall": round(serve_recall, 4),
         "vs_baseline": None,
     })
-    del serve_index, refine256, got_sv
+    del base_serve, refine256, got_sv
 
     # ---- IVF-PQ serving latency (small-batch regime) -----------------------
     # The exhaustive scans above amortize their fixed decode/matmul cost over
@@ -453,7 +482,7 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     from vod_tpu.search.ivfpq import assign_soar
 
     t0 = time.time()
-    train = gen_slab(keys[0])[:262_144]
+    train = gen_slab(keys[0], spec, basis)[:262_144]
     centroids, _ = kmeans(jax.random.PRNGKey(11), train, n_clusters=4096, n_iters=8)
     del train
 
@@ -461,15 +490,15 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     # index at nprobe=32 strictly dominates the plain index at nprobe=64
     # (recall@10 0.858 vs 0.831 at ~1.9k vs ~1.7k serving QPS).
     @jax.jit
-    def assign_slab(key):
-        x = gen_slab(key)
+    def assign_slab(key, spec, basis, centroids):
+        x = gen_slab(key, spec, basis)
         a = _assign_chunked(x, centroids, chunk=8192)
         return a, assign_soar(x, centroids, a, chunk=4096)
 
     assign_np = np.zeros((n_pad,), np.int32)
     assign2_np = np.zeros((n_pad,), np.int32)
     for i, kk in enumerate(keys):
-        a, a2 = assign_slab(kk)
+        a, a2 = assign_slab(kk, spec, basis, centroids)
         assign_np[i * slab : (i + 1) * slab] = np.asarray(a)
         assign2_np[i * slab : (i + 1) * slab] = np.asarray(a2)
     ivf_index = build_ivfpq_from_device_parts(

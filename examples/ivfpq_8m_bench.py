@@ -66,8 +66,10 @@ def main() -> None:
     basis, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(99), (d, d)))
     basis = basis.astype(jnp.float32)
 
+    # spec/basis/centroids/etc ride as jit ARGUMENTS (remote relay ships
+    # closed-over literals at ~100 s/MB per compile; see bench.py NOTE)
     @jax.jit
-    def gen_slab(key):
+    def gen_slab(key, spec, basis):
         z = jax.random.normal(key, (slab, d), dtype=jnp.float32) * spec
         x = z @ basis
         return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
@@ -75,7 +77,7 @@ def main() -> None:
     keys = [jax.random.PRNGKey(2000 + i) for i in range(n_slabs)]
 
     t0 = time.time()
-    train = gen_slab(keys[0])[: args.train]
+    train = gen_slab(keys[0], spec, basis)[: args.train]
     refine_proj, _mean = pq_ops.train_projection(train, args.refine_dim)
     ref_sample = train @ refine_proj
     refine_scale = (
@@ -89,14 +91,14 @@ def main() -> None:
 
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def fill(refine_rows, key, row0):
-        x = gen_slab(key)
+    def fill(refine_rows, key, row0, spec, basis, refine_proj, refine_scale):
+        x = gen_slab(key, spec, basis)
         r = jnp.clip(jnp.round((x @ refine_proj) / refine_scale), -127, 127).astype(jnp.int8)
         return jax.lax.dynamic_update_slice(refine_rows, r, (row0, 0))
 
     @jax.jit
-    def assign_slab(key):
-        x = gen_slab(key)
+    def assign_slab(key, spec, basis, centroids):
+        x = gen_slab(key, spec, basis)
         a = _assign_chunked(x, centroids, chunk=16384)
         a2 = (
             assign_soar(x, centroids, a, soar_lambda=args.soar_lambda, chunk=4096)
@@ -109,8 +111,9 @@ def main() -> None:
     assign_np = np.zeros((n_pad,), np.int32)
     assign2_np = np.zeros((n_pad,), np.int32) if args.spill else None
     for i, kk in enumerate(keys):
-        refine_rows = fill(refine_rows, kk, jnp.int32(i * slab))
-        a, a2 = assign_slab(kk)
+        refine_rows = fill(refine_rows, kk, jnp.int32(i * slab),
+                           spec, basis, refine_proj, refine_scale)
+        a, a2 = assign_slab(kk, spec, basis, centroids)
         assign_np[i * slab : (i + 1) * slab] = np.asarray(a)
         if args.spill:
             assign2_np[i * slab : (i + 1) * slab] = np.asarray(a2)
@@ -154,15 +157,15 @@ def main() -> None:
 
     # eval queries + exact f32 GT (identical to bench.py msmarco)
     rng = np.random.default_rng(0)
-    s0 = np.asarray(gen_slab(keys[0])[: args.n_eval])
+    s0 = np.asarray(gen_slab(keys[0], spec, basis)[: args.n_eval])
     noise = (rng.standard_normal((args.n_eval, d)).astype(np.float32) * spec_np) @ np.asarray(basis)
     q = s0 + 0.1 * noise
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     jq = jnp.asarray(q)
 
     @jax.jit
-    def gt_slab(key, top_s, top_i, offset):
-        x = gen_slab(key)
+    def gt_slab(key, top_s, top_i, offset, jq, spec, basis):
+        x = gen_slab(key, spec, basis)
         s = jnp.dot(jq, x.T, preferred_element_type=jnp.float32)
         row = offset + jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
         s = jnp.where(row < n, s, -jnp.inf)
@@ -175,7 +178,7 @@ def main() -> None:
     top_s = jnp.full((args.n_eval, k), -jnp.inf)
     top_i = jnp.full((args.n_eval, k), -1, jnp.int32)
     for i, kk in enumerate(keys):
-        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab))
+        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab), jq, spec, basis)
     gt_i = np.asarray(top_i)
     print("# ground truth done", flush=True)
 

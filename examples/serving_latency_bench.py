@@ -52,14 +52,16 @@ def build_serving_index(n: int):
     basis, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(99), (D, D)))
     basis = basis.astype(jnp.float32)
 
+    # spec/basis ride as jit ARGUMENTS (remote relay ships closed-over
+    # literals at ~100 s/MB per compile; see bench.py NOTE)
     @jax.jit
-    def gen_slab(key):
+    def gen_slab(key, spec, basis):
         z = jax.random.normal(key, (slab, D), dtype=jnp.float32) * spec
         x = z @ basis
         return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 
     keys = [jax.random.PRNGKey(1000 + i) for i in range(n_slabs)]
-    train = gen_slab(keys[0])[:262_144]
+    train = gen_slab(keys[0], spec, basis)[:262_144]
     proj_c, _ = pq_ops.train_projection(train, 128)
     cs = train @ proj_c
     scale_c = jnp.maximum(jnp.max(jnp.abs(cs), axis=0, keepdims=True), 1e-8) / 127.0
@@ -70,8 +72,8 @@ def build_serving_index(n: int):
     del train, cs, rs
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def fill(coarse, refine, key, row0):
-        x = gen_slab(key)
+    def fill(coarse, refine, key, row0, spec, basis, proj_c, scale_c, proj_r, scale_r):
+        x = gen_slab(key, spec, basis)
         c = jnp.clip(jnp.round((x @ proj_c) / scale_c), -127, 127).astype(jnp.int8)
         r = jnp.clip(jnp.round((x @ proj_r) / scale_r), -127, 127).astype(jnp.int8)
         return (
@@ -82,7 +84,8 @@ def build_serving_index(n: int):
     coarse = jnp.zeros((n_pad, 128), jnp.int8)
     refine = jnp.zeros((n_pad, 256), jnp.int8)
     for i, kk in enumerate(keys):
-        coarse, refine = fill(coarse, refine, kk, jnp.int32(i * slab))
+        coarse, refine = fill(coarse, refine, kk, jnp.int32(i * slab),
+                              spec, basis, proj_c, scale_c, proj_r, scale_r)
     coarse.block_until_ready()
     index = PQIndex(
         codebooks=jnp.zeros((1, 1, 1), jnp.float32), codes=None,

@@ -1036,6 +1036,48 @@ def test_pq_direct_serving_codec_matches_bruteforce() -> None:
     assert rec >= 0.7, rec
 
 
+def test_pq_direct_serving_codec_fused_kernel() -> None:
+    """kernel='fused' routes the direct codec's coarse stage through the Pallas
+    matmul+binned-top-k kernel (the B=64 serving win: no per-chunk score
+    traffic). Bin collisions may drop pool candidates; the refine re-rank
+    restores exact ordering of what the bins kept, so top-k recall stays high
+    and returned scores are the exact f32 dots of the returned ids."""
+    rng = np.random.default_rng(24)
+    n, d, b, k = 3000, 32, 8, 10  # pads to 3072 rows = 3 x 1024 fused tiles
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    index = build_pq_index(
+        jax.random.PRNGKey(0), jnp.asarray(corpus),
+        coarse_dim=d, refine="float32", k_factor=16,
+        keep_codes=False, kernel="fused",
+    )
+    assert index.codes is None and index.kernel == "fused"
+    out = pq_search(index, SearchQueries(vector=jnp.asarray(q)), top_k=k)
+    expected = np.argsort(-(q @ corpus.T), axis=-1)[:, :k]
+    got = np.asarray(out.indices)
+    recall = np.mean([len(set(got[i]) & set(expected[i])) / k for i in range(b)])
+    assert recall >= 0.9, recall
+    scores = q @ corpus.T
+    got_s = np.asarray(out.scores)
+    for i in range(b):
+        valid = got[i] >= 0
+        np.testing.assert_allclose(
+            got_s[i][valid], scores[i, got[i][valid]], rtol=1e-5, atol=1e-6
+        )
+    # subset filtering falls back to the scan path (fused kernel can't mask):
+    # results must still respect the filter
+    sub = np.arange(n, dtype=np.int32) % 7
+    idx_f = build_pq_index(
+        jax.random.PRNGKey(0), jnp.asarray(corpus),
+        coarse_dim=d, refine="float32", k_factor=16,
+        keep_codes=False, kernel="fused", subset_ids=jnp.asarray(sub),
+    )
+    allowed = jnp.full((b, 1), 3, jnp.int32)
+    out_f = pq_search(idx_f, SearchQueries(vector=jnp.asarray(q), subset_ids=allowed), top_k=k)
+    got_f = np.asarray(out_f.indices)
+    assert np.all((got_f < 0) | (got_f % 7 == 3))
+
+
 def test_pq_direct_build_validations() -> None:
     rng = np.random.default_rng(22)
     corpus = jnp.asarray(_corpus(rng, 600, 16))
@@ -1101,6 +1143,19 @@ def test_pq_direct_from_host_and_config() -> None:
     )
     idx_c = build_dense_from_config(cfg, jnp.asarray(corpus), rng=jax.random.PRNGKey(0))
     assert idx_c.codes is None and idx_c.refine_codes is not None
+
+    # kernel knob reaches the PQ coarse stage from config (both build paths)
+    cfg_f = DenseFactoryConfig(
+        codec="pq", coarse_dim=16, refine="int8", k_factor=16,
+        keep_codes=False, kernel="fused",
+    )
+    idx_k = build_dense_from_config(cfg_f, jnp.asarray(corpus), rng=jax.random.PRNGKey(0))
+    assert idx_k.kernel == "fused"
+    idx_hk = build_pq_index_from_host(
+        jax.random.PRNGKey(0), corpus, coarse_dim=16, refine="int8", k_factor=16,
+        train_size=1200, slab=500, keep_codes=False, kernel="fused",
+    )
+    assert idx_hk.kernel == "fused"
 
 
 # --------------------------------------------------------------------------- #

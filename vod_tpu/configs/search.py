@@ -92,12 +92,22 @@ class DenseFactoryConfig(StrictModel):
     # scan
     chunk: int = 131072
     approx_recall: typ.Optional[float] = 0.95  # None = exact top-k
-    # flat-codec scoring path: "scan" (lax.scan + approx_max_k) or "fused"
-    # (Pallas matmul+binned-top-k kernel; 118k vs 109k QPS at 1M x 768).
+    # scoring path: "scan" (lax.scan + approx_max_k) or "fused" (Pallas
+    # matmul+binned-top-k kernel; 118k vs 109k QPS at 1M x 768). Applies to
+    # the flat/int8 codecs and to the pq codec's COARSE stage (where it is
+    # the B=64 serving win — the scan's per-chunk score traffic ~doubles the
+    # coarse-store read; see PQIndex.kernel).
     # The EXACT Pallas kernel (`fused_mips_topk`) is deliberately not routable:
     # measured slower than both paths at every shape; kept as the exactness
     # oracle the binned kernel is tested against (ops/mips_pallas.py).
     kernel: typ.Literal["scan", "fused"] = "scan"
+    # fused-kernel shape knobs (static metadata, replace()-able at runtime):
+    # bins = selection width (pool loss ~ (pool-1)/(2*bins)); tile = corpus
+    # rows per kernel step, 0 = auto. Small-batch serving wants LARGE tiles
+    # (measured 8.8M x 128 int8 B=64: tile 16384 ~2x faster than 2048 — the
+    # HBM read roofline); the large-batch headline prefers the 1024 default.
+    fused_bins: int = 512
+    fused_tile: int = 0
     # closed-loop runtime-knob autotuning after each periodic rebuild (faiss
     # `ParameterSpace`/`OperatingPoints` parity — the reference pins knobs in
     # hydra and never tunes, `search_defaults/faiss/default.yaml`): sweep

@@ -440,8 +440,11 @@ def train_pq_anisotropic(
 
     em1 = float(eta) - 1.0
 
+    # the (padded) training tensors ride as jit ARGUMENTS — closing over them
+    # would embed the whole sample as program literals, which the
+    # remote-compile relay ships at ~100 s/MB per compile
     @jax.jit
-    def one_iter(cb: jax.Array, codes_all: jax.Array):
+    def one_iter(cb: jax.Array, codes_all: jax.Array, xs_p, us_p, w_p):
         codes_all = jax.lax.map(
             lambda args: _aniso_assign_chunk(cb, *args, eta=eta, sweeps=sweeps),
             (xs_p, us_p, codes_all),
@@ -492,5 +495,5 @@ def train_pq_anisotropic(
         (xs_p,),
     )
     for _ in range(n_iters):
-        codebooks, codes_all = one_iter(codebooks, codes_all)
+        codebooks, codes_all = one_iter(codebooks, codes_all, xs_p, us_p, w_p)
     return codebooks

@@ -109,6 +109,21 @@ class PQIndex:
     # nibble-packed two-per-byte — parity: faiss `PQ{M}x4fs`). The 4-bit
     # one-hot decode temp is 16x smaller, which is the 8-bit scan's HBM wall.
     code_bits: int = struct.field(pytree_node=False, default=8)
+    # "fused" routes the COARSE stage through the Pallas matmul+binned-top-k
+    # kernel (ops/mips_pallas.py) — the serving-codec win: at B=64 the scan
+    # path's per-chunk score traffic ~doubles the coarse-store read. Falls
+    # back to the scan when a subset filter is active, exact selection is
+    # requested, or the padded row count doesn't tile. Only the coarse stage
+    # routes (exhaustive-ADC scans decode per chunk; no fused decode kernel).
+    kernel: str = struct.field(pytree_node=False, default="scan")
+    fused_bins: int = struct.field(pytree_node=False, default=512)
+    fused_qblock: int = struct.field(pytree_node=False, default=2048)
+    # corpus-tile rows per kernel step; 0 = auto (max(1024, fused_bins)).
+    # Small-batch serving wants LARGE tiles: measured at 8.8M x 128 int8,
+    # B=64, bins=2048 — tile 2048: ~2.3 ms/block vs tile 16384: ~1.2 ms
+    # (~890 GB/s, the HBM read roofline; more rows per grid step amortize
+    # the per-step selection + DMA turnaround).
+    fused_tile: int = struct.field(pytree_node=False, default=0)
 
 
 def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:
@@ -227,6 +242,9 @@ def build_pq_index(
     code_bits: int = 8,
     aniso_eta: pq_ops.AnisoEta = None,
     keep_codes: bool = True,
+    kernel: str = "scan",
+    fused_bins: int = 512,
+    fused_tile: int = 0,
 ) -> PQIndex:
     """Build a PQ index (parity: faiss `OPQ{M}_{d},IVFauto,PQ{M}x8[,RFlat]`;
     code_bits=4 is the fast-scan `PQ{M}x4fs` codec — 16-entry codebooks,
@@ -310,6 +328,9 @@ def build_pq_index(
         approx_recall=approx_recall,
         k_factor=k_factor,
         code_bits=code_bits,
+        kernel=kernel,
+        fused_bins=fused_bins,
+        fused_tile=fused_tile,
     )
 
 
@@ -828,10 +849,41 @@ def pq_search(
         # coarse→refine direct: the scan's top pool feeds the re-rank with no
         # ADC stage in between (candidate pool = k_factor * top_k)
         n_stage1 = n_pool if direct else n_cand
-        cand_s, cand_i = _scan_collect_topk(
-            score_chunk, n, index.n_real, b, n_stage1, chunk,
-            approx_recall=approx_recall, concentrated=filtered,
+        # Pallas fused matmul+binned-top-k over the coarse store: the int8
+        # score chunks never round-trip through HBM, which is what bounds the
+        # small-batch SERVING dispatch (the whole block shares ONE read of the
+        # [N, dc] store; the scan path's chunk scores + approx_max_k traffic
+        # roughly double it). Requirements mirror dense_search's fused route:
+        # no subset filter, approximate selection allowed, and the padded row
+        # count divisible by a bins-aligned tile (else fall back to the scan).
+        use_fused = (
+            index.kernel == "fused" and allowed is None and approx_recall is not None
         )
+        if use_fused:
+            f_bins = index.fused_bins
+            f_tile = index.fused_tile or max(1024, f_bins)
+            if n % f_tile != 0 or f_tile % f_bins != 0:
+                f_tile = max(1024, f_bins)  # auto fallback before giving up
+            use_fused = n % f_tile == 0 and f_tile % f_bins == 0
+        if use_fused:
+            from vod_tpu.ops.mips_pallas import fused_mips_binned
+
+            b_pad = (-b) % 16  # sublane-align the query block
+            q_k = jnp.pad(q_ci8, ((0, b_pad), (0, 0))) if b_pad else q_ci8
+            cand_s, cand_i = fused_mips_binned(
+                index.coarse_codes, q_k, k=min(n_stage1, f_bins),
+                n_real=index.n_real, bins=f_bins, tile=f_tile,
+                qblock=index.fused_qblock,
+                interpret=jax.default_backend() == "cpu",
+            )
+            cand_i = cand_i[:b]
+            cand_s = cand_s[:b].astype(jnp.float32) * q_cr
+            cand_s = jnp.where(cand_i >= 0, cand_s, -jnp.inf)
+        else:
+            cand_s, cand_i = _scan_collect_topk(
+                score_chunk, n, index.n_real, b, n_stage1, chunk,
+                approx_recall=approx_recall, concentrated=filtered,
+            )
 
         if direct:
             pool_s, pool_i = cand_s, cand_i
@@ -998,6 +1050,9 @@ def build_pq_index_from_host(
     code_bits: int = 8,
     aniso_eta: pq_ops.AnisoEta = None,
     keep_codes: bool = True,
+    kernel: str = "scan",
+    fused_bins: int = 512,
+    fused_tile: int = 0,
 ) -> PQIndex:
     """PQ build for corpora larger than device HBM: train on a sample, then
     encode host slabs on device one at a time (parity: faiss's chunked
@@ -1053,21 +1108,32 @@ def build_pq_index_from_host(
         del ref_sample
     del train, train_rot
 
+    # params ride as jit ARGUMENTS (a dict pytree): closed-over device arrays
+    # are embedded as program literals, which the remote-compile relay ships
+    # at ~100 s/MB per compile (rotation alone is d*d*4 B = 2.3 MB at d=768).
+    enc_params = {
+        "rotation": rotation, "codebooks": codebooks, "proj": proj,
+        "coarse_scale": coarse_scale, "refine_proj": refine_proj,
+        "refine_scale": refine_scale,
+    }
+
     @jax.jit
-    def encode_slab(x):
-        xr = x @ rotation if rotation is not None else x
+    def encode_slab(x, p):
+        xr = x @ p["rotation"] if rotation is not None else x
         codes = None
         if keep_codes:
-            codes = pq_ops.encode_pq_auto(codebooks, xr, eta=aniso_resolved)
+            codes = pq_ops.encode_pq_auto(p["codebooks"], xr, eta=aniso_resolved)
             if code_bits == 4:
                 codes = _pack_codes4(codes)
         coarse = None
         if proj is not None:
-            coarse = jnp.clip(jnp.round((xr @ proj) / coarse_scale), -127, 127).astype(jnp.int8)
+            coarse = jnp.clip(
+                jnp.round((xr @ p["proj"]) / p["coarse_scale"]), -127, 127
+            ).astype(jnp.int8)
         ref = None
         if refine_scale is not None:
-            xr_ref = x @ refine_proj if refine_proj is not None else x
-            ref = jnp.clip(jnp.round(xr_ref / refine_scale), -127, 127).astype(jnp.int8)
+            xr_ref = x @ p["refine_proj"] if refine_proj is not None else x
+            ref = jnp.clip(jnp.round(xr_ref / p["refine_scale"]), -127, 127).astype(jnp.int8)
         return codes, coarse, ref
 
     pad_multiple = _auto_pad_multiple(n_real, None)
@@ -1079,7 +1145,7 @@ def build_pq_index_from_host(
     refine_np = np.zeros((n_pad, r_dim), np.int8) if refine == "int8" else None
     for s0 in range(0, n_real, slab):
         x = jnp.asarray(np.ascontiguousarray(vectors_np[s0 : s0 + slab]), dtype=jnp.float32)
-        c, cc, rr = encode_slab(x)
+        c, cc, rr = encode_slab(x, enc_params)
         if codes_np is not None:
             codes_np[s0 : s0 + x.shape[0]] = np.asarray(c)
         if coarse_np is not None:
@@ -1107,4 +1173,7 @@ def build_pq_index_from_host(
         approx_recall=approx_recall,
         k_factor=k_factor,
         code_bits=code_bits,
+        kernel=kernel,
+        fused_bins=fused_bins,
+        fused_tile=fused_tile,
     )

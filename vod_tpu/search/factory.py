@@ -141,6 +141,9 @@ def build_dense_from_config(
             approx_recall=cfg.approx_recall,
             aniso_eta=cfg.aniso_eta,
             keep_codes=cfg.keep_codes,
+            kernel=cfg.kernel,
+            fused_bins=cfg.fused_bins,
+            fused_tile=cfg.fused_tile,
         )
     elif cfg.codec == "ivfpq":
         index = build_ivfpq_index(
@@ -266,6 +269,9 @@ def build_dense_from_host(
             approx_recall=cfg.approx_recall,
             aniso_eta=cfg.aniso_eta,
             keep_codes=cfg.keep_codes,
+            kernel=cfg.kernel,
+            fused_bins=cfg.fused_bins,
+            fused_tile=cfg.fused_tile,
         )
         if cfg.sharded and mesh is not None:
             return shard_pq_index(index, mesh, axis=cfg.shard_axis)
@@ -372,23 +378,31 @@ def build_dense_from_host(
 
         from .ivfpq import assign_soar
 
+        # params ride as jit ARGUMENTS: closed-over device arrays embed as
+        # program literals, which the remote-compile relay ships at ~100 s/MB
+        # per compile (centroids alone is C*d*4 B = 12.6 MB at 4096 x 768).
+        enc_params = {
+            "rotation": rotation, "centroids": centroids, "codebooks": codebooks,
+            "refine_proj": refine_proj, "refine_scale": refine_scale,
+        }
+
         @jax.jit
-        def enc_slab(x):
-            x_rot = x if rotation is None else x @ rotation
-            a = _assign_chunked(x_rot, centroids)
+        def enc_slab(x, p):
+            x_rot = x if rotation is None else x @ p["rotation"]
+            a = _assign_chunked(x_rot, p["centroids"])
             a2 = (
-                assign_soar(x_rot, centroids, a, soar_lambda=cfg.soar_lambda)
+                assign_soar(x_rot, p["centroids"], a, soar_lambda=cfg.soar_lambda)
                 if cfg.spill else a
             )
             codes = None
             if cfg.keep_codes:
-                codes = pq_ops.encode_pq_auto(codebooks, x_rot, eta=aniso_resolved)
+                codes = pq_ops.encode_pq_auto(p["codebooks"], x_rot, eta=aniso_resolved)
                 if cfg.code_bits == 4:
                     codes = _pack_codes4(codes)
             rows = None
             if refine == "int8":
-                xr = x if refine_proj is None else x @ refine_proj
-                rows = jnp.clip(jnp.round(xr / refine_scale), -127, 127).astype(jnp.int8)
+                xr = x if refine_proj is None else x @ p["refine_proj"]
+                rows = jnp.clip(jnp.round(xr / p["refine_scale"]), -127, 127).astype(jnp.int8)
             return a, a2, codes, rows
 
         assign_np = np.zeros((n,), np.int32)
@@ -401,7 +415,7 @@ def build_dense_from_host(
             x = jnp.asarray(
                 np.ascontiguousarray(vectors_np[s0 : s0 + slab]), dtype=jnp.float32
             )
-            a, a2, codes, rows = enc_slab(x)
+            a, a2, codes, rows = enc_slab(x, enc_params)
             assign_np[s0 : s0 + x.shape[0]] = np.asarray(a)
             if assign2_np is not None:
                 assign2_np[s0 : s0 + x.shape[0]] = np.asarray(a2)

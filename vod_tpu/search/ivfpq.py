@@ -500,25 +500,29 @@ def build_ivfpq_from_device_parts(
     )
     dst_dev = jnp.asarray(dst.astype(np.int32))
 
+    # dst rides as a jit ARGUMENT: closed-over device arrays are embedded as
+    # program literals, which the remote-compile relay ships at ~100 s/MB —
+    # dst is [total] int32 (~35 MB at 8.8M rows).
     @jax.jit
-    def scatter_rows(src):
+    def scatter_rows(src, dst):
         out = jnp.zeros((total, src.shape[1]), src.dtype)
-        return out.at[dst_dev].set(src)
+        return out.at[dst].set(src)
 
     @jax.jit
-    def scatter_ids(src):
+    def scatter_ids(src, dst):
         out = jnp.full((total,), -1, jnp.int32)
-        return out.at[dst_dev].set(src)
+        return out.at[dst].set(src)
 
-    codes_sorted = None if codes_dev is None else scatter_rows(codes_dev)
-    refine_sorted = None if refine_dev is None else scatter_rows(refine_dev)
+    codes_sorted = None if codes_dev is None else scatter_rows(codes_dev, dst_dev)
+    refine_sorted = None if refine_dev is None else scatter_rows(refine_dev, dst_dev)
     row_ids = scatter_ids(
         jnp.arange(n_rows, dtype=jnp.int32) if row_ids_np is None
-        else jnp.asarray(row_ids_np.astype(np.int32))
+        else jnp.asarray(row_ids_np.astype(np.int32)),
+        dst_dev,
     )
     subs = None
     if subset_ids_np is not None:
-        subs = scatter_ids(jnp.asarray(subset_ids_np.astype(np.int32)))
+        subs = scatter_ids(jnp.asarray(subset_ids_np.astype(np.int32)), dst_dev)
 
     return IVFPQIndex(
         centroids=jnp.asarray(centroids, dtype=jnp.float32),
