@@ -264,6 +264,32 @@ def test_periodic_training_autotunes_each_period(monkeypatch) -> None:
     assert all("k_factor" in t["params"] for t in tunes)
 
 
+def test_direct_codec_grid_sweeps_fused_kernel():
+    """The serving codec's grid includes fused-coarse-kernel points; applying
+    one sets the kernel knobs; the sweep measures them like any other point."""
+    x = _corpus(n=3000)  # pads to 3072 = 3 x 1024 fused tiles
+    pq = build_pq_index(
+        jax.random.PRNGKey(0), x, coarse_dim=x.shape[1], refine="int8",
+        k_factor=8, keep_codes=False,
+    )
+    grid = default_grid(pq)
+    fused_pts = [g for g in grid if g.get("fused")]
+    assert fused_pts, grid
+    assert all(g["fused_bins"] == 2048 and g["fused_tile"] == 16384 for g in fused_pts)
+    assert all(g["k_factor"] >= 8 for g in fused_pts)
+    tuned = apply_runtime_params(pq, fused_pts[0])
+    assert tuned.kernel == "fused" and tuned.fused_bins == 2048 and tuned.fused_tile == 16384
+    # scan points leave the kernel untouched
+    scan_pt = next(g for g in grid if not g.get("fused"))
+    assert apply_runtime_params(pq, scan_pt).kernel == "scan"
+    # the whole grid sweeps without error and selection meets the target
+    qd, gt = _queries_and_gt(x)
+    pts = sweep_operating_points(pq, qd, gt, top_k=10, measure_time=False)
+    assert len(pts) == len(grid)
+    best = select_operating_point(pts, target_recall=0.7)
+    assert best.recall >= 0.7
+
+
 def test_default_grids_shape():
     x = _corpus(n=1024)
     ivf = build_ivfpq_index(

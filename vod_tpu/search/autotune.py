@@ -15,7 +15,9 @@ Runtime knobs per engine:
     window count so probing every cell stays exact)
   * `IVFIndex`  — `nprobe`
   * `PQIndex`   — `k_factor` (refine pool width) and, in coarse mode,
-    `n_candidates`
+    `n_candidates`; the direct serving codec (keep_codes=False) additionally
+    sweeps the fused Pallas coarse kernel (`fused`/`fused_bins`/`fused_tile` —
+    measured ~2x the scan at B=64 on 8.8M, slightly lower recall)
   * flat `DenseIndex` / `SparseIndex` — nothing to tune (single point)
 
 All knobs are static pytree metadata, so each setting is a recompile — sweeps
@@ -109,6 +111,14 @@ def apply_runtime_params(index: typ.Any, params: dict[str, int]) -> typ.Any:
             if index.coarse_codes is None:
                 raise ValueError("n_candidates only applies to coarse-mode PQ indexes")
             kw["n_candidates"] = int(params["n_candidates"])
+        # serving-kernel knobs (static metadata like the rest): fused=1 routes
+        # the coarse stage through the Pallas matmul+binned-top-k kernel
+        if "fused" in params:
+            kw["kernel"] = "fused" if params["fused"] else "scan"
+        if "fused_bins" in params:
+            kw["fused_bins"] = int(params["fused_bins"])
+        if "fused_tile" in params:
+            kw["fused_tile"] = int(params["fused_tile"])
         return index.replace(**kw)
     raise TypeError(f"no runtime knobs for {type(index).__name__}")
 
@@ -129,6 +139,19 @@ def default_grid(index: typ.Any) -> list[dict[str, int]]:
             n = int(index.coarse_codes.shape[0])
             cands = [c for c in (256, 1024, 4096, 16384) if c <= n]
             ks = [{**k, "n_candidates": c} for k in ks for c in cands]
+        elif index.coarse_codes is not None and index.refine_codes is not None:
+            # direct serving codec: also sweep the fused coarse kernel at the
+            # measured-roofline shape (bins=2048, tile=16384 — ~2x the scan at
+            # B=64 on 8.8M x 128 int8; falls back to the scan path on corpora
+            # the tile doesn't divide, where its point just duplicates scan's).
+            # Kernel choice is the one knob NOT cost-monotone in recall (fused
+            # is faster AND slightly lower recall), so timed sweeps pick it on
+            # wall; untimed sweeps pick it as the lowest-recall point meeting
+            # the target — both land on fused when it holds the target.
+            ks = ks + [
+                {**k, "fused": 1, "fused_bins": 2048, "fused_tile": 16384}
+                for k in ks if k.get("k_factor", 1) >= 8
+            ]
         return ks
     return [{}]  # flat / anything else: a single operating point
 
