@@ -58,8 +58,10 @@ def main() -> None:
     topics = jax.random.normal(jax.random.PRNGKey(1), (args.n_topics, d), jnp.float32)
     topics = topics / jnp.linalg.norm(topics, axis=-1, keepdims=True)
 
+    # NOTE (remote-relay): big arrays ride as jit ARGUMENTS — closures embed
+    # as program literals, shipped at ~100 s/MB per compile (bench.py).
     @jax.jit
-    def gen_slab(key):
+    def gen_slab(key, topics):
         """[slab, Lt, D] unit token vectors: per-doc 4 topics + noise."""
         kt, kn, ka = jax.random.split(key, 3)
         doc_topics = jax.random.randint(kt, (slab, 4), 0, args.n_topics)
@@ -73,8 +75,8 @@ def main() -> None:
     scale = jnp.full((1, d), scale_val, jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def fill(codes, pooled, key, row0):
-        x = gen_slab(key)
+    def fill(codes, pooled, key, row0, topics):
+        x = gen_slab(key, topics)
         q8 = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
         p = x.mean(axis=1)
         p = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-9)
@@ -88,7 +90,7 @@ def main() -> None:
     codes = jnp.zeros((n_pad, lt, d), jnp.int8)
     pooled = jnp.zeros((n_pad, d), jnp.float32)
     for i, kk in enumerate(keys):
-        codes, pooled = fill(codes, pooled, kk, jnp.int32(i * slab))
+        codes, pooled = fill(codes, pooled, kk, jnp.int32(i * slab), topics)
     codes.block_until_ready()
 
     from vod_tpu.search.maxsim import MaxSimIndex
@@ -103,7 +105,7 @@ def main() -> None:
     # queries: 2 topics of a random doc (regenerate its slab to find them)
     rng = np.random.default_rng(0)
     gold_rows = rng.integers(0, min(n, slab), b)  # rows of slab 0
-    s0 = np.asarray(gen_slab(keys[0])[jnp.asarray(gold_rows)])  # [B, Lt, D]
+    s0 = np.asarray(gen_slab(keys[0], topics)[jnp.asarray(gold_rows)])  # [B, Lt, D]
     sel = rng.integers(0, lt, (b, lq))
     q_tok = np.stack([s0[i, sel[i]] for i in range(b)])  # [B, Lq, D]
     q_tok += 0.1 * rng.standard_normal((b, lq, d)).astype(np.float32)

@@ -71,8 +71,10 @@ def main() -> None:
     basis, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(99), (d, d)))
     basis = basis.astype(jnp.float32)
 
+    # NOTE (remote-relay): big arrays ride as jit ARGUMENTS — closures embed
+    # as program literals, shipped at ~100 s/MB per compile (bench.py).
     @jax.jit
-    def gen_slab(key):
+    def gen_slab(key, basis):
         z = jax.random.normal(key, (slab, d), dtype=jnp.float32) * spec
         x = z @ basis
         return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
@@ -80,20 +82,20 @@ def main() -> None:
     keys = [jax.random.PRNGKey(2000 + i) for i in range(n_slabs)]
 
     t0 = time.time()
-    train = gen_slab(keys[0])[: args.train]
+    train = gen_slab(keys[0], basis)[: args.train]
     codebooks = pq_ops.train_pq(jax.random.PRNGKey(0), train, m, n_codes=16, n_iters=6)
     del train
     print(f"# trained pq{m}x4 in {time.time()-t0:.0f}s", flush=True)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def fill(codes, key, row0):
+    def fill(codes, key, row0, codebooks, basis):
         return jax.lax.dynamic_update_slice(
-            codes, _pack_codes4(pq_ops.encode_pq(codebooks, gen_slab(key))), (row0, 0)
+            codes, _pack_codes4(pq_ops.encode_pq(codebooks, gen_slab(key, basis))), (row0, 0)
         )
 
     codes = jnp.zeros((n_pad, m // 2), jnp.uint8)
     for i, kk in enumerate(keys):
-        codes = fill(codes, kk, jnp.int32(i * slab))
+        codes = fill(codes, kk, jnp.int32(i * slab), codebooks, basis)
     codes.block_until_ready()
     print("# codes built", flush=True)
 
@@ -112,15 +114,15 @@ def main() -> None:
     cb_bd = jnp.asarray(bd)
 
     rng = np.random.default_rng(0)
-    s0 = np.asarray(gen_slab(keys[0])[: args.n_eval])
+    s0 = np.asarray(gen_slab(keys[0], basis)[: args.n_eval])
     noise = (rng.standard_normal((args.n_eval, d)).astype(np.float32) * spec_np) @ np.asarray(basis)
     q = s0 + 0.1 * noise
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     jq = jnp.asarray(q)
 
     @jax.jit
-    def gt_slab(key, top_s, top_i, offset):
-        x = gen_slab(key)
+    def gt_slab(key, top_s, top_i, offset, jq, basis):
+        x = gen_slab(key, basis)
         s = jnp.dot(jq, x.T, preferred_element_type=jnp.float32)
         row = offset + jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
         s = jnp.where(row < n, s, -jnp.inf)
@@ -133,7 +135,7 @@ def main() -> None:
     top_s = jnp.full((args.n_eval, k), -jnp.inf)
     top_i = jnp.full((args.n_eval, k), -1, jnp.int32)
     for i, kk in enumerate(keys):
-        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab))
+        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab), jq, basis)
     gt_i = np.asarray(top_i)
     print("# ground truth done", flush=True)
 

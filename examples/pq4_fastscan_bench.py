@@ -62,8 +62,10 @@ def main() -> None:
     basis, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(99), (d, d)))
     basis = basis.astype(jnp.float32)
 
+    # NOTE (remote-relay): basis/codebooks ride as jit ARGUMENTS — closures
+    # embed as program literals, shipped at ~100 s/MB per compile (bench.py).
     @jax.jit
-    def gen_slab(key):
+    def gen_slab(key, basis):
         z = jax.random.normal(key, (slab, d), dtype=jnp.float32) * spec
         x = z @ basis
         return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
@@ -71,7 +73,7 @@ def main() -> None:
     keys = [jax.random.PRNGKey(2000 + i) for i in range(n_slabs)]
 
     t0 = time.time()
-    train = gen_slab(keys[0])[: args.train]
+    train = gen_slab(keys[0], basis)[: args.train]
     cb8 = pq_ops.train_pq(jax.random.PRNGKey(0), train, 64, n_iters=args.kmeans_iters)
     cb4 = pq_ops.train_pq(
         jax.random.PRNGKey(1), train, 128, n_codes=16, n_iters=args.kmeans_iters
@@ -81,14 +83,14 @@ def main() -> None:
 
     def fill_codes(cb, m):
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def fill(codes, key, row0):
+        def fill(codes, key, row0, cb, basis):
             return jax.lax.dynamic_update_slice(
-                codes, pq_ops.encode_pq(cb, gen_slab(key)), (row0, 0)
+                codes, pq_ops.encode_pq(cb, gen_slab(key, basis)), (row0, 0)
             )
 
         codes = jnp.zeros((n_pad, m), jnp.uint8)
         for i, kk in enumerate(keys):
-            codes = fill(codes, kk, jnp.int32(i * slab))
+            codes = fill(codes, kk, jnp.int32(i * slab), cb, basis)
         codes.block_until_ready()
         return codes
 
@@ -107,15 +109,15 @@ def main() -> None:
     cb4_i8, svec4 = int8_cb(cb4)
 
     rng = np.random.default_rng(0)
-    s0 = np.asarray(gen_slab(keys[0])[: args.n_eval])
+    s0 = np.asarray(gen_slab(keys[0], basis)[: args.n_eval])
     noise = (rng.standard_normal((args.n_eval, d)).astype(np.float32) * spec_np) @ np.asarray(basis)
     q = s0 + 0.1 * noise
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     jq = jnp.asarray(q)
 
     @jax.jit
-    def gt_slab(key, top_s, top_i, offset):
-        x = gen_slab(key)
+    def gt_slab(key, top_s, top_i, offset, jq, basis):
+        x = gen_slab(key, basis)
         s = jnp.dot(jq, x.T, preferred_element_type=jnp.float32)
         row = offset + jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
         s = jnp.where(row < n, s, -jnp.inf)
@@ -128,7 +130,7 @@ def main() -> None:
     top_s = jnp.full((args.n_eval, k), -jnp.inf)
     top_i = jnp.full((args.n_eval, k), -1, jnp.int32)
     for i, kk in enumerate(keys):
-        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab))
+        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab), jq, basis)
     gt_i = np.asarray(top_i)
     print("# ground truth done", flush=True)
 

@@ -68,8 +68,11 @@ def main() -> None:
     basis, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(99), (d, d)))
     basis = basis.astype(jnp.float32)
 
+    # NOTE (remote-relay): basis and trained params ride as jit ARGUMENTS —
+    # closed-over device arrays embed as program literals, shipped by the
+    # remote-compile relay at ~100 s/MB per compile (see bench.py NOTE).
     @jax.jit
-    def gen_slab(key):
+    def gen_slab(key, basis):
         z = jax.random.normal(key, (slab, d), dtype=jnp.float32) * spec
         x = z @ basis
         return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
@@ -78,7 +81,7 @@ def main() -> None:
 
     # --- train on a device-generated sample ---------------------------------
     t0 = time.time()
-    train = gen_slab(keys[0])[: args.train]
+    train = gen_slab(keys[0], basis)[: args.train]
     codebooks = pq_ops.train_pq(
         jax.random.PRNGKey(0), train, m, n_codes=1 << args.code_bits,
         n_iters=args.kmeans_iters,
@@ -94,8 +97,8 @@ def main() -> None:
     from vod_tpu.search.dense import _pack_codes4
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def fill(codes, refine, key, row0):
-        x = gen_slab(key)
+    def fill(codes, refine, key, row0, basis, codebooks, refine_proj, refine_scale):
+        x = gen_slab(key, basis)
         c = pq_ops.encode_pq(codebooks, x)
         if args.code_bits == 4:
             c = _pack_codes4(c)
@@ -109,7 +112,8 @@ def main() -> None:
     codes = jnp.zeros((n_pad, cb_bytes), jnp.uint8)
     refine = jnp.zeros((n_pad, rdim), jnp.int8)
     for i, kk in enumerate(keys):
-        codes, refine = fill(codes, refine, kk, jnp.int32(i * slab))
+        codes, refine = fill(codes, refine, kk, jnp.int32(i * slab),
+                             basis, codebooks, refine_proj, refine_scale)
     codes.block_until_ready()
     build_s = time.time() - t0
     print(f"# encoded {n_pad} rows in {build_s:.0f}s "
@@ -142,7 +146,7 @@ def main() -> None:
 
     # --- queries + exact f32 ground truth -----------------------------------
     rng = np.random.default_rng(0)
-    s0 = np.asarray(gen_slab(keys[0])[: args.n_eval])
+    s0 = np.asarray(gen_slab(keys[0], basis)[: args.n_eval])
     # noise is spectrum-shaped AND rotated through `basis` like the corpus:
     # real queries are encoder outputs on the same manifold (unrotated noise
     # puts energy off-manifold and pessimizes subspace codecs)
@@ -153,8 +157,8 @@ def main() -> None:
     jq = jnp.asarray(q)
 
     @jax.jit
-    def gt_slab(key, top_s, top_i, offset):
-        x = gen_slab(key)
+    def gt_slab(key, top_s, top_i, offset, jq, basis):
+        x = gen_slab(key, basis)
         s = jnp.dot(jq, x.T, preferred_element_type=jnp.float32)
         row = offset + jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
         s = jnp.where(row < n, s, -jnp.inf)
@@ -167,7 +171,7 @@ def main() -> None:
     top_s = jnp.full((args.n_eval, k), -jnp.inf)
     top_i = jnp.full((args.n_eval, k), -1, jnp.int32)
     for i, kk in enumerate(keys):
-        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab))
+        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab), jq, basis)
     gt_i = np.asarray(top_i)
     print("# ground truth done", flush=True)
 
@@ -311,15 +315,15 @@ def main() -> None:
     i8_scale = jnp.full((1, d), 5.0 / np.sqrt(d) / 127.0, jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def fill8(buf, key, row0):
-        x = gen_slab(key)
+    def fill8(buf, key, row0, basis):
+        x = gen_slab(key, basis)
         c = jnp.clip(jnp.round(x / i8_scale), -127, 127).astype(jnp.int8)
         return jax.lax.dynamic_update_slice(buf, c, (row0, 0))
 
     t0 = time.time()
     buf = jnp.zeros((n_pad, d), jnp.int8)
     for i, kk in enumerate(keys):
-        buf = fill8(buf, kk, jnp.int32(i * slab))
+        buf = fill8(buf, kk, jnp.int32(i * slab), basis)
     buf.block_until_ready()
     idx8 = DenseIndex(vectors=buf, scale=i8_scale, n_real=n, approx_recall=0.95)
     out8 = dense_search(idx8, SearchQueries(vector=jq), top_k=k)

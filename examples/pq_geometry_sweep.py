@@ -56,8 +56,10 @@ def main() -> None:
     basis, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(99), (d, d)))
     basis = basis.astype(jnp.float32)
 
+    # NOTE (remote-relay): basis/codebooks ride as jit ARGUMENTS — closures
+    # embed as program literals, shipped at ~100 s/MB per compile (bench.py).
     @jax.jit
-    def gen_slab(key):
+    def gen_slab(key, basis):
         z = jax.random.normal(key, (slab, d), dtype=jnp.float32) * spec
         x = z @ basis
         return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
@@ -66,27 +68,27 @@ def main() -> None:
 
     # shared refine store (trained once)
     t0 = time.time()
-    train = gen_slab(keys[0])[: args.train]
+    train = gen_slab(keys[0], basis)[: args.train]
     refine_proj, _mean = pq_ops.train_projection(train, rdim)
     ref_sample = train @ refine_proj
     refine_scale = jnp.maximum(jnp.max(jnp.abs(ref_sample), axis=0, keepdims=True), 1e-8) / 127.0
     del ref_sample
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def fill_refine(refine, key, row0):
-        x = gen_slab(key)
+    def fill_refine(refine, key, row0, basis, refine_proj, refine_scale):
+        x = gen_slab(key, basis)
         r = jnp.clip(jnp.round((x @ refine_proj) / refine_scale), -127, 127).astype(jnp.int8)
         return jax.lax.dynamic_update_slice(refine, r, (row0, 0))
 
     refine = jnp.zeros((n_pad, rdim), jnp.int8)
     for i, kk in enumerate(keys):
-        refine = fill_refine(refine, kk, jnp.int32(i * slab))
+        refine = fill_refine(refine, kk, jnp.int32(i * slab), basis, refine_proj, refine_scale)
     refine.block_until_ready()
     print(f"# refine store built in {time.time()-t0:.0f}s", flush=True)
 
     # queries + exact f32 ground truth (slab-regenerated running top-k)
     rng = np.random.default_rng(0)
-    s0 = np.asarray(gen_slab(keys[0])[: args.n_eval])
+    s0 = np.asarray(gen_slab(keys[0], basis)[: args.n_eval])
     # noise is spectrum-shaped AND rotated through `basis` like the corpus:
     # real queries are encoder outputs on the same manifold (unrotated noise
     # puts energy off-manifold and pessimizes subspace codecs)
@@ -97,8 +99,8 @@ def main() -> None:
     jq = jnp.asarray(q)
 
     @jax.jit
-    def gt_slab(key, top_s, top_i, offset):
-        x = gen_slab(key)
+    def gt_slab(key, top_s, top_i, offset, jq, basis):
+        x = gen_slab(key, basis)
         s = jnp.dot(jq, x.T, preferred_element_type=jnp.float32)
         row = offset + jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
         s = jnp.where(row < n, s, -jnp.inf)
@@ -111,7 +113,7 @@ def main() -> None:
     top_s = jnp.full((args.n_eval, k), -jnp.inf)
     top_i = jnp.full((args.n_eval, k), -1, jnp.int32)
     for i, kk in enumerate(keys):
-        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab))
+        top_s, top_i = gt_slab(kk, top_s, top_i, jnp.int32(i * slab), jq, basis)
     gt_i = np.asarray(top_i)
     print("# ground truth done", flush=True)
 
@@ -134,13 +136,13 @@ def main() -> None:
         codebooks = pq_ops.train_pq(jax.random.PRNGKey(0), train, m, n_iters=args.kmeans_iters)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def fill_codes(codes, key, row0, cb=codebooks):
-            x = gen_slab(key)
+        def fill_codes(codes, key, row0, cb, basis):
+            x = gen_slab(key, basis)
             return jax.lax.dynamic_update_slice(codes, pq_ops.encode_pq(cb, x), (row0, 0))
 
         codes = jnp.zeros((n_pad, m), jnp.uint8)
         for i, kk in enumerate(keys):
-            codes = fill_codes(codes, kk, jnp.int32(i * slab))
+            codes = fill_codes(codes, kk, jnp.int32(i * slab), codebooks, basis)
         codes.block_until_ready()
         build_s = time.time() - t0
 

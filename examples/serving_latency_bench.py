@@ -91,7 +91,11 @@ def build_serving_index(n: int):
         codebooks=jnp.zeros((1, 1, 1), jnp.float32), codes=None,
         coarse_codes=coarse, coarse_scale=scale_c, proj=proj_c,
         refine_codes=refine, refine_scale=scale_r, refine_proj=proj_r,
-        n_real=n, k_factor=8, approx_recall=0.95,
+        n_real=n, k_factor=16, approx_recall=0.95,
+        # the fused Pallas coarse kernel at the measured-roofline tile: the
+        # B=64 dispatch drops from ~2.5 ms (scan) to ~1.2-1.7 ms, so the
+        # per-request latency floor is the relay RTT, not the kernel
+        kernel="fused", fused_bins=2048, fused_tile=16384,
     )
     return index, q_src
 
