@@ -466,7 +466,9 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
         "recall": round(serve_recall, 4),
         "vs_baseline": None,
     })
-    del base_serve, refine256, got_sv
+    # keep refine256/proj256/scale256 alive: the ivfpq line below reuses the
+    # pca256 store (ORIGINAL row order) as its IndexRefine rerank stage
+    del base_serve, got_sv
 
     # ---- IVF-PQ serving latency (small-batch regime) -----------------------
     # The exhaustive scans above amortize their fixed decode/matmul cost over
@@ -501,18 +503,25 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
         a, a2 = assign_slab(kk, spec, basis, centroids)
         assign_np[i * slab : (i + 1) * slab] = np.asarray(a)
         assign2_np[i * slab : (i + 1) * slab] = np.asarray(a2)
+    # + IndexRefine stage (faiss `IVF...,Refine` parity): the window stage
+    # pools k_factor*k pca128-scored candidates, one gathered int8 matmul
+    # re-ranks them against the pca256 store (reused from the serving codec,
+    # ORIGINAL row order) — lifts final top-k fidelity above the pca128
+    # window-scoring ceiling at ~zero serving cost (64x160x256 int8 gather)
     ivf_index = build_ivfpq_from_device_parts(
         centroids, jnp.zeros((1, 1, d), jnp.float32),
         np.concatenate([assign_np[:n], assign2_np[:n]]), None,
         refine_dev=jnp.concatenate([refine_rows[:n], refine_rows[:n]]),
         refine_scale=refine_scale,
-        refine_proj=refine_proj, window=512, nprobe=32,
+        refine_proj=refine_proj,
+        rerank_dev=refine256[:n], rerank_scale=scale256, rerank_proj=proj256,
+        k_factor=16, window=512, nprobe=32,
         row_ids_np=np.tile(np.arange(n, dtype=np.int32), 2), n_real=n, spilled=True,
     )
     del refine_rows
     ivf_build_s = time.time() - t0
     ivf_slots = int(ivf_index.row_ids.shape[0])
-    ivf_gb = ivf_slots * (rdim + 4) / 2**30
+    ivf_gb = (ivf_slots * (rdim + 4) + n_pad * 256) / 2**30
 
     sfn = lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), k).indices
     got_ivf = np.asarray(jax.jit(sfn)(ivf_index, jq))
@@ -526,7 +535,8 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
     scan_frac = ivf_index.max_windows * 512 / n
     _emit({
         "metric": (
-            f"8.8M ivfpq serving (IVF4096+PCA-SQ128 SOAR-spilled, 2x132 B/vec, "
+            f"8.8M ivfpq serving (IVF4096+PCA-SQ128 SOAR-spilled + pca256 "
+            f"IndexRefine rerank k_factor=16, 2x132+256 B/vec, "
             f"{ivf_gb:.2f} GB HBM, nprobe=32 scans {100*scan_frac:.1f}% of stored rows, "
             f"build {ivf_build_s:.0f}s): "
             f"recall@10={ivf_recall:.3f}; {ms_block:.2f} ms per 64-query block"
@@ -536,6 +546,7 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
         "recall": round(ivf_recall, 4),
         "vs_baseline": None,
     })
+    del refine256
 
 
 # --------------------------------------------------------------------------- #

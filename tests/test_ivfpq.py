@@ -497,3 +497,123 @@ def test_soar_sharded_matches_unsharded():
         assert len(set(valid.tolist())) == valid.size, f"dup ids in row {i}"
         assert set(got_i[i].tolist()) == set(ref_i[i].tolist()), i
     assert np.allclose(np.asarray(out.scores), np.asarray(ref.scores), atol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# second-stage rerank (faiss IVF + IndexRefine analogue)
+# --------------------------------------------------------------------------- #
+
+
+def test_ivfpq_rerank_lifts_low_fidelity_window_scoring():
+    """A coarse window-scoring store (pca-int8 at refine_dim=8) caps top-k
+    fidelity; the rerank stage (exact f32 rows over the pooled k_factor*k
+    candidates, faiss IndexRefine parity) must recover most of it. With a
+    FULL probe the pooled candidates contain the true top-k whenever the
+    coarse store ranks them within the pool, so rerank recall must strictly
+    beat the coarse-only recall here (fidelity is the only loss term)."""
+    x = _corpus()
+    q = _queries(x)
+    k = 10
+    kw = dict(
+        n_clusters=16, nprobe=16, window=128, kmeans_iters=4,
+        keep_codes=False, refine="int8", refine_dim=8, approx_recall=None,
+    )
+    plain = build_ivfpq_index(jax.random.PRNGKey(0), x, **kw)
+    rr = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, rerank="float32", k_factor=8, **kw
+    )
+    assert rr.rerank_codes is not None and plain.rerank_codes is None
+    gt = _exact_topk(x, q, k)
+
+    def recall(ix):
+        out = jax.jit(lambda i, v: ivfpq_search(i, SearchQueries(vector=v), k))(ix, q)
+        a = np.asarray(out.indices)
+        return np.mean([len(set(a[i].tolist()) & set(gt[i].tolist())) / k for i in range(a.shape[0])])
+
+    r_plain, r_rr = recall(plain), recall(rr)
+    assert r_rr > r_plain, (r_plain, r_rr)
+    assert r_rr >= 0.9, r_rr  # exact rows over an 80-wide full-probe pool
+
+
+def test_ivfpq_rerank_spilled_dedups_and_filters():
+    """SOAR-spilled + rerank: the widened pool is deduped BEFORE the rerank
+    gather (pool distinct rows), returned ids stay unique, and subset
+    filtering applies through the rerank cut."""
+    x = _corpus()
+    q = _queries(x, b=8)
+    n = x.shape[0]
+    k = 10
+    groups = jnp.asarray(np.arange(n) % 3, dtype=jnp.int32)
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=16, nprobe=8, window=128,
+        kmeans_iters=4, keep_codes=False, refine="int8", refine_dim=16,
+        rerank="float32", k_factor=4, spill=True, subset_ids=groups,
+        approx_recall=None,
+    )
+    out = jax.jit(lambda i, v: ivfpq_search(i, SearchQueries(vector=v), k))(ivf, q)
+    got = np.asarray(out.indices)
+    for i in range(got.shape[0]):
+        valid = got[i][got[i] >= 0]
+        assert len(set(valid.tolist())) == valid.size, f"dup ids in row {i}"
+    allowed = jnp.asarray([[1]] * 8, dtype=jnp.int32)
+    out_f = jax.jit(lambda i, v, s: ivfpq_search(i, SearchQueries(vector=v, subset_ids=s), k))(
+        ivf, q, allowed
+    )
+    got_f = np.asarray(out_f.indices)
+    valid = got_f[got_f >= 0]
+    assert valid.size > 0 and (valid % 3 == 1).all()
+
+
+def test_ivfpq_rerank_cache_and_factory_roundtrip(tmp_path):
+    """`rerank:`/`rerank_dim:` reach the build through DenseFactoryConfig and
+    the rerank store survives the orbax cache round-trip."""
+    x = _corpus(n=1024)
+    q = _queries(x, b=8)
+    cfg = DenseFactoryConfig(
+        codec="ivfpq", n_clusters=8, nprobe=8, ivf_window=128,
+        kmeans_iters=3, refine="int8", refine_dim=16, keep_codes=False,
+        rerank="int8", rerank_dim=32, k_factor=4,
+    )
+    built = build_dense_from_config(
+        cfg, x, rng=jax.random.PRNGKey(0),
+        cache_dir=str(tmp_path), data_fingerprint="fpR",
+    )
+    assert built.rerank_codes is not None and built.k_factor == 4
+    loaded = build_dense_from_config(
+        cfg, x, rng=jax.random.PRNGKey(0),
+        cache_dir=str(tmp_path), data_fingerprint="fpR",
+    )
+    assert loaded.rerank_codes is not None and loaded.k_factor == 4
+    fn = jax.jit(lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), 10))
+    np.testing.assert_array_equal(
+        np.asarray(fn(built, q).indices), np.asarray(fn(loaded, q).indices)
+    )
+
+
+@pytest.mark.slow
+def test_sharded_ivfpq_rerank_matches_unsharded():
+    """Cell-sharded + rerank: shards pool k_factor*k window-scored candidates
+    each, the merge keeps the global pool, and ONE post-merge rerank over the
+    replicated store reproduces the unsharded IndexRefine result exactly."""
+    from vod_tpu.parallel import make_mesh
+    from vod_tpu.search import shard_ivfpq_index, sharded_ivfpq_search
+
+    mesh = make_mesh((4,), ("shard",))
+    x = _corpus(n=4096)
+    q = _queries(x, b=8)
+    k = 10
+    ivf = build_ivfpq_index(
+        jax.random.PRNGKey(0), x, n_clusters=32, nprobe=8, window=128,
+        kmeans_iters=4, keep_codes=False, refine="int8", refine_dim=16,
+        rerank="float32", k_factor=4, spill=True, approx_recall=None,
+    )
+    ref = ivfpq_search(ivf, SearchQueries(vector=q), k)
+    sh = shard_ivfpq_index(ivf, mesh)
+    assert sh.rerank_codes is not None and sh.k_factor == 4
+    out = sharded_ivfpq_search(sh, SearchQueries(vector=q), k)
+    ref_i, got_i = np.asarray(ref.indices), np.asarray(out.indices)
+    for i in range(q.shape[0]):
+        valid = got_i[i][got_i[i] >= 0]
+        assert len(set(valid.tolist())) == valid.size, f"dup ids in row {i}"
+        assert set(got_i[i].tolist()) == set(ref_i[i].tolist()), i
+    assert np.allclose(np.asarray(out.scores), np.asarray(ref.scores), atol=1e-4)

@@ -81,6 +81,15 @@ class DenseFactoryConfig(StrictModel):
     # one-hot decode temps that make the exhaustive ADC scan fixed-cost heavy
     # at small batches (faiss `PCAR{dc},SQ8,Refine(...)` analogue).
     keep_codes: bool = True
+    # ivfpq only: second-stage exact re-rank ON TOP of the window scoring
+    # (faiss `IVF...,Refine(...)` / IndexRefine analogue): the window stage
+    # pools k_factor*k candidates and ONE gathered int8 matmul rescores them
+    # against a higher-fidelity store in ORIGINAL row order (`rerank_dim`
+    # truncated-PCA int8). Orthogonal to `refine`, which is the window
+    # scoring store itself — refine bounds what the probed windows see,
+    # rerank lifts the FINAL top-k fidelity above it.
+    rerank: typ.Literal["none", "int8", "bfloat16", "float32"] = "none"
+    rerank_dim: typ.Optional[int] = None
     # ivfpq only: SOAR spilling (ScaNN, Sun et al. NeurIPS 2023 — beyond
     # faiss): store every row under a second cell whose residual is orthogonal
     # to the primary's, trading 2x stored bytes for recall at equal nprobe

@@ -12,7 +12,9 @@ setting meeting a recall target.
 Runtime knobs per engine:
   * `IVFPQIndex` — `nprobe` (the per-probe window budget `max_windows` is
     rescaled from the index's built nprobe→budget ratio, capped at the total
-    window count so probing every cell stays exact)
+    window count so probing every cell stays exact); with an IndexRefine
+    rerank store, also `k_factor` (the pooled-candidate width) crossed with
+    nprobe
   * `IVFIndex`  — `nprobe`
   * `PQIndex`   — `k_factor` (refine pool width) and, in coarse mode,
     `n_candidates`; the direct serving codec (keep_codes=False) additionally
@@ -88,13 +90,19 @@ def apply_runtime_params(index: typ.Any, params: dict[str, int]) -> typ.Any:
         per_probe = index.max_windows / max(index.nprobe, 1)
         total_windows = int(jnp.sum(index.win_count))
         mw = int(min(total_windows, max(1, round(per_probe * nprobe))))
-        return index.replace(nprobe=nprobe, max_windows=mw)
+        kw = {"nprobe": nprobe, "max_windows": mw}
+        if "k_factor" in params:  # IndexRefine pool width (rerank store only)
+            kw["k_factor"] = int(params["k_factor"])
+        return index.replace(**kw)
     if isinstance(index, (IVFIndex, ShardedIVFIndex)):
         return index.replace(nprobe=int(params["nprobe"]))
     if isinstance(index, ShardedIVFPQIndex):
         nprobe = int(params["nprobe"])
+        kw = {"nprobe": nprobe}
+        if "k_factor" in params:
+            kw["k_factor"] = int(params["k_factor"])
         if index.max_windows <= 0:
-            return index.replace(nprobe=nprobe)  # untruncated stays untruncated
+            return index.replace(**kw)  # untruncated stays untruncated
         per_probe = index.max_windows / max(index.nprobe, 1)
         # cap at the busiest shard's local window count (win_count is [S*C]
         # with zeros for non-local cells)
@@ -102,7 +110,7 @@ def apply_runtime_params(index: typ.Any, params: dict[str, int]) -> typ.Any:
         per_shard = np.asarray(index.win_count).reshape(n_shards, -1).sum(axis=1)
         cap = int(per_shard.max())
         mw = int(min(cap, max(1, round(per_probe * nprobe))))
-        return index.replace(nprobe=nprobe, max_windows=mw)
+        return index.replace(**kw, max_windows=mw)
     if isinstance(index, (PQIndex, ShardedPQIndex)):
         kw = {}
         if "k_factor" in params:
@@ -127,7 +135,12 @@ def default_grid(index: typ.Any) -> list[dict[str, int]]:
     """The faiss-`ParameterSpace`-shaped default sweep for this engine."""
     if isinstance(index, (IVFPQIndex, IVFIndex, ShardedIVFIndex, ShardedIVFPQIndex)):
         c = int(index.centroids.shape[0])
-        return [{"nprobe": p} for p in (1, 2, 4, 8, 16, 32, 64, 128, 256) if p <= c]
+        probes = [{"nprobe": p} for p in (1, 2, 4, 8, 16, 32, 64, 128, 256) if p <= c]
+        if getattr(index, "rerank_codes", None) is not None:
+            # IndexRefine pool width crossed with nprobe — the rerank gather
+            # is ~free, so wider pools cost only the window-stage top-k
+            return [{**p, "k_factor": f} for p in probes for f in (4, 16, 32)]
+        return probes
     if isinstance(index, (PQIndex, ShardedPQIndex)):
         ks: list[dict[str, int]] = (
             [{"k_factor": f} for f in (1, 2, 4, 8, 16, 32)]

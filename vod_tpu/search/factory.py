@@ -160,6 +160,9 @@ def build_dense_from_config(
             opq_iters=cfg.opq_iters,
             refine=cfg.refine,
             refine_dim=cfg.refine_dim,
+            rerank=cfg.rerank,
+            rerank_dim=cfg.rerank_dim,
+            k_factor=cfg.k_factor,
             keep_codes=cfg.keep_codes,
             subset_ids=subset_ids,
             approx_recall=cfg.approx_recall,
@@ -374,6 +377,19 @@ def build_dense_from_host(
         refine_proj = refine_scale = None
         if refine == "int8":
             refine_proj, refine_scale = train_refine_int8_params(sample, cfg.refine_dim)
+        rerank = cfg.rerank
+        if rerank in ("bfloat16", "float32"):
+            import warnings
+
+            warnings.warn(
+                f"build_dense_from_host: rerank={cfg.rerank!r} does not fit the "
+                f"over-HBM build path; using int8 rerank rows instead",
+                stacklevel=2,
+            )
+            rerank = "int8"
+        rerank_proj = rerank_scale = None
+        if rerank == "int8":
+            rerank_proj, rerank_scale = train_refine_int8_params(sample, cfg.rerank_dim)
         del sample
 
         from .ivfpq import assign_soar
@@ -384,6 +400,7 @@ def build_dense_from_host(
         enc_params = {
             "rotation": rotation, "centroids": centroids, "codebooks": codebooks,
             "refine_proj": refine_proj, "refine_scale": refine_scale,
+            "rerank_proj": rerank_proj, "rerank_scale": rerank_scale,
         }
 
         @jax.jit
@@ -403,7 +420,11 @@ def build_dense_from_host(
             if refine == "int8":
                 xr = x if refine_proj is None else x @ p["refine_proj"]
                 rows = jnp.clip(jnp.round(xr / p["refine_scale"]), -127, 127).astype(jnp.int8)
-            return a, a2, codes, rows
+            rr_rows = None
+            if rerank == "int8":
+                xr2 = x if rerank_proj is None else x @ p["rerank_proj"]
+                rr_rows = jnp.clip(jnp.round(xr2 / p["rerank_scale"]), -127, 127).astype(jnp.int8)
+            return a, a2, codes, rows, rr_rows
 
         assign_np = np.zeros((n,), np.int32)
         assign2_np = np.zeros((n,), np.int32) if cfg.spill else None
@@ -411,11 +432,13 @@ def build_dense_from_host(
         codes_np = np.zeros((n, m_bytes), np.uint8) if cfg.keep_codes else None
         rdim = cfg.refine_dim if (refine == "int8" and cfg.refine_dim and cfg.refine_dim < d) else d
         refine_np = np.zeros((n, rdim), np.int8) if refine == "int8" else None
+        rrdim = cfg.rerank_dim if (rerank == "int8" and cfg.rerank_dim and cfg.rerank_dim < d) else d
+        rerank_np = np.zeros((n, rrdim), np.int8) if rerank == "int8" else None
         for s0 in range(0, n, slab):
             x = jnp.asarray(
                 np.ascontiguousarray(vectors_np[s0 : s0 + slab]), dtype=jnp.float32
             )
-            a, a2, codes, rows = enc_slab(x, enc_params)
+            a, a2, codes, rows, rr_rows = enc_slab(x, enc_params)
             assign_np[s0 : s0 + x.shape[0]] = np.asarray(a)
             if assign2_np is not None:
                 assign2_np[s0 : s0 + x.shape[0]] = np.asarray(a2)
@@ -423,7 +446,9 @@ def build_dense_from_host(
                 codes_np[s0 : s0 + x.shape[0]] = np.asarray(codes)
             if rows is not None:
                 refine_np[s0 : s0 + x.shape[0]] = np.asarray(rows)
-            del x, a, a2, codes, rows
+            if rr_rows is not None:
+                rerank_np[s0 : s0 + x.shape[0]] = np.asarray(rr_rows)
+            del x, a, a2, codes, rows, rr_rows
 
         subset_ids_np = None if subset_ids is None else np.asarray(subset_ids).astype(np.int32)
         row_ids_np = None
@@ -443,6 +468,8 @@ def build_dense_from_host(
             centroids, codebooks, assign_np, codes_np,
             rotation=rotation,
             refine_np=refine_np, refine_scale=refine_scale, refine_proj=refine_proj,
+            rerank_np=rerank_np, rerank_scale=rerank_scale, rerank_proj=rerank_proj,
+            k_factor=cfg.k_factor,
             subset_ids_np=subset_ids_np,
             window=cfg.ivf_window, nprobe=cfg.nprobe, max_windows=cfg.max_windows,
             code_bits=cfg.code_bits,

@@ -78,13 +78,23 @@ class IVFPQIndex:
     refine_codes: typ.Optional[jax.Array] = None  # [N_sorted, R] (sorted layout)
     refine_scale: typ.Optional[jax.Array] = None  # [1, R] f32 when int8 refine
     refine_proj: typ.Optional[jax.Array] = None  # [D, R] truncated-PCA (None = raw)
+    # faiss IndexRefine analogue on top of IVF (`RFlat`/`Refine(SQ8)` in the
+    # reference's factory strings, `vod_configs/search.py` faiss spec): when
+    # rerank rows exist, the window stage pools the top `k_factor*top_k`
+    # candidates and ONE exact gathered int8 matmul re-ranks them against this
+    # higher-fidelity store. Stored in ORIGINAL row order and gathered by row
+    # id, so SOAR spilling costs no second copy.
+    rerank_codes: typ.Optional[jax.Array] = None  # [N, R2] int8 (ORIGINAL order)
+    rerank_scale: typ.Optional[jax.Array] = None  # [1, R2] f32 when int8
+    rerank_proj: typ.Optional[jax.Array] = None  # [D, R2] truncated-PCA (None = raw)
     n_real: int = struct.field(pytree_node=False, default=0)
     offset: int = struct.field(pytree_node=False, default=0)
     window: int = struct.field(pytree_node=False, default=512)
     nprobe: int = struct.field(pytree_node=False, default=32)
     max_windows: int = struct.field(pytree_node=False, default=0)  # 0 = nprobe cells, untruncated
-    # NOTE: no `k_factor` here — the refine rows ARE the scoring store, so
-    # there is no ADC-pool-then-rerank stage to widen (see module docstring)
+    # candidate-pool widening for the rerank stage; inert without rerank_codes
+    # (the refine rows are then the FINAL scoring store — no pool to widen)
+    k_factor: int = struct.field(pytree_node=False, default=16)
     code_bits: int = struct.field(pytree_node=False, default=8)
     approx_recall: typ.Optional[float] = struct.field(pytree_node=False, default=0.95)
     # SOAR spilling (Sun et al., NeurIPS 2023 — ScaNN's `soar`): every row is
@@ -155,6 +165,45 @@ def _dedup_equal_rows(scores: jax.Array, indices: jax.Array, top_k: int) -> tupl
     return out_s, jnp.where(jnp.isfinite(out_s), out_i, -1)
 
 
+def rerank_candidates(
+    q: jax.Array,  # [B, D] query vectors (original space)
+    cand_s: jax.Array,  # [B, pool] candidate scores (validity mask only)
+    cand_i: jax.Array,  # [B, pool] candidate row ids (offset applied), -1 pad
+    top_k: int,
+    *,
+    rerank_codes: jax.Array,  # [n_real, R2] ORIGINAL row order
+    rerank_scale: typ.Optional[jax.Array],
+    rerank_proj: typ.Optional[jax.Array],
+    offset: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact re-rank of pooled candidates against the rerank store — one
+    [B, pool, R2] gather by ORIGINAL row id + one int8 MXU matmul (B=64,
+    pool=160, R2=256 gathers ~2.6 MB, negligible next to the probed-window
+    read). Shared by `ivfpq_search` and the sharded post-merge path (faiss
+    IndexRefine `search` parity: pool k_factor*k, rescore, cut to k)."""
+    n_rr = rerank_codes.shape[0]
+    rid = jnp.clip(cand_i - offset, 0, n_rr - 1)
+    rows_rr = rerank_codes[rid]  # [B, pool, R2]
+    q_rr = q.astype(jnp.float32)
+    if rerank_proj is not None:
+        q_rr = q_rr @ rerank_proj
+    if rerank_scale is not None:
+        q_f = q_rr * rerank_scale
+        q_row = jnp.maximum(jnp.max(jnp.abs(q_f), axis=-1, keepdims=True), 1e-8) / 127.0
+        q_i8 = jnp.clip(jnp.round(q_f / q_row), -127, 127).astype(jnp.int8)
+        acc = jnp.einsum("bd,brd->br", q_i8, rows_rr, preferred_element_type=jnp.int32)
+        s_rr = acc.astype(jnp.float32) * q_row
+    else:
+        s_rr = jnp.einsum(
+            "bd,brd->br", q_rr.astype(rows_rr.dtype), rows_rr,
+            preferred_element_type=jnp.float32,
+        )
+    s_rr = jnp.where(jnp.isfinite(cand_s) & (cand_i >= 0), s_rr, -jnp.inf)
+    out_s, sel = jax.lax.top_k(s_rr, min(top_k, s_rr.shape[-1]))
+    out_i = jnp.take_along_axis(cand_i, sel, axis=-1)
+    return out_s, jnp.where(jnp.isfinite(out_s), out_i, -1)
+
+
 def _sorted_window_layout(
     assign_np: np.ndarray,
     n_cells: int,
@@ -201,6 +250,10 @@ def build_ivfpq_from_parts(
     refine_np: typ.Optional[np.ndarray] = None,  # [N, R] int8 (original order)
     refine_scale: typ.Optional[jax.Array] = None,
     refine_proj: typ.Optional[jax.Array] = None,
+    rerank_np: typ.Optional[np.ndarray] = None,  # [n_real, R2] int8 (ORIGINAL order, not spilled)
+    rerank_scale: typ.Optional[jax.Array] = None,
+    rerank_proj: typ.Optional[jax.Array] = None,
+    k_factor: int = 16,
     subset_ids_np: typ.Optional[np.ndarray] = None,
     window: int = 512,
     nprobe: int = 32,
@@ -259,6 +312,10 @@ def build_ivfpq_from_parts(
         refine_codes=None if refine_sorted is None else jax.device_put(refine_sorted),
         refine_scale=refine_scale,
         refine_proj=refine_proj,
+        rerank_codes=None if rerank_np is None else jax.device_put(rerank_np),
+        rerank_scale=rerank_scale,
+        rerank_proj=rerank_proj,
+        k_factor=k_factor,
         n_real=n_real,
         offset=offset,
         window=window,
@@ -359,6 +416,9 @@ def build_ivfpq_index(
     opq_iters: int = 4,
     refine: str = "none",
     refine_dim: typ.Optional[int] = None,
+    rerank: str = "none",
+    rerank_dim: typ.Optional[int] = None,
+    k_factor: int = 16,
     keep_codes: bool = True,
     subset_ids: typ.Optional[jax.Array] = None,
     offset: int = 0,
@@ -423,6 +483,15 @@ def build_ivfpq_index(
         rc, refine_scale, refine_proj = _build_refine(x, refine, 1, refine_dim=refine_dim, train=train)
         refine_np = np.asarray(rc)
 
+    # faiss IndexRefine analogue: a second, higher-fidelity store in ORIGINAL
+    # row order re-ranks the pooled top k_factor*k window candidates exactly
+    rerank_np = rerank_scale = rerank_proj = None
+    if rerank != "none":
+        from .dense import _build_refine
+
+        rr, rerank_scale, rerank_proj = _build_refine(x, rerank, 1, refine_dim=rerank_dim, train=train)
+        rerank_np = np.asarray(rr)
+
     row_ids_np = None
     subset_ids_np = None if subset_ids is None else np.asarray(subset_ids).astype(np.int32)
     if spill:
@@ -449,6 +518,10 @@ def build_ivfpq_index(
         refine_np=refine_np,
         refine_scale=refine_scale,
         refine_proj=refine_proj,
+        rerank_np=rerank_np,
+        rerank_scale=rerank_scale,
+        rerank_proj=rerank_proj,
+        k_factor=k_factor,
         subset_ids_np=subset_ids_np,
         window=window,
         nprobe=nprobe,
@@ -471,6 +544,10 @@ def build_ivfpq_from_device_parts(
     refine_dev: typ.Optional[jax.Array] = None,  # [N, R] int8 ON DEVICE
     refine_scale: typ.Optional[jax.Array] = None,
     refine_proj: typ.Optional[jax.Array] = None,
+    rerank_dev: typ.Optional[jax.Array] = None,  # [n_real, R2] int8 ON DEVICE (original order)
+    rerank_scale: typ.Optional[jax.Array] = None,
+    rerank_proj: typ.Optional[jax.Array] = None,
+    k_factor: int = 16,
     rotation: typ.Optional[jax.Array] = None,
     subset_ids_np: typ.Optional[np.ndarray] = None,
     window: int = 512,
@@ -536,6 +613,10 @@ def build_ivfpq_from_device_parts(
         refine_codes=refine_sorted,
         refine_scale=refine_scale,
         refine_proj=refine_proj,
+        rerank_codes=rerank_dev,
+        rerank_scale=rerank_scale,
+        rerank_proj=rerank_proj,
+        k_factor=k_factor,
         n_real=n_real,
         offset=offset,
         window=window,
@@ -657,11 +738,17 @@ def ivfpq_search(
     if allowed is not None and index.subset_ids is not None:
         subs_w = index.subset_ids.reshape(n_windows, window)
 
+    # with a rerank store the window stage pools a widened candidate set for
+    # the exact re-rank below (faiss IndexRefine semantics); otherwise the
+    # window-scoring order is final
+    do_rerank = index.rerank_codes is not None
+    pool = max(1, index.k_factor) * top_k if do_rerank else top_k
+
     rc = wchunk * window  # rows per scoring chunk
-    # scoring order is final on both paths (see below); a spilled index may
-    # hold BOTH copies of a row in one chunk, so keep 2k candidates per chunk
-    # to guarantee the top-k DISTINCT rows survive the per-chunk cut
-    kc = min(rc, 2 * top_k if index.spilled else top_k)
+    # a spilled index may hold BOTH copies of a row in one chunk, so keep
+    # 2*pool candidates per chunk to guarantee the top-pool DISTINCT rows
+    # survive the per-chunk cut
+    kc = min(rc, 2 * pool if index.spilled else pool)
 
     if do_refine:
         # Score gathered windows DIRECTLY against the rerank rows — the
@@ -724,8 +811,8 @@ def ivfpq_search(
     _, (all_s, all_p) = jax.lax.scan(score_wchunk, None, jnp.arange(n_wchunks))
     all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_wchunks * kc)
     all_p = jnp.moveaxis(all_p, 0, 1).reshape(b, n_wchunks * kc)
-    # spilled: gather 2k (a row id may appear twice), dedup, then cut to k
-    k_eff = min(2 * top_k if index.spilled else top_k, all_s.shape[-1])
+    # spilled: gather 2*pool (a row id may appear twice), dedup, then cut
+    k_eff = min(2 * pool if index.spilled else pool, all_s.shape[-1])
     top_s, sel = jax.lax.top_k(all_s, k_eff)
     top_p = jnp.take_along_axis(all_p, sel, axis=-1)
 
@@ -735,7 +822,16 @@ def ivfpq_search(
     top_s = jnp.where(ok, top_s, -jnp.inf)
     top_i = jnp.where(ok, top_i + index.offset, -1)
     if index.spilled:
-        top_s, top_i = _dedup_equal_rows(top_s, top_i, top_k)
+        top_s, top_i = _dedup_equal_rows(top_s, top_i, pool)
+
+    if do_rerank:
+        top_s, top_i = rerank_candidates(
+            q, top_s, top_i, top_k,
+            rerank_codes=index.rerank_codes,
+            rerank_scale=index.rerank_scale,
+            rerank_proj=index.rerank_proj,
+            offset=index.offset,
+        )
 
     if top_s.shape[-1] < top_k:
         padk = top_k - top_s.shape[-1]

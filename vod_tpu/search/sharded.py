@@ -774,6 +774,14 @@ class ShardedIVFPQIndex:
     refine_codes: typ.Optional[jax.Array] = None  # [S*slots, R] row-sharded
     refine_scale: typ.Optional[jax.Array] = None  # replicated
     refine_proj: typ.Optional[jax.Array] = None  # replicated
+    # faiss-IndexRefine rerank store, REPLICATED (gathered by arbitrary global
+    # row id post-merge — replication trades HBM for avoiding a cross-shard
+    # gather; keep rerank_dim small or rely on the row-sharded refine store
+    # when per-device memory is the constraint)
+    rerank_codes: typ.Optional[jax.Array] = None  # [n_real, R2] replicated
+    rerank_scale: typ.Optional[jax.Array] = None  # replicated
+    rerank_proj: typ.Optional[jax.Array] = None  # replicated
+    k_factor: int = struct.field(pytree_node=False, default=16)
     n_real: int = struct.field(pytree_node=False, default=0)
     offset: int = struct.field(pytree_node=False, default=0)
     slots_per_shard: int = struct.field(pytree_node=False, default=0)
@@ -878,6 +886,10 @@ def shard_ivfpq_index(
         refine_codes=gather(index.refine_codes, 0),
         refine_scale=rep_opt(index.refine_scale),
         refine_proj=rep_opt(index.refine_proj),
+        rerank_codes=rep_opt(index.rerank_codes),
+        rerank_scale=rep_opt(index.rerank_scale),
+        rerank_proj=rep_opt(index.rerank_proj),
+        k_factor=index.k_factor,
         n_real=index.n_real,
         offset=index.offset,
         slots_per_shard=slots,
@@ -908,6 +920,11 @@ def sharded_ivfpq_search(
     q = queries.vector
     b = q.shape[0]
     allowed = queries.subset_ids
+    # rerank runs ONCE, post-merge, on the globally pooled candidates — the
+    # shards pool `k_factor*k` window-scored candidates each so the merged
+    # pool matches the unsharded IndexRefine pool exactly
+    do_rerank = index.rerank_codes is not None
+    pool = max(1, index.k_factor) * top_k if do_rerank else top_k
 
     def local_fn(cent, cb, codes, rid, ws, wcnt, rot, sub, ref, rsc, rpj, qv, allow):
         local = IVFPQIndex(
@@ -920,11 +937,11 @@ def sharded_ivfpq_search(
             approx_recall=index.approx_recall,
             spilled=index.spilled,
         )
-        out = ivfpq_search(local, SearchQueries(vector=qv, subset_ids=allow), top_k)
+        out = ivfpq_search(local, SearchQueries(vector=qv, subset_ids=allow), pool)
         # spilled: a row's copies can live on two shards (each local result is
-        # already deduped) — gather 2k and dedup after the merge
-        keep = 2 * top_k if index.spilled else top_k
-        return _merge_across_shards(out.scores, out.indices, axis, n_shards, b, top_k, keep=keep)
+        # already deduped) — gather 2*pool and dedup after the merge
+        keep = 2 * pool if index.spilled else pool
+        return _merge_across_shards(out.scores, out.indices, axis, n_shards, b, pool, keep=keep)
 
     def spec2(x):
         return P(axis, None) if x is not None else None
@@ -951,7 +968,20 @@ def sharded_ivfpq_search(
     if index.spilled:
         from .ivfpq import _dedup_equal_rows
 
-        out_s, out_i = _dedup_equal_rows(out_s, out_i.astype(jnp.int32), top_k)
+        out_s, out_i = _dedup_equal_rows(out_s, out_i.astype(jnp.int32), pool)
+    if do_rerank:
+        from .ivfpq import rerank_candidates
+
+        out_s, out_i = rerank_candidates(
+            q, out_s, out_i.astype(jnp.int32), top_k,
+            rerank_codes=index.rerank_codes,
+            rerank_scale=index.rerank_scale,
+            rerank_proj=index.rerank_proj,
+            offset=index.offset,
+        )
+    else:
+        out_s = out_s[:, :top_k]
+        out_i = out_i[:, :top_k]
     return RetrievalBatch(scores=out_s, indices=out_i.astype(jnp.int32))
 
 
