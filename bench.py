@@ -1,21 +1,43 @@
 """Driver benchmark: machine-captures the BASELINE.json configs, one JSON line
-per config (VERDICT r2 #4), headline (flat 1M dense MIPS) LAST.
+per config (VERDICT r2 #4).
 
-Configs (select with VOD_BENCH_CONFIGS=csv of {hybrid,msmarco,realtext,realm,flat}):
+Round-5 structure (VERDICT r4 #1: the round-4 driver run hit rc=124 with the
+headline never run and the realtext config OOM-killed by leftover parent HBM):
+  * main() is a PURE ORCHESTRATOR — it never imports jax and never holds a
+    device buffer. Every config runs in its own fresh subprocess, so one
+    config's HBM can never survive into the next (the r4 realtext OOM).
+  * Order is HEADLINE-FIRST (flat, msmarco, realm, realtext, hybrid): a
+    timeout costs the cheapest line, not the north-star one.
+  * A hard wall-clock budget (VOD_BENCH_BUDGET_S, default 1620 s — the
+    driver's observed cap is ~1800 s) gates every config: configs whose
+    estimated cost exceeds the remaining budget are skipped with an explicit
+    `"skipped: budget"` JSON line, and running configs are killed at the
+    remaining-budget deadline (their already-emitted lines survive).
+  * The flat HEADLINE line is re-emitted as the FINAL JSON line: the driver
+    parses the last line of stdout as THE round metric (r4's parsed metric
+    was the realm ms/step only because realm happened to finish last).
+  * /tmp caches persist across rounds: the 1M flat corpus + its CPU-baseline
+    result, and the realtext embeddings (train+embed skipped when warm).
+
+Configs (select with VOD_BENCH_CONFIGS=csv of {flat,msmarco,realm,realtext,hybrid}):
+  flat    — headline: 1M x 768 bf16 flat QPS/chip vs CPU brute force
+            (faiss-IndexFlatIP-equivalent BLAS matmul + topk on this machine)
+  msmarco — #4: 8.8M x 768 compressed indexes — int8 (768 B/vec),
+            pq128x4fs+pca128-refine (192 B/vec), and the B=64 SERVING
+            operating point with its kernel knobs selected by an IN-RUN
+            sweep under the 0.95 recall floor (VERDICT r4 #3) — recall@10
+            vs exact f32 + QPS (spectrum-matched corpus generated slab-wise
+            ON DEVICE; GT by regenerating slabs from the same PRNG keys —
+            the 27GB f32 matrix never exists). IVF-PQ is demoted out of the
+            per-round JSON (VERDICT r4 #4): measured dominated at every B
+            by the serving-direct codec (see STATUS.md round-5 and
+            examples/serving_latency_bench.py).
+  realm   — #5: seq2seq REALM train step ms + periodic reindex seconds at a
+            1M-section corpus (subprocess: examples/seq2seq_realm_bench.py)
   realtext— real-text 1M: recall/QPS + BM25 stemming proof on real passages
             (subprocess: examples/real_text_1m_bench.py; /tmp-cached embeds)
   hybrid  — #3: dense+BM25 sharded over 2 devices w/ subset filtering
             (2-device virtual CPU mesh subprocess; correctness + shard ratio)
-  msmarco — #4: 8.8M x 768 compressed indexes — int8 (768 B/vec),
-            pq128x4fs+pca128-refine (192 B/vec), and the IVF-PQ serving
-            line (IVF4096+PCA-SQ, B=64 marginal-block latency) — recall@10
-            vs exact f32 + QPS (spectrum-matched corpus generated slab-wise
-            ON DEVICE; GT by regenerating slabs from the same PRNG keys —
-            the 27GB f32 matrix never exists)
-  realm   — #5: seq2seq REALM train step ms + periodic reindex seconds
-            (subprocess: examples/seq2seq_realm_bench.py)
-  flat    — headline: 1M x 768 bf16 flat QPS/chip vs CPU brute force
-            (faiss-IndexFlatIP-equivalent BLAS matmul + topk on this machine)
 
 Timing methodology for this environment's remote-execution tunnel:
 `block_until_ready` does not reliably wait and identical dispatches are
@@ -54,6 +76,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Persistent XLA compilation cache, shared across configs AND across rounds
+# (verified on the axon relay: a 1.1 s compile replays in 0.02 s from a fresh
+# process). Children inherit the env var, so every config subprocess and every
+# wrapped example benefits; correctness is safe — keys hash the HLO itself.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+pathlib.Path(os.environ["JAX_COMPILATION_CACHE_DIR"]).mkdir(parents=True, exist_ok=True)
 
 import numpy as np
 
@@ -112,7 +142,7 @@ def _qps(search_indices_fn, index, make_queries, *, small_q=256, big_blocks=8, b
 # --------------------------------------------------------------------------- #
 
 
-def bench_hybrid() -> None:
+def bench_hybrid(deadline_s: float = 900.0) -> list[dict]:
     script = pathlib.Path(__file__).parent / "examples" / "hybrid_sharded_bench.py"
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env.update({
@@ -120,15 +150,18 @@ def bench_hybrid() -> None:
         "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
     })
     out = subprocess.run(
-        [sys.executable, str(script)], capture_output=True, text=True, timeout=900, env=env
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=deadline_s, env=env,
     )
     if out.returncode != 0:
         _log(f"hybrid bench failed: {out.stderr[-500:]}")
-        return
+        return []
     for line in out.stdout.splitlines():
         if line.startswith("{"):
-            _emit(json.loads(line))
-            return
+            data = json.loads(line)
+            _emit(data)
+            return [data]
+    return []
 
 
 # --------------------------------------------------------------------------- #
@@ -422,43 +455,61 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
         refine256 = fill_r256(refine256, kk, jnp.int32(i * slab), spec, basis, proj256, scale256)
     refine256.block_until_ready()
     serve_build_s = time.time() - t0
-    # two candidate paths, recall-floored selection (>=0.95) like bench_flat:
-    # the scan coarse stage vs the Pallas fused matmul+binned-top-k coarse
-    # stage (tile=16384 is the measured HBM-roofline point at this shape —
-    # the scan's per-chunk score traffic ~doubles the 1.1 GB coarse read).
+    # Candidate paths under the 0.95 recall floor, knobs selected IN-RUN
+    # (VERDICT r4 #3: the hardcoded bins=2048/tile=16384 point measured 3.7x
+    # slower in the driver's r4 capture than in the builder's — the knob is
+    # environment-sensitive, so the sweep must run in the same process that
+    # reports the number). Grid: the scan coarse stage + the Pallas fused
+    # matmul+binned-top-k coarse stage at each (bins, tile) neighborhood
+    # around the builder-measured roofline point.
     base_serve = PQIndex(
         codebooks=jnp.zeros((1, 1, 1), jnp.float32), codes=None,
         coarse_codes=refine_rows, coarse_scale=refine_scale, proj=refine_proj,
         refine_codes=refine256, refine_scale=scale256, refine_proj=proj256,
         n_real=n, k_factor=16, approx_recall=0.95,
     )
-    serve_results = {}
-    for s_label, s_ix in (
-        ("scan", base_serve),
-        ("fused", base_serve.replace(kernel="fused", fused_bins=2048, fused_tile=16384)),
-    ):
-        got_sv = np.asarray(jax.jit(sfn_pq)(s_ix, jq))
-        rec = float(np.mean(
-            [len(set(got_sv[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(n_eval)]
-        ))
-        ms = _serve_ms_block(sfn_pq, s_ix, make_queries, d)
-        _log(f"msmarco serving [{s_label}]: recall@10={rec:.4f} {ms:.2f} ms/block")
-        serve_results[s_label] = (ms, rec)
-    (scan_ms, scan_rec), (fused_ms, fused_rec) = serve_results["scan"], serve_results["fused"]
+    from vod_tpu.search.autotune import apply_runtime_params
+
+    grid = [
+        {"fused": 0},
+        {"fused": 1, "fused_bins": 2048, "fused_tile": 16384},
+        {"fused": 1, "fused_bins": 1024, "fused_tile": 16384},
+        {"fused": 1, "fused_bins": 2048, "fused_tile": 8192},
+        {"fused": 1, "fused_bins": 4096, "fused_tile": 16384},
+    ]
+    serve_results: dict[str, tuple[float, float]] = {}
+    for params in grid:
+        s_label = (
+            "scan" if not params["fused"]
+            else f"fused-b{params['fused_bins']}-t{params['fused_tile']//1024}k"
+        )
+        try:
+            s_ix = apply_runtime_params(base_serve, params)
+            got_sv = np.asarray(jax.jit(sfn_pq)(s_ix, jq))
+            rec = float(np.mean(
+                [len(set(got_sv[i].tolist()) & set(gt_i[i].tolist())) / k
+                 for i in range(n_eval)]
+            ))
+            ms = _serve_ms_block(sfn_pq, s_ix, make_queries, d, reps=2)
+            _log(f"msmarco serving [{s_label}]: recall@10={rec:.4f} {ms:.2f} ms/block")
+            serve_results[s_label] = (ms, rec)
+        except Exception as exc:  # noqa: BLE001 - a failing grid point is not fatal
+            _log(f"msmarco serving [{s_label}] failed: {exc}")
     floor = 0.95
-    if fused_ms < scan_ms and fused_rec >= floor:
-        serve_ms, serve_recall, serve_path = fused_ms, fused_rec, "pallas-fused tile=16k"
-    else:
-        serve_ms, serve_recall, serve_path = scan_ms, scan_rec, "scan"
+    meeting = {lb: mr for lb, mr in serve_results.items() if mr[1] >= floor}
+    pick_from = meeting or serve_results
+    serve_path = min(pick_from, key=lambda lb: pick_from[lb][0])
+    serve_ms, serve_recall = serve_results[serve_path]
     serve_qps = 64 / (serve_ms / 1000)
     serve_gb = n_pad * (128 + 256) / 2**30
+    detail = " ".join(f"{lb}={ms:.2f}ms@{rc:.3f}" for lb, (ms, rc) in serve_results.items())
     _emit({
         "metric": (
             f"8.8M B=64 SERVING operating point (pca128-int8 coarse -> pca256-int8 "
             f"refine k_factor=16, 384 B/vec, {serve_gb:.2f} GB HBM, build {serve_build_s:.0f}s, "
-            f"{serve_path}, recall floor {floor}): recall@10={serve_recall:.3f} vs exact f32; "
-            f"{serve_ms:.2f} ms per 64-query block; "
-            f"scan={scan_ms:.2f}ms@{scan_rec:.3f} fused={fused_ms:.2f}ms@{fused_rec:.3f} "
+            f"kernel swept in-run -> {serve_path}, recall floor {floor}): "
+            f"recall@10={serve_recall:.3f} vs exact f32; "
+            f"{serve_ms:.2f} ms per 64-query block; {detail} "
             f"(exhaustive pq4fs scan at B=64: {pq_serve_ms:.1f} ms = {pq_serve_qps:,.0f} QPS)"
         ),
         "value": round(serve_qps, 1),
@@ -466,87 +517,12 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
         "recall": round(serve_recall, 4),
         "vs_baseline": None,
     })
-    # keep refine256/proj256/scale256 alive: the ivfpq line below reuses the
-    # pca256 store (ORIGINAL row order) as its IndexRefine rerank stage
-    del base_serve, got_sv
-
-    # ---- IVF-PQ serving latency (small-batch regime) -----------------------
-    # The exhaustive scans above amortize their fixed decode/matmul cost over
-    # 2048-query blocks — at SERVING batch (64) that fixed cost dominates.
-    # IVF-PQ (faiss `IVFauto,PQ…` parity, the reference's default factory
-    # shape) probes nprobe/4096 cells and scores the probed windows directly
-    # against the SAME pca128 int8 refine rows (keep_codes=False production
-    # mode: IVF + PCA-SQ at 132 B/vec). Reuses refine_rows/proj/scale from
-    # the pq section; same exact-f32 ground truth.
-    _log("msmarco: ivfpq — kmeans4096 + slab assignment (SOAR spilled)")
-    from vod_tpu.ops.kmeans import _assign_chunked, kmeans
-    from vod_tpu.search import build_ivfpq_from_device_parts, ivfpq_search
-    from vod_tpu.search.ivfpq import assign_soar
-
-    t0 = time.time()
-    train = gen_slab(keys[0], spec, basis)[:262_144]
-    centroids, _ = kmeans(jax.random.PRNGKey(11), train, n_clusters=4096, n_iters=8)
-    del train
-
-    # SOAR spilling (measured 8.8M, examples/ivfpq_8m_bench.py): the spilled
-    # index at nprobe=32 strictly dominates the plain index at nprobe=64
-    # (recall@10 0.858 vs 0.831 at ~1.9k vs ~1.7k serving QPS).
-    @jax.jit
-    def assign_slab(key, spec, basis, centroids):
-        x = gen_slab(key, spec, basis)
-        a = _assign_chunked(x, centroids, chunk=8192)
-        return a, assign_soar(x, centroids, a, chunk=4096)
-
-    assign_np = np.zeros((n_pad,), np.int32)
-    assign2_np = np.zeros((n_pad,), np.int32)
-    for i, kk in enumerate(keys):
-        a, a2 = assign_slab(kk, spec, basis, centroids)
-        assign_np[i * slab : (i + 1) * slab] = np.asarray(a)
-        assign2_np[i * slab : (i + 1) * slab] = np.asarray(a2)
-    # + IndexRefine stage (faiss `IVF...,Refine` parity): the window stage
-    # pools k_factor*k pca128-scored candidates, one gathered int8 matmul
-    # re-ranks them against the pca256 store (reused from the serving codec,
-    # ORIGINAL row order) — lifts final top-k fidelity above the pca128
-    # window-scoring ceiling at ~zero serving cost (64x160x256 int8 gather)
-    ivf_index = build_ivfpq_from_device_parts(
-        centroids, jnp.zeros((1, 1, d), jnp.float32),
-        np.concatenate([assign_np[:n], assign2_np[:n]]), None,
-        refine_dev=jnp.concatenate([refine_rows[:n], refine_rows[:n]]),
-        refine_scale=refine_scale,
-        refine_proj=refine_proj,
-        rerank_dev=refine256[:n], rerank_scale=scale256, rerank_proj=proj256,
-        k_factor=16, window=512, nprobe=32,
-        row_ids_np=np.tile(np.arange(n, dtype=np.int32), 2), n_real=n, spilled=True,
-    )
-    del refine_rows
-    ivf_build_s = time.time() - t0
-    ivf_slots = int(ivf_index.row_ids.shape[0])
-    ivf_gb = (ivf_slots * (rdim + 4) + n_pad * 256) / 2**30
-
-    sfn = lambda ix, v: ivfpq_search(ix, SearchQueries(vector=v), k).indices
-    got_ivf = np.asarray(jax.jit(sfn)(ivf_index, jq))
-    ivf_recall = float(np.mean(
-        [len(set(got_ivf[i].tolist()) & set(gt_i[i].tolist())) / k for i in range(n_eval)]
-    ))
-    _log(f"msmarco ivfpq: recall@10={ivf_recall:.3f} (built in {ivf_build_s:.0f}s); serving timing")
-    # marginal 64-query block: 9-block vs 1-block lax.map walls (RTT cancels)
-    sb = 64
-    ms_block = _serve_ms_block(sfn, ivf_index, make_queries, d, sb=sb)
-    scan_frac = ivf_index.max_windows * 512 / n
-    _emit({
-        "metric": (
-            f"8.8M ivfpq serving (IVF4096+PCA-SQ128 SOAR-spilled + pca256 "
-            f"IndexRefine rerank k_factor=16, 2x132+256 B/vec, "
-            f"{ivf_gb:.2f} GB HBM, nprobe=32 scans {100*scan_frac:.1f}% of stored rows, "
-            f"build {ivf_build_s:.0f}s): "
-            f"recall@10={ivf_recall:.3f}; {ms_block:.2f} ms per 64-query block"
-        ),
-        "value": round(sb / (ms_block / 1000), 1),
-        "unit": "serving QPS (B=64)",
-        "recall": round(ivf_recall, 4),
-        "vs_baseline": None,
-    })
-    del refine256
+    # IVF-PQ is demoted out of the per-round JSON (VERDICT r4 #4): at 8.8M the
+    # serving-direct codec above dominates it at every measured operating
+    # point (B=1..64 p50/p99 through SearchServer+MicroBatcher — see STATUS.md
+    # round-5 and examples/serving_latency_bench.py --compare). The engine,
+    # its SOAR spilling, and its sharded variant remain fully supported and
+    # equality-tested (tests/test_search.py, tests/test_ivfpq*).
 
 
 # --------------------------------------------------------------------------- #
@@ -554,23 +530,28 @@ def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 1
 # --------------------------------------------------------------------------- #
 
 
-def bench_realm() -> None:
+def bench_realm(deadline_s: float = 1800.0) -> list[dict]:
+    # 1M-section corpus with an int8 index + host-slab periodic reindex — the
+    # reference's periodic-training regime operates at 8.8M with reindexing
+    # (/root/reference/src/vod_exps/recipes/periodic_training.py:21); 1M is
+    # the single-chip HBM-comfortable point (VERDICT r4 #6).
     script = pathlib.Path(__file__).parent / "examples" / "seq2seq_realm_bench.py"
     out = subprocess.run(
-        [sys.executable, str(script), "--steps", "50"],
-        capture_output=True, text=True, timeout=1800,
+        [sys.executable, str(script), "--steps", "50", "--corpus", "1048576",
+         "--index_dtype", "int8"],
+        stdout=subprocess.PIPE, stderr=None, text=True, timeout=deadline_s,
     )
     if out.returncode != 0:
-        _log(f"realm bench failed: {out.stderr[-500:]}")
-        return
+        _log(f"realm bench failed (rc={out.returncode})")
+        return []
     data = None
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             data = json.loads(line)
     if data is None:
         _log(f"realm bench produced no JSON: {out.stdout[-500:]}")
-        return
-    _emit({
+        return []
+    result = {
         "metric": (
             f"seq2seq REALM live-retrieval train step ({data['params_m']}M params, "
             f"B={data['batch']}, {data['corpus']} corpus, loss={data['loss']:.3f}, "
@@ -580,7 +561,9 @@ def bench_realm() -> None:
         "unit": "ms/step",
         "recall": None,  # not a retrieval line
         "vs_baseline": None,  # reference publishes no train-step comparator
-    })
+    }
+    _emit(result)
+    return [result]
 
 
 # --------------------------------------------------------------------------- #
@@ -588,32 +571,34 @@ def bench_realm() -> None:
 # --------------------------------------------------------------------------- #
 
 
-def bench_realtext() -> None:
+def bench_realtext(deadline_s: float = 5400.0) -> list[dict]:
     """1,048,576 real text passages (zero-egress local harvest), in-repo
     dual encoder trained on them, exact-f32 GT — recall@10 + B=64 serving QPS
-    for int8 / pq4fs+refine / serving-direct / ivfpq-SOAR, plus stemmed vs
-    unstemmed BM25 gold-hit@10. Embeddings are /tmp-cached by the subprocess,
-    so repeat runs skip train+embed (~5 min of the ~20 min cold time)."""
+    for int8 / pq4fs+refine / serving-direct, plus stemmed vs unstemmed BM25
+    gold-hit@10. Embeddings are /tmp-cached by the subprocess, so repeat runs
+    skip train+embed (~5 min of the ~20 min cold time)."""
     script = pathlib.Path(__file__).parent / "examples" / "real_text_1m_bench.py"
     out = subprocess.run(
-        [sys.executable, str(script)], capture_output=True, text=True, timeout=5400,
+        [sys.executable, str(script)], stdout=subprocess.PIPE, stderr=None,
+        text=True, timeout=deadline_s,
     )
     if out.returncode != 0:
-        _log(f"realtext bench failed: {out.stderr[-800:]}")
-        return
+        _log(f"realtext bench failed (rc={out.returncode})")
+        return []
     data = None
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             data = json.loads(line)
     if data is None:
         _log(f"realtext bench produced no JSON: {out.stdout[-500:]}")
-        return
+        return []
     n = data["n"]
+    emitted = []
     for name in ("int8", "pq96x4fs+ref", "serving-direct", "ivfpq-soar"):
         if name not in data:
             continue
         line = data[name]
-        _emit({
+        emitted.append({
             "metric": f"real-text {name} @ {n} sections (B=64 serving, dim {data['dim']})",
             "value": line["serve64_qps"],
             "unit": "serving QPS (B=64)",
@@ -628,13 +613,16 @@ def bench_realtext() -> None:
             ("gold_hit10_inflected", "inflected queries"),
         ):
             if field in data[key]:
-                _emit({
+                emitted.append({
                     "metric": f"real-text {key} gold-hit@10 ({label}) @ {n} sections",
                     "value": data[key][field],
                     "unit": "gold-hit@10",
                     "recall": None,
                     "vs_baseline": None,
                 })
+    for d in emitted:
+        _emit(d)
+    return emitted
 
 
 # --------------------------------------------------------------------------- #
@@ -669,31 +657,42 @@ def bench_flat() -> None:
     q = corpus[rng.choice(n, b, replace=False)] + 0.1 * rng.standard_normal((b, d)).astype(np.float32)
     q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
 
-    # CPU baseline (faiss-IndexFlatIP-equivalent: BLAS matmul + topk)
-    import torch
+    # CPU baseline (faiss-IndexFlatIP-equivalent: BLAS matmul + topk) — cached
+    # across rounds: corpus + queries are deterministic (seeds 0 / 12345), so
+    # the exact top-k and the measured CPU QPS are reusable verbatim.
+    cpu_cache = pathlib.Path("/tmp/flat_cpu_baseline.npz")
+    exact_topk = cpu_qps = None
+    if cpu_cache.exists():
+        z = np.load(cpu_cache)
+        if tuple(z["shape"]) == (n, d, b, k):
+            exact_topk, cpu_qps = z["exact_topk"], float(z["cpu_qps"])
+            _log(f"CPU baseline loaded from {cpu_cache}: {cpu_qps:.1f} QPS")
+    if exact_topk is None:
+        import torch
 
-    _log("running CPU baseline")
-    t0 = time.time()
-    scores_cpu = torch.from_numpy(q) @ torch.from_numpy(corpus).T
-    exact_topk = torch.topk(scores_cpu, k, dim=-1).indices.numpy()
-    cpu_s = time.time() - t0
-    cpu_qps = b / cpu_s
-    _log(f"CPU baseline: {cpu_qps:.1f} QPS; building TPU indexes")
+        _log("running CPU baseline")
+        t0 = time.time()
+        scores_cpu = torch.from_numpy(q) @ torch.from_numpy(corpus).T
+        exact_topk = torch.topk(scores_cpu, k, dim=-1).indices.numpy()
+        cpu_s = time.time() - t0
+        cpu_qps = b / cpu_s
+        np.savez(cpu_cache, exact_topk=exact_topk, cpu_qps=cpu_qps, shape=(n, d, b, k))
+        _log(f"CPU baseline: {cpu_qps:.1f} QPS (cached)")
+    _log("building TPU indexes")
 
     corpus_dev = jnp.asarray(corpus)
-    # ONE buffer set for every variant: bf16 store (1.5 GB) + f32 refine rows
+    # ONE buffer set for both variants: bf16 store (1.5 GB) + f32 refine rows
     # (3 GB), shared via static-field replace. kernel="fused" at build time
     # pads rows to the kernel tile so both kernels run on the same arrays.
+    # Only the "+rr" (exact-f32 re-rank) paths are candidates: bf16 score
+    # rounding alone caps recall@10 at ~0.989 here (measured: exact-selection
+    # bf16 scan), so unrefined paths can never clear the 0.99 floor — timing
+    # them burned ~100 s of the driver budget for detail-only numbers.
+    # bins=1024 halves the fused kernel's bin-collision loss; qblock=1024
+    # keeps the bin buffers in scoped VMEM at the wider bin count.
     base = build_dense_index(
         corpus_dev, dtype="bfloat16", kernel="fused", refine="float32"
     )
-    index = base.replace(refine_rows=None, kernel="scan")
-    index_fused = base.replace(refine_rows=None)
-    # "+rr": exact-f32 re-rank of the k_factor*k candidate pool — bf16 score
-    # rounding alone caps recall@10 at ~0.989 here (measured: exact-selection
-    # bf16 scan), so the refined paths are the only ones that can clear the
-    # 0.99 floor. bins=1024 halves the fused kernel's bin-collision loss;
-    # qblock=1024 keeps the bin buffers in scoped VMEM at the wider bin count.
     index_scan_rr = base.replace(kernel="scan")
     index_fused_hi_rr = base.replace(fused_bins=1024, fused_qblock=1024)
     del corpus, corpus_dev
@@ -711,8 +710,6 @@ def bench_flat() -> None:
 
     results = {}
     for label, ix in (
-        ("scan", index),
-        ("fused", index_fused),
         ("scan+rr", index_scan_rr),
         ("fused-b1024+rr", index_fused_hi_rr),
     ):
@@ -751,24 +748,130 @@ def bench_flat() -> None:
     })
 
 
+# --------------------------------------------------------------------------- #
+# orchestrator: subprocess-per-config + wall-clock budget + headline-last
+# --------------------------------------------------------------------------- #
+
+# flat/msmarco hold multi-GB HBM and run as `bench.py --config X` children;
+# realm/realtext/hybrid already wrap example subprocesses and hold no device
+# buffers in this process (their bench_* helpers never import jax).
+_CHILD_CONFIGS = {"flat", "msmarco"}
+_WRAPPED_CONFIGS = {"realm": bench_realm, "realtext": bench_realtext, "hybrid": bench_hybrid}
+
+
+def _est_cost_s(name: str) -> float:
+    """Rough per-config wall estimates (driver r3/r4 captures), adjusted for
+    warm /tmp caches. Used only to SKIP configs that cannot fit the remaining
+    budget — running configs are additionally killed at the hard deadline."""
+    warm_realtext = any(
+        p.name.startswith("realtext_emb_") for p in pathlib.Path("/tmp").glob("realtext_emb_*.npz")
+    )
+    return {
+        "flat": 180.0 if pathlib.Path(_CORPUS_CACHE).exists() else 260.0,
+        "msmarco": 460.0,
+        "realm": 560.0,
+        "realtext": 430.0 if warm_realtext else 980.0,
+        "hybrid": 60.0,
+    }.get(name, 300.0)
+
+
+def _run_child_config(name: str, deadline_s: float) -> list[dict]:
+    """Run `bench.py --config name` in a fresh process; forward its JSON lines.
+
+    stderr is inherited (live progress in the driver tail); stdout is piped and
+    re-emitted here. On deadline the child is killed but its already-produced
+    lines are still forwarded — partial results survive (unlike r4)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--config", name]
+    try:
+        out = subprocess.run(
+            cmd, stdout=subprocess.PIPE, stderr=None, text=True, timeout=deadline_s
+        )
+        stdout, rc = out.stdout or "", out.returncode
+    except subprocess.TimeoutExpired as exc:
+        stdout = exc.stdout or ""
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        rc = "killed: budget"
+    lines = []
+    for line in stdout.splitlines():
+        if line.startswith("{"):
+            try:
+                data = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            _emit(data)
+            lines.append(data)
+    if rc != 0:
+        _log(f"config {name}: rc={rc} ({len(lines)} line(s) salvaged)")
+    return lines
+
+
 def main() -> None:
-    configs = os.environ.get(
-        "VOD_BENCH_CONFIGS", "hybrid,msmarco,realtext,realm,flat"
-    ).split(",")
+    budget_s = float(os.environ.get("VOD_BENCH_BUDGET_S", "1620"))
+    reserve_s = 10.0  # always leave room to re-emit the headline
+    configs = [
+        c.strip()
+        for c in os.environ.get(
+            "VOD_BENCH_CONFIGS", "flat,msmarco,realm,realtext,hybrid"
+        ).split(",")
+        if c.strip()
+    ]
+    t_start = time.time()
+    emitted: list[dict] = []
     for name in configs:
-        fn = {"hybrid": bench_hybrid, "msmarco": bench_msmarco,
-              "realtext": bench_realtext,
-              "realm": bench_realm, "flat": bench_flat}.get(name.strip())
-        if fn is None:
+        if name not in _CHILD_CONFIGS and name not in _WRAPPED_CONFIGS:
             _log(f"unknown config {name!r}")
+            continue
+        remaining = budget_s - (time.time() - t_start) - reserve_s
+        est = _est_cost_s(name)
+        if est > remaining:
+            _log(f"config {name} skipped: est {est:.0f}s > remaining {remaining:.0f}s budget")
+            _emit({
+                "metric": f"config {name} skipped: budget "
+                          f"(est {est:.0f}s > remaining {remaining:.0f}s)",
+                "value": None, "unit": "skipped", "recall": None, "vs_baseline": None,
+            })
             continue
         t0 = time.time()
         try:
-            fn()
+            if name in _CHILD_CONFIGS:
+                emitted.extend(_run_child_config(name, remaining))
+            else:
+                emitted.extend(_WRAPPED_CONFIGS[name](deadline_s=remaining) or [])
         except Exception as exc:  # noqa: BLE001 - keep later configs running
             _log(f"config {name} failed: {exc}")
         _log(f"config {name}: {time.time()-t0:.0f}s")
 
+    # THE round metric rides last: the driver parses the final JSON line of
+    # stdout. Prefer the flat headline; fall back to the best available line.
+    headline = next(
+        (d for d in emitted if d.get("unit") == "QPS" and "dense MIPS" in str(d.get("metric"))),
+        None,
+    )
+    if headline is None:
+        headline = next((d for d in emitted if d.get("value") is not None), None)
+    if headline is not None:
+        _emit(headline)
+    else:
+        _emit({
+            "metric": "no config produced a metric line (see stderr)",
+            "value": None, "unit": "error", "recall": None, "vs_baseline": None,
+        })
+    _log(f"total: {time.time()-t_start:.0f}s of {budget_s:.0f}s budget")
+
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None, help="run ONE config in this process")
+    cli = ap.parse_args()
+    if cli.config is None:
+        main()
+    elif cli.config in _CHILD_CONFIGS:
+        {"flat": bench_flat, "msmarco": bench_msmarco}[cli.config]()
+    elif cli.config in _WRAPPED_CONFIGS:
+        _WRAPPED_CONFIGS[cli.config]()
+    else:
+        _log(f"unknown config {cli.config!r}")
+        sys.exit(2)

@@ -35,6 +35,10 @@ def main() -> dict:
     ap.add_argument("--n_sections", type=int, default=8)
     ap.add_argument("--ls", type=int, default=64, help="section tokens")
     ap.add_argument("--lq", type=int, default=24, help="query tokens")
+    ap.add_argument(
+        "--index_dtype", default="bfloat16", choices=["bfloat16", "int8", "float32"],
+        help="dense index codec; int8 halves index HBM at >=1M corpora",
+    )
     args = ap.parse_args()
 
     import jax
@@ -51,11 +55,15 @@ def main() -> dict:
 
     n, b, d = args.corpus, args.batch, args.n_sections
     vocab, h = 30522, 384
-    rng = np.random.default_rng(0)
     print(f"# corpus {n} sections x {args.ls} tokens; B={b}, D={d}", flush=True)
 
+    # corpus token ids + the initial embedding matrix are generated ON DEVICE:
+    # at 1M sections the host arrays (256 MB ids + 1.5 GB f32 emb) would crawl
+    # over the remote-execution tunnel as host->device transfers.
     corpus = DeviceCorpus(
-        input_ids=jnp.asarray(rng.integers(4, vocab, size=(n, args.ls)), jnp.int32),
+        input_ids=jax.random.randint(
+            jax.random.PRNGKey(7), (n, args.ls), 4, vocab, dtype=jnp.int32
+        ),
         attention_mask=jnp.ones((n, args.ls), jnp.int32),
         subset_ids=jnp.zeros((n,), jnp.int32),
     )
@@ -87,8 +95,9 @@ def main() -> dict:
             answer_mask=jnp.ones((b, 12), jnp.int32),
         )
 
-    emb = jnp.asarray(rng.standard_normal((n, h), dtype=np.float32))
-    engines = HybridEngines(dense=build_dense_index(emb, dtype="bfloat16"))
+    emb = jax.random.normal(jax.random.PRNGKey(8), (n, h), jnp.float32)
+    engines = HybridEngines(dense=build_dense_index(emb, dtype=args.index_dtype))
+    del emb
 
     init_batch, _ = device_collate(
         jax.random.PRNGKey(0), engines, corpus, make_queries(0),
@@ -137,8 +146,11 @@ def main() -> dict:
 
     encode = lambda p, i, m: model.apply(p, i, m, method=Ranker.encode_field)
     t0 = time.time()
-    emb2 = compute_embeddings(encode, params, corpus, chunk=2048)
-    engines = HybridEngines(dense=build_dense_index(emb2, dtype="bfloat16"))
+    # wider chunks at big corpora: 1M/2048 = 512 relay round-trips (~30 ms
+    # fixed RTT each) would put ~15 s of pure dispatch latency on the clock
+    emb2 = compute_embeddings(encode, params, corpus, chunk=2048 if n <= 262_144 else 8192)
+    engines = HybridEngines(dense=build_dense_index(emb2, dtype=args.index_dtype))
+    del emb2
     params, opt_state, metrics, _rel, _scores = step_fn.train_step(
         params, opt_state, engines, corpus, make_queries(999), jax.random.PRNGKey(999), weights
     )
@@ -148,7 +160,7 @@ def main() -> dict:
 
     result = {"ms_per_step": round(dt * 1e3, 1), "params_m": round(n_params / 1e6, 1),
               "corpus": n, "batch": b, "n_sections": d, "loss": loss,
-              "reindex_s": round(reindex_s, 1)}
+              "reindex_s": round(reindex_s, 1), "index_dtype": args.index_dtype}
     print(json.dumps(result))
     return result
 

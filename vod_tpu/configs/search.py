@@ -192,13 +192,16 @@ class SparseFactoryConfig(StrictModel):
     k1: float = 1.2
     b: float = 0.75
     max_postings: int = 2048
-    language: typ.Optional[str] = None  # analyzer language (stopwords)
+    language: typ.Optional[str] = None  # analyzer language (stopwords + stemmer)
     lowercase: bool = True
     min_token_len: int = 2
-    # Porter-stem ASCII tokens after the stopword filter (parity: ES language
-    # analyzers stem — `es_body.py:32`; the reference's `english` analyzer is
-    # lowercase -> stop -> porter_stem). Applies at BOTH index and query time
-    # (analyze_texts(stem=...)); non-ASCII tokens pass through unstemmed.
+    # Stem tokens after the stopword filter (parity: ES language analyzers
+    # stem — `es_body.py:32`; pipeline order lowercase -> stop -> stem).
+    # Applies at BOTH index and query time (analyze_texts(stem=...)). The
+    # stemmer follows `language`: Porter for English (default), Snowball
+    # German/Spanish (`native/snowball.py`); other languages pass through
+    # unstemmed with their stopword lists still applied (documented contract,
+    # snowball.py docstring).
     stem: bool = False
     max_vocab: typ.Optional[int] = None
     section_template: str = "{{ title }} {{ content }}"

@@ -190,6 +190,477 @@ inline bool is_ascii(const std::string& w) {
   return true;
 }
 
+// ---- Snowball German + Spanish stemmers ------------------------------------
+// Mirror vod_tpu/native/snowball.py token for token (parity-tested in
+// tests/test_stemming.py). Implemented over decoded codepoints: the suffix
+// systems of both languages involve non-ASCII letters (ä ö ü ß, á é í ó ú).
+
+using u32 = std::u32string;
+
+inline u32 utf8_decode(const std::string& s) {
+  u32 out;
+  out.reserve(s.size());
+  size_t i = 0;
+  while (i < s.size()) {
+    const unsigned char c = s[i];
+    char32_t cp = 0;
+    int extra = 0;
+    if (c < 0x80) { cp = c; }
+    else if ((c & 0xE0) == 0xC0) { cp = c & 0x1F; extra = 1; }
+    else if ((c & 0xF0) == 0xE0) { cp = c & 0x0F; extra = 2; }
+    else if ((c & 0xF8) == 0xF0) { cp = c & 0x07; extra = 3; }
+    else { ++i; continue; }  // invalid byte: skip
+    if (i + extra >= s.size() + (extra == 0 ? 1 : 0)) { break; }
+    bool ok = true;
+    for (int j = 1; j <= extra; ++j) {
+      const unsigned char cc = s[i + j];
+      if ((cc & 0xC0) != 0x80) { ok = false; break; }
+      cp = (cp << 6) | (cc & 0x3F);
+    }
+    if (!ok) { ++i; continue; }
+    out.push_back(cp);
+    i += 1 + extra;
+  }
+  return out;
+}
+
+inline void utf8_encode(const u32& w, std::string& out) {
+  out.clear();
+  for (const char32_t cp : w) {
+    if (cp < 0x80) out.push_back(static_cast<char>(cp));
+    else if (cp < 0x800) {
+      out.push_back(static_cast<char>(0xC0 | (cp >> 6)));
+      out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+    } else if (cp < 0x10000) {
+      out.push_back(static_cast<char>(0xE0 | (cp >> 12)));
+      out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+      out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+    } else {
+      out.push_back(static_cast<char>(0xF0 | (cp >> 18)));
+      out.push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+      out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+      out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+    }
+  }
+}
+
+inline bool u32_ends(const u32& w, const char32_t* suf) {
+  size_t sl = 0;
+  while (suf[sl]) ++sl;
+  if (w.size() < sl) return false;
+  return std::char_traits<char32_t>::compare(w.data() + w.size() - sl, suf, sl) == 0;
+}
+
+// -- German ------------------------------------------------------------------
+
+inline bool de_vowel(char32_t c) {
+  return c == U'a' || c == U'e' || c == U'i' || c == U'o' || c == U'u' ||
+         c == U'y' || c == 0xE4 || c == 0xF6 || c == 0xFC;  // ä ö ü
+}
+
+inline void de_regions(const u32& w, int* r1, int* r2) {
+  const int n = static_cast<int>(w.size());
+  auto next_region = [&](int start) {
+    int i = start;
+    while (i < n && !de_vowel(w[i])) ++i;
+    while (i < n && de_vowel(w[i])) ++i;
+    return i < n ? std::min(i + 1, n) : n;
+  };
+  *r1 = next_region(0);
+  *r2 = next_region(*r1);
+  if (*r1 < 3) *r1 = std::min(3, n);
+}
+
+inline bool de_s_ending(char32_t c) {
+  return c == U'b' || c == U'd' || c == U'f' || c == U'g' || c == U'h' ||
+         c == U'k' || c == U'l' || c == U'm' || c == U'n' || c == U'r' || c == U't';
+}
+
+inline bool de_st_ending(char32_t c) { return de_s_ending(c) && c != U'r'; }
+
+void german_stem(u32& w) {
+  // ß -> ss
+  u32 tmp;
+  tmp.reserve(w.size() + 2);
+  for (const char32_t c : w) {
+    if (c == 0xDF) { tmp.push_back(U's'); tmp.push_back(U's'); }
+    else tmp.push_back(c);
+  }
+  w.swap(tmp);
+  const int n = static_cast<int>(w.size());
+  auto de_umlaut = [&]() {
+    for (auto& c : w) {
+      if (c == 0xE4) c = U'a';
+      else if (c == 0xF6) c = U'o';
+      else if (c == 0xFC) c = U'u';
+    }
+  };
+  if (n <= 2) { de_umlaut(); return; }
+
+  // u/y between vowels are consonants: mark upper-case
+  for (int i = 1; i < n - 1; ++i) {
+    if ((w[i] == U'u' || w[i] == U'y') && de_vowel(w[i - 1]) && de_vowel(w[i + 1])) {
+      w[i] = w[i] - 32;  // 'u'->'U', 'y'->'Y' (not in de_vowel => consonants)
+    }
+  }
+  int r1, r2;
+  de_regions(w, &r1, &r2);
+  auto in_r1 = [&](int pos) { return pos >= r1; };
+  auto in_r2 = [&](int pos) { return pos >= r2; };
+
+  // step 1
+  bool done = false;
+  static const char32_t* kStep1a[] = {U"ern", U"em", U"er"};
+  static const char32_t* kStep1b[] = {U"en", U"es", U"e"};
+  for (const char32_t* suf : kStep1a) {
+    if (u32_ends(w, suf)) {
+      const int sl = static_cast<int>(std::char_traits<char32_t>::length(suf));
+      if (in_r1(static_cast<int>(w.size()) - sl)) w.resize(w.size() - sl);
+      done = true;
+      break;
+    }
+  }
+  if (!done) {
+    for (const char32_t* suf : kStep1b) {
+      if (u32_ends(w, suf)) {
+        const int sl = static_cast<int>(std::char_traits<char32_t>::length(suf));
+        if (in_r1(static_cast<int>(w.size()) - sl)) {
+          w.resize(w.size() - sl);
+          if (u32_ends(w, U"niss")) w.resize(w.size() - 1);
+        }
+        done = true;
+        break;
+      }
+    }
+  }
+  if (!done && u32_ends(w, U"s")) {
+    if (in_r1(static_cast<int>(w.size()) - 1) && w.size() >= 2 && de_s_ending(w[w.size() - 2])) {
+      w.resize(w.size() - 1);
+    }
+  }
+
+  // step 2
+  done = false;
+  static const char32_t* kStep2[] = {U"est", U"en", U"er"};
+  for (const char32_t* suf : kStep2) {
+    if (u32_ends(w, suf)) {
+      const int sl = static_cast<int>(std::char_traits<char32_t>::length(suf));
+      if (in_r1(static_cast<int>(w.size()) - sl)) w.resize(w.size() - sl);
+      done = true;
+      break;
+    }
+  }
+  if (!done && u32_ends(w, U"st")) {
+    if (in_r1(static_cast<int>(w.size()) - 2) && w.size() >= 6 && de_st_ending(w[w.size() - 3])) {
+      w.resize(w.size() - 2);
+    }
+  }
+
+  // step 3 (d-suffixes)
+  if (u32_ends(w, U"end") || u32_ends(w, U"ung")) {
+    if (in_r2(static_cast<int>(w.size()) - 3)) {
+      w.resize(w.size() - 3);
+      if (u32_ends(w, U"ig") && !u32_ends(w, U"eig") && in_r2(static_cast<int>(w.size()) - 2)) {
+        w.resize(w.size() - 2);
+      }
+    }
+  } else if (u32_ends(w, U"ig") || u32_ends(w, U"ik")) {
+    const int pos = static_cast<int>(w.size()) - 2;
+    if (in_r2(pos) && (pos == 0 || w[pos - 1] != U'e')) w.resize(pos);
+  } else if (u32_ends(w, U"isch")) {
+    const int pos = static_cast<int>(w.size()) - 4;
+    if (in_r2(pos) && (pos == 0 || w[pos - 1] != U'e')) w.resize(pos);
+  } else if (u32_ends(w, U"lich") || u32_ends(w, U"heit")) {
+    if (in_r2(static_cast<int>(w.size()) - 4)) {
+      w.resize(w.size() - 4);
+      if (u32_ends(w, U"er") && in_r1(static_cast<int>(w.size()) - 2)) w.resize(w.size() - 2);
+      else if (u32_ends(w, U"en") && in_r1(static_cast<int>(w.size()) - 2)) w.resize(w.size() - 2);
+    }
+  } else if (u32_ends(w, U"keit")) {
+    if (in_r2(static_cast<int>(w.size()) - 4)) {
+      w.resize(w.size() - 4);
+      if (u32_ends(w, U"lich") && in_r2(static_cast<int>(w.size()) - 4)) w.resize(w.size() - 4);
+      else if (u32_ends(w, U"ig") && in_r2(static_cast<int>(w.size()) - 2)) w.resize(w.size() - 2);
+    }
+  }
+
+  // finally: unmark U/Y, remove umlauts
+  for (auto& c : w) {
+    if (c == U'U') c = U'u';
+    else if (c == U'Y') c = U'y';
+  }
+  de_umlaut();
+}
+
+// -- Spanish -------------------------------------------------------------------
+
+inline bool es_vowel(char32_t c) {
+  return c == U'a' || c == U'e' || c == U'i' || c == U'o' || c == U'u' ||
+         c == 0xE1 || c == 0xE9 || c == 0xED || c == 0xF3 || c == 0xFA ||
+         c == 0xFC;  // á é í ó ú ü
+}
+
+inline int es_rv(const u32& w) {
+  const int n = static_cast<int>(w.size());
+  if (n < 3) return n;
+  if (!es_vowel(w[1])) {
+    int i = 2;
+    while (i < n && !es_vowel(w[i])) ++i;
+    return std::min(i + 1, n);
+  }
+  if (es_vowel(w[0]) && es_vowel(w[1])) {
+    int i = 2;
+    while (i < n && es_vowel(w[i])) ++i;
+    return std::min(i + 1, n);
+  }
+  return 3;
+}
+
+inline void es_regions(const u32& w, int* r1, int* r2) {
+  const int n = static_cast<int>(w.size());
+  auto next_region = [&](int start) {
+    int i = start;
+    while (i < n && !es_vowel(w[i])) ++i;
+    while (i < n && es_vowel(w[i])) ++i;
+    return i < n ? std::min(i + 1, n) : n;
+  };
+  *r1 = next_region(0);
+  *r2 = next_region(*r1);
+}
+
+struct EsRule { const char32_t* suf; int action; };
+// actions: 0=del(r2) 1=del_ic(r2) 2=log(r2) 3=u(r2) 4=ente(r2) 5=amente(r1)
+//          6=mente(r2) 7=idad(r2) 8=iv(r2)
+static const EsRule kEsStep1[] = {
+    {U"amientos", 0}, {U"imientos", 0}, {U"amiento", 0}, {U"imiento", 0},
+    {U"anzas", 0}, {U"ismos", 0}, {U"ables", 0}, {U"ibles", 0}, {U"istas", 0},
+    {U"anza", 0}, {U"icos", 0}, {U"icas", 0}, {U"ismo", 0}, {U"able", 0},
+    {U"ible", 0}, {U"ista", 0}, {U"osos", 0}, {U"osas", 0}, {U"ico", 0},
+    {U"ica", 0}, {U"oso", 0}, {U"osa", 0},
+    {U"aciones", 1}, {U"adoras", 1}, {U"adores", 1}, {U"ancias", 1},
+    {U"adora", 1}, {U"ación", 1}, {U"antes", 1}, {U"ancia", 1},
+    {U"ador", 1}, {U"ante", 1},
+    {U"logías", 2}, {U"logía", 2},
+    {U"uciones", 3}, {U"ución", 3},
+    {U"encias", 4}, {U"encia", 4},
+    {U"amente", 5}, {U"mente", 6},
+    {U"idades", 7}, {U"idad", 7},
+    {U"ivas", 8}, {U"ivos", 8}, {U"iva", 8}, {U"ivo", 8},
+};
+
+static const char32_t* kEsPron[] = {
+    U"selas", U"selos", U"sela", U"selo", U"las", U"les", U"los", U"nos",
+    U"me", U"se", U"la", U"le", U"lo"};
+static const char32_t* kEsPronA[] = {U"iéndo", U"ándo", U"ár", U"ér", U"ír"};
+static const char32_t* kEsPronAFix[] = {U"iendo", U"ando", U"ar", U"er", U"ir"};
+static const char32_t* kEsPronB[] = {U"iendo", U"ando", U"ar", U"er", U"ir"};
+
+static const char32_t* kEsStep2bGu[] = {U"en", U"es", U"éis", U"emos"};
+static const char32_t* kEsStep2b[] = {
+    U"aríamos", U"eríamos", U"iríamos", U"iéramos", U"iésemos",
+    U"aríais", U"aseis", U"eríais", U"iríais", U"ieseis", U"asteis",
+    U"isteis", U"ábamos", U"áramos", U"ásemos", U"arían",
+    U"arías", U"aréis", U"erían", U"erías", U"eréis",
+    U"irían", U"irías", U"iréis", U"ieran", U"iesen", U"ieron",
+    U"iendo", U"ieras", U"ieses", U"abais", U"arais", U"íamos", U"emos",
+    U"arán", U"arás", U"aría", U"erán", U"erás",
+    U"ería", U"irán", U"irás", U"iría", U"iera", U"iese",
+    U"aste", U"iste", U"aban", U"aran", U"asen", U"aron", U"ando", U"abas",
+    U"adas", U"idas", U"aras", U"ases", U"íais", U"ados", U"idos", U"amos",
+    U"imos", U"ían", U"ado", U"ido", U"ías", U"áis", U"ía",
+    U"ad", U"ed", U"id", U"an", U"ió", U"ar", U"er", U"ir", U"as",
+    U"ís"};
+static const char32_t* kEsStep3Gu[] = {U"e", U"é"};
+static const char32_t* kEsStep3[] = {U"os", U"a", U"o", U"á", U"í", U"ó"};
+
+inline size_t u32_len(const char32_t* s) { return std::char_traits<char32_t>::length(s); }
+
+void spanish_stem(u32& w) {
+  const int rv = es_rv(w);
+  int r1, r2;
+  es_regions(w, &r1, &r2);
+  auto in_rv = [&](int pos) { return pos >= rv; };
+  auto in_r1 = [&](int pos) { return pos >= r1; };
+  auto in_r2 = [&](int pos) { return pos >= r2; };
+
+  // step 0: attached pronoun (longest pronoun match only)
+  for (const char32_t* pron : kEsPron) {
+    if (!u32_ends(w, pron)) continue;
+    u32 base = w.substr(0, w.size() - u32_len(pron));
+    bool matched = false;
+    for (int a = 0; a < 5; ++a) {
+      const size_t al = u32_len(kEsPronA[a]);
+      if (base.size() >= al && u32_ends(base, kEsPronA[a]) &&
+          in_rv(static_cast<int>(base.size() - al))) {
+        w = base.substr(0, base.size() - al);
+        w.append(kEsPronAFix[a]);
+        matched = true;
+        break;
+      }
+    }
+    if (!matched) {
+      for (const char32_t* b : kEsPronB) {
+        const size_t bl = u32_len(b);
+        if (base.size() >= bl && u32_ends(base, b) &&
+            in_rv(static_cast<int>(base.size() - bl))) {
+          w = base;
+          matched = true;
+          break;
+        }
+      }
+    }
+    if (!matched && u32_ends(base, U"yendo") && base.size() >= 6 &&
+        base[base.size() - 6] == U'u') {
+      w = base;
+    }
+    break;
+  }
+
+  const size_t n0 = w.size();
+  // step 1: standard suffixes, longest match across all groups
+  const EsRule* best = nullptr;
+  size_t best_len = 0;
+  for (const auto& r : kEsStep1) {
+    const size_t sl = u32_len(r.suf);
+    if (sl > best_len && u32_ends(w, r.suf)) { best = &r; best_len = sl; }
+  }
+  bool step1_done = false;
+  if (best != nullptr) {
+    const int pos = static_cast<int>(w.size() - best_len);
+    const bool ok = (best->action == 5) ? in_r1(pos) : in_r2(pos);
+    if (ok) {
+      step1_done = true;
+      switch (best->action) {
+        case 0: w.resize(pos); break;
+        case 1:
+          w.resize(pos);
+          if (u32_ends(w, U"ic") && in_r2(static_cast<int>(w.size()) - 2)) w.resize(w.size() - 2);
+          break;
+        case 2: w.resize(pos); w.append(U"log"); break;
+        case 3: w.resize(pos); w.append(U"u"); break;
+        case 4: w.resize(pos); w.append(U"ente"); break;
+        case 5:
+          w.resize(pos);
+          if (u32_ends(w, U"iv") && in_r2(static_cast<int>(w.size()) - 2)) {
+            w.resize(w.size() - 2);
+            if (u32_ends(w, U"at") && in_r2(static_cast<int>(w.size()) - 2)) w.resize(w.size() - 2);
+          } else {
+            static const char32_t* kPre[] = {U"os", U"ic", U"ad"};
+            for (const char32_t* pre : kPre) {
+              if (u32_ends(w, pre) && in_r2(static_cast<int>(w.size()) - 2)) {
+                w.resize(w.size() - 2);
+                break;
+              }
+            }
+          }
+          break;
+        case 6: {
+          w.resize(pos);
+          static const char32_t* kPre[] = {U"ante", U"able", U"ible"};
+          for (const char32_t* pre : kPre) {
+            if (u32_ends(w, pre) && in_r2(static_cast<int>(w.size()) - 4)) {
+              w.resize(w.size() - 4);
+              break;
+            }
+          }
+          break;
+        }
+        case 7: {
+          w.resize(pos);
+          static const char32_t* kPre[] = {U"abil", U"ic", U"iv"};
+          for (const char32_t* pre : kPre) {
+            const size_t pl = u32_len(pre);
+            if (u32_ends(w, pre) && in_r2(static_cast<int>(w.size() - pl))) {
+              w.resize(w.size() - pl);
+              break;
+            }
+          }
+          break;
+        }
+        case 8:
+          w.resize(pos);
+          if (u32_ends(w, U"at") && in_r2(static_cast<int>(w.size()) - 2)) w.resize(w.size() - 2);
+          break;
+      }
+    }
+  }
+
+  // step 2a / 2b (only if step 1 removed nothing)
+  if (!step1_done && w.size() == n0) {
+    static const char32_t* kStep2a[] = {
+        U"yeron", U"yendo", U"yamos", U"yais", U"yan", U"yen", U"yas",
+        U"yes", U"ya", U"ye", U"yo", U"yó"};
+    for (const char32_t* suf : kStep2a) {
+      if (u32_ends(w, suf)) {
+        const int pos = static_cast<int>(w.size() - u32_len(suf));
+        if (in_rv(pos) && pos > 0 && w[pos - 1] == U'u') w.resize(pos);
+        break;
+      }
+    }
+    if (w.size() == n0) {
+      const char32_t* matched = nullptr;
+      size_t ml = 0;
+      bool matched_gu = false;
+      for (const char32_t* suf : kEsStep2bGu) {
+        const size_t sl = u32_len(suf);
+        if (sl > ml && u32_ends(w, suf)) { matched = suf; ml = sl; matched_gu = true; }
+      }
+      for (const char32_t* suf : kEsStep2b) {
+        const size_t sl = u32_len(suf);
+        if (sl > ml && u32_ends(w, suf)) { matched = suf; ml = sl; matched_gu = false; }
+      }
+      if (matched != nullptr && in_rv(static_cast<int>(w.size() - ml))) {
+        w.resize(w.size() - ml);
+        if (matched_gu && u32_ends(w, U"gu")) w.resize(w.size() - 1);
+      }
+    }
+  }
+
+  // step 3: residual suffix
+  {
+    const char32_t* matched = nullptr;
+    size_t ml = 0;
+    bool matched_gu = false;
+    for (const char32_t* suf : kEsStep3Gu) {
+      const size_t sl = u32_len(suf);
+      if (sl > ml && u32_ends(w, suf)) { matched = suf; ml = sl; matched_gu = true; }
+    }
+    for (const char32_t* suf : kEsStep3) {
+      const size_t sl = u32_len(suf);
+      if (sl > ml && u32_ends(w, suf)) { matched = suf; ml = sl; matched_gu = false; }
+    }
+    if (matched != nullptr && in_rv(static_cast<int>(w.size() - ml))) {
+      w.resize(w.size() - ml);
+      if (matched_gu && u32_ends(w, U"gu") && in_rv(static_cast<int>(w.size()) - 1)) {
+        w.resize(w.size() - 1);
+      }
+    }
+  }
+
+  // finally: remove acute accents
+  for (auto& c : w) {
+    if (c == 0xE1) c = U'a';
+    else if (c == 0xE9) c = U'e';
+    else if (c == 0xED) c = U'i';
+    else if (c == 0xF3) c = U'o';
+    else if (c == 0xFA) c = U'u';
+  }
+}
+
+// lang codes (mirror snowball.py STEMMED_LANGUAGES): 0=none 1=english 2=german 3=spanish
+inline void stem_token_lang(std::string& token, int lang) {
+  if (lang == 1) {
+    if (is_ascii(token)) porter_stem(token);
+    return;
+  }
+  if (lang == 2 || lang == 3) {
+    u32 w = utf8_decode(token);
+    if (lang == 2) german_stem(w);
+    else spanish_stem(w);
+    utf8_encode(w, token);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -202,8 +673,10 @@ extern "C" {
 // Callers must pre-lowercase non-ASCII text host-side (loader.py does) so
 // native and fallback paths hash identical ids.
 // Writes up to max_terms ids into out_ids; returns the number written.
-int analyze_text(const char* text, int32_t* out_ids, int max_terms,
-                 int vocab_size, int min_len, int use_stopwords, int use_stemmer) {
+int analyze_text_impl(const char* text, int32_t* out_ids, int max_terms,
+                      int vocab_size, int min_len, int use_stopwords,
+                      int use_stemmer,
+                      const std::unordered_set<std::string>* extra_stops) {
   if (text == nullptr || max_terms <= 0) return 0;
   const uint64_t mask = static_cast<uint64_t>(vocab_size - 1);
   int count = 0;
@@ -221,9 +694,11 @@ int analyze_text(const char* text, int32_t* out_ids, int max_terms,
       token.push_back((c >= 'A' && c <= 'Z') ? static_cast<char>(c + 32) : c);
     } else {
       if (token_cp >= min_len &&
-          (!use_stopwords || stopwords().count(token) == 0)) {
-        // stem AFTER the stopword check (ES pipeline order: stop -> stem)
-        if (use_stemmer && is_ascii(token)) porter_stem(token);
+          (!use_stopwords || stopwords().count(token) == 0) &&
+          (extra_stops == nullptr || extra_stops->count(token) == 0)) {
+        // stem AFTER the stopword check (ES pipeline order: stop -> stem).
+        // use_stemmer is a language code: 0=none 1=english 2=german 3=spanish
+        if (use_stemmer) stem_token_lang(token, use_stemmer);
         out_ids[count++] = static_cast<int32_t>(fnv1a(token.data(), token.size()) & mask);
         if (count >= max_terms) return count;
       }
@@ -236,15 +711,37 @@ int analyze_text(const char* text, int32_t* out_ids, int max_terms,
   return count;
 }
 
+int analyze_text(const char* text, int32_t* out_ids, int max_terms,
+                 int vocab_size, int min_len, int use_stopwords, int use_stemmer) {
+  return analyze_text_impl(text, out_ids, max_terms, vocab_size, min_len,
+                           use_stopwords, use_stemmer, nullptr);
+}
+
 // Batched analysis: `texts` are n zero-terminated strings concatenated;
 // `offsets[i]` is the byte offset of text i (offsets[n] = total length).
 // Output layout: out_ids is [n, max_terms]; out_counts[i] = #terms of text i.
+// `extra_stops`: optional language stopword list (n_extra zero-terminated
+// lowercase UTF-8 tokens concatenated), filtered BEFORE stemming — the ES
+// pipeline order (stop -> stem) that a post-hoc hashed-id filter cannot
+// reproduce once stemming rewrites the surface forms.
 void analyze_batch(const char* texts, const int64_t* offsets, int n,
                    int32_t* out_ids, int32_t* out_counts, int max_terms,
-                   int vocab_size, int min_len, int use_stopwords, int use_stemmer) {
+                   int vocab_size, int min_len, int use_stopwords, int use_stemmer,
+                   const char* extra_stops, int n_extra) {
+  std::unordered_set<std::string> extra;
+  if (extra_stops != nullptr && n_extra > 0) {
+    const char* p = extra_stops;
+    for (int i = 0; i < n_extra; ++i) {
+      const size_t len = std::strlen(p);
+      extra.emplace(p, len);
+      p += len + 1;
+    }
+  }
+  const std::unordered_set<std::string>* extra_ptr = extra.empty() ? nullptr : &extra;
   for (int i = 0; i < n; ++i) {
-    out_counts[i] = analyze_text(texts + offsets[i], out_ids + static_cast<int64_t>(i) * max_terms,
-                                 max_terms, vocab_size, min_len, use_stopwords, use_stemmer);
+    out_counts[i] = analyze_text_impl(
+        texts + offsets[i], out_ids + static_cast<int64_t>(i) * max_terms,
+        max_terms, vocab_size, min_len, use_stopwords, use_stemmer, extra_ptr);
   }
 }
 
@@ -253,6 +750,17 @@ void analyze_batch(const char* texts, const int64_t* offsets, int n,
 int porter_stem_token(char* buf, int len) {
   std::string w(buf, static_cast<size_t>(len));
   porter_stem(w);
+  std::memcpy(buf, w.data(), w.size());
+  return static_cast<int>(w.size());
+}
+
+// Stem one lowercase UTF-8 token in place by language code (parity testing
+// hook for snowball.py; 1=english 2=german 3=spanish). Output bytes never
+// exceed input bytes (ss replaces the 2-byte ß; accents only shrink), so buf
+// holding the input length suffices. Returns the stemmed byte length.
+int snowball_stem_token(char* buf, int len, int lang) {
+  std::string w(buf, static_cast<size_t>(len));
+  stem_token_lang(w, lang);
   std::memcpy(buf, w.data(), w.size());
   return static_cast<int>(w.size());
 }

@@ -34,6 +34,9 @@ _STOPWORDS = {
 
 _TOKEN_RE = re.compile(r"[0-9a-z\u0080-\U0010FFFF]+")
 
+# inverse of snowball.STEMMED_LANGUAGES (lang code -> name), for _py_analyze
+_LANG_BY_CODE = {1: "english", 2: "german", 3: "spanish"}
+
 
 def _compile() -> typ.Optional[ctypes.CDLL]:
     src = _HERE / "analyzer.cpp"
@@ -71,9 +74,12 @@ def _compile() -> typ.Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C"),
         np.ctypeslib.ndpointer(np.int32, flags="C"),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
     ]
     lib.porter_stem_token.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.porter_stem_token.restype = ctypes.c_int
+    lib.snowball_stem_token.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.snowball_stem_token.restype = ctypes.c_int
     lib.build_postings.argtypes = [
         np.ctypeslib.ndpointer(np.int32, flags="C"),
         np.ctypeslib.ndpointer(np.int64, flags="C"),
@@ -108,7 +114,8 @@ def fnv1a_id(token: str, vocab_size: int) -> int:
 
 def _py_analyze(
     text: str, vocab_size: int, min_len: int, use_stopwords: bool, max_terms: int,
-    use_stemmer: bool = False,
+    stem_lang: int = 0,
+    extra_stops: typ.Optional[frozenset] = None,
 ) -> list[int]:
     out = []
     for token in _TOKEN_RE.findall(text.lower()):
@@ -116,10 +123,12 @@ def _py_analyze(
             continue
         if use_stopwords and token in _STOPWORDS:
             continue
-        if use_stemmer and token.isascii():
-            from .porter import porter_stem
+        if extra_stops is not None and token in extra_stops:
+            continue
+        if stem_lang:
+            from .snowball import snowball_stem
 
-            token = porter_stem(token)
+            token = snowball_stem(token, _LANG_BY_CODE[stem_lang])
         h = _FNV_OFFSET
         for byte in token.encode("utf-8"):
             h = ((h ^ byte) * _FNV_PRIME) & _MASK64
@@ -142,18 +151,32 @@ def analyze_texts(
     """Tokenize + hash a batch of texts.
 
     Returns (ids [n, max_terms] int32 padded -1, counts [n] int32). vocab_size
-    must be a power of two (FNV hash mask). `language` filters that language's
-    stopword list post-hoc by hashed id (parity: ES `__auto_stopwords__`
-    language analyzers, `es_body.py:101`); English is filtered in-kernel.
-    `stem=True` Porter-stems ASCII tokens after the stopword filter (parity:
-    ES `<lang>` analyzers stem — the English pipeline is lowercase -> stop ->
-    porter_stem, `es_body.py:32`). Non-ASCII tokens pass through unstemmed.
+    must be a power of two (FNV hash mask). `language` selects that language's
+    stopword list — filtered IN the analyzer, before stemming (the ES pipeline
+    order lowercase -> stop -> stem, `es_body.py:32,101`); English is always
+    filtered in-kernel. `stem=True` applies the language's stemmer: Porter for
+    English (the round-4 default), Snowball German/Spanish (round 5,
+    `snowball.py`); other languages pass through unstemmed (documented
+    contract — BM25 stays exact-surface for them, `snowball.py` docstring).
     """
     assert vocab_size & (vocab_size - 1) == 0, "vocab_size must be a power of two"
+    from .snowball import STEMMED_LANGUAGES
+
     n = len(texts)
     lib = _get_lib()
     out_ids = np.full((n, max_terms), -1, dtype=np.int32)
     counts = np.zeros((n,), dtype=np.int32)
+
+    norm_lang = None
+    extra_stop_words: typ.Optional[list[str]] = None
+    if language is not None:
+        from .stopwords import STOPWORDS, normalize_language
+
+        norm_lang = normalize_language(language)
+        if norm_lang != "english":
+            extra_stop_words = STOPWORDS.get(norm_lang)
+    stem_lang = STEMMED_LANGUAGES.get(norm_lang or "english", 0) if stem else 0
+
     if lib is not None:
         # Full-Unicode lowercasing happens HERE so native and fallback paths
         # hash identical term ids (the C++ kernel only lowercases ASCII; raw
@@ -163,34 +186,28 @@ def analyze_texts(
         for i, blob in enumerate(blobs):
             offsets[i + 1] = offsets[i] + len(blob) + 1
         buf = b"\x00".join(blobs) + b"\x00"
+        if extra_stop_words:
+            stops_buf = b"\x00".join(w.encode("utf-8") for w in extra_stop_words) + b"\x00"
+            n_extra = len(extra_stop_words)
+        else:
+            stops_buf, n_extra = None, 0
         lib.analyze_batch(
             buf, offsets, n, out_ids, counts, max_terms, vocab_size, min_len,
-            int(use_stopwords), int(stem),
+            int(use_stopwords), stem_lang, stops_buf, n_extra,
         )
         # native writes ids contiguously; pad the tail
         for i in range(n):
             out_ids[i, counts[i]:] = -1
     else:
+        # language stopwords apply whenever `language` is given (independent
+        # of the English in-kernel filter flag, matching the native path)
+        extra = frozenset(extra_stop_words) if extra_stop_words else None
         for i, t in enumerate(texts):
-            ids = _py_analyze(t, vocab_size, min_len, use_stopwords, max_terms, stem)
+            ids = _py_analyze(
+                t, vocab_size, min_len, use_stopwords, max_terms, stem_lang, extra
+            )
             counts[i] = len(ids)
             out_ids[i, : len(ids)] = ids
-
-    if language is not None:
-        from .stopwords import normalize_language, stopword_ids
-
-        language = normalize_language(language)
-    if language is not None and language != "english":
-        stop_set = stopword_ids(language, vocab_size)
-        if not stop_set:
-            return out_ids, counts
-        stop = np.asarray(sorted(stop_set), dtype=np.int32)
-        for i in range(n):
-            keep = out_ids[i, : counts[i]]
-            keep = keep[~np.isin(keep, stop)]
-            counts[i] = len(keep)
-            out_ids[i] = -1
-            out_ids[i, : len(keep)] = keep
     return out_ids, counts
 
 

@@ -1,0 +1,365 @@
+"""Snowball stemmers for German and Spanish (reference/fallback path).
+
+Parity: ES stems each of its 33 mapped languages via `<lang>` analyzers
+(reference `vod_configs/utils/es_body.py:32,101`); round 4 covered English
+(the original Porter 1980 algorithm, `porter.py`). This adds the two
+highest-value non-English languages, implemented from the published Snowball
+specifications (Porter's snowballstem.org algorithm descriptions — public
+1980s/2000s specs, like Porter itself). Each algorithm is implemented twice:
+here (the reference/fallback) and in `analyzer.cpp` (the native hot path),
+with token-level parity tests keeping the two in lock-step
+(`tests/test_stemming.py`).
+
+Languages NOT covered here pass through unstemmed, matching the round-4
+contract for non-English: BM25 on unstemmed tokens is well-defined (exact
+surface matching), just weaker on morphology-rich queries. The stopword
+filter still covers all 33 languages (`stopwords.py`).
+"""
+
+from __future__ import annotations
+
+__all__ = ["german_stem", "spanish_stem", "snowball_stem", "STEMMED_LANGUAGES"]
+
+STEMMED_LANGUAGES = {"english": 1, "german": 2, "spanish": 3}
+
+
+def snowball_stem(token: str, language: str) -> str:
+    """Stem `token` (already lowercased) for `language`; pass-through when the
+    language has no stemmer here."""
+    if language == "english":
+        from .porter import porter_stem
+
+        return porter_stem(token) if token.isascii() else token
+    if language == "german":
+        return german_stem(token)
+    if language == "spanish":
+        return spanish_stem(token)
+    return token
+
+
+# --------------------------------------------------------------------------- #
+# German (Snowball german stemmer)
+# --------------------------------------------------------------------------- #
+
+_DE_VOWELS = frozenset("aeiouyäöü")
+_DE_S_ENDING = frozenset("bdfghklmnrt")
+_DE_ST_ENDING = frozenset("bdfghklmnt")
+
+
+def _de_mark_regions(w: str) -> tuple[int, int]:
+    """(r1, r2) start offsets. R1 = after the first non-vowel following a
+    vowel; R2 = the same, computed inside R1. R1 is adjusted so that the
+    region before it is at least 3 letters."""
+    n = len(w)
+
+    def next_region(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _DE_VOWELS:
+            i += 1
+        while i < n and w[i] in _DE_VOWELS:
+            i += 1
+        return min(i + 1, n) if i < n else n
+
+    r1 = next_region(0)
+    r2 = next_region(r1)
+    if r1 < 3:
+        r1 = min(3, n)
+    return r1, r2
+
+
+def german_stem(word: str) -> str:
+    w = word.replace("ß", "ss")
+    n = len(w)
+    if n <= 2:
+        return w.replace("ä", "a").replace("ö", "o").replace("ü", "u")
+
+    # u/y between vowels are consonants: mark upper-case
+    chars = list(w)
+    for i in range(1, n - 1):
+        if chars[i] in ("u", "y") and w[i - 1] in _DE_VOWELS and w[i + 1] in _DE_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    # regions over the MARKED string: uppercase U/Y are not in the vowel set,
+    # so they count as consonants exactly as the marking intends
+    r1, r2 = _de_mark_regions(w)
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 1
+    step1a = ("ern", "em", "er")
+    step1b = ("en", "es", "e")
+    done = False
+    for suf in step1a:
+        if w.endswith(suf):
+            if in_r1(len(w) - len(suf)):
+                w = w[: -len(suf)]
+            done = True
+            break
+    if not done:
+        for suf in step1b:
+            if w.endswith(suf):
+                if in_r1(len(w) - len(suf)):
+                    w = w[: -len(suf)]
+                    if w.endswith("niss"):
+                        w = w[:-1]
+                done = True
+                break
+    if not done and w.endswith("s"):
+        if in_r1(len(w) - 1) and len(w) >= 2 and w[-2] in _DE_S_ENDING:
+            w = w[:-1]
+
+    # step 2
+    done = False
+    for suf in ("est", "en", "er"):
+        if w.endswith(suf):
+            if in_r1(len(w) - len(suf)):
+                w = w[: -len(suf)]
+            done = True
+            break
+    if not done and w.endswith("st"):
+        if in_r1(len(w) - 2) and len(w) >= 6 and w[-3] in _DE_ST_ENDING:
+            w = w[:-2]
+
+    # step 3 (d-suffixes)
+    if w.endswith(("end", "ung")):
+        if in_r2(len(w) - 3):
+            w = w[:-3]
+            if w.endswith("ig") and not w.endswith("eig") and in_r2(len(w) - 2):
+                w = w[:-2]
+    elif w.endswith(("ig", "ik")):
+        pos = len(w) - 2
+        if in_r2(pos) and (pos == 0 or w[pos - 1] != "e"):
+            w = w[:-2]
+    elif w.endswith("isch"):
+        pos = len(w) - 4
+        if in_r2(pos) and (pos == 0 or w[pos - 1] != "e"):
+            w = w[:-4]
+    elif w.endswith(("lich", "heit")):
+        if in_r2(len(w) - 4):
+            w = w[:-4]
+            for pre in ("er", "en"):
+                if w.endswith(pre) and in_r1(len(w) - 2):
+                    w = w[:-2]
+                    break
+    elif w.endswith("keit"):
+        if in_r2(len(w) - 4):
+            w = w[:-4]
+            if w.endswith("lich") and in_r2(len(w) - 4):
+                w = w[:-4]
+            elif w.endswith("ig") and in_r2(len(w) - 2):
+                w = w[:-2]
+
+    # finally
+    w = w.lower()
+    return w.replace("ä", "a").replace("ö", "o").replace("ü", "u")
+
+
+# --------------------------------------------------------------------------- #
+# Spanish (Snowball spanish stemmer)
+# --------------------------------------------------------------------------- #
+
+_ES_VOWELS = frozenset("aeiouáéíóúü")
+_ES_DEACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def _es_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_VOWELS:  # X C ... : after the next vowel
+        i = 2
+        while i < n and w[i] not in _ES_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in _ES_VOWELS and w[1] in _ES_VOWELS:  # V V ... : after next consonant
+        i = 2
+        while i < n and w[i] in _ES_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    return 3  # C V ... : after the third letter
+
+
+def _es_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def next_region(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _ES_VOWELS:
+            i += 1
+        while i < n and w[i] in _ES_VOWELS:
+            i += 1
+        return min(i + 1, n) if i < n else n
+
+    r1 = next_region(0)
+    return r1, next_region(r1)
+
+
+_ES_PRON = (
+    "selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+    "me", "se", "la", "le", "lo",
+)
+_ES_PRON_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_PRON_A_FIX = {"iéndo": "iendo", "ándo": "ando", "ár": "ar", "ér": "er", "ír": "ir"}
+_ES_PRON_B = ("iendo", "ando", "ar", "er", "ir")
+
+_ES_STEP2B_GU = ("en", "es", "éis", "emos")
+_ES_STEP2B = (
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "aríais", "aseis",
+    "eríais", "iríais", "ieseis", "asteis", "isteis", "ábamos", "áramos",
+    "ásemos", "arían", "arías", "aréis", "erían", "erías", "eréis", "irían",
+    "irías", "iréis", "ieran", "iesen", "ieron", "iendo", "ieras", "ieses",
+    "abais", "arais", "íamos", "emos", "arán", "arás", "aría", "erán", "erás",
+    "ería", "irán", "irás", "iría", "iera", "iese", "aste", "iste", "aban",
+    "aran", "asen", "aron", "ando", "abas", "adas", "idas", "aras", "ases",
+    "íais", "ados", "idos", "amos", "imos", "ían", "ado", "ido", "ías", "áis",
+    "ía", "ad", "ed", "id", "an", "ió", "ar", "er", "ir", "as", "ís",
+)
+_ES_STEP3_GU = ("e", "é")
+_ES_STEP3 = ("os", "a", "o", "á", "í", "ó")
+
+
+def spanish_stem(word: str) -> str:
+    w = word
+    rv = _es_rv(w)
+    r1, r2 = _es_regions(w)
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 0: attached pronoun
+    for pron in _ES_PRON:
+        if not w.endswith(pron):
+            continue
+        base = w[: -len(pron)]
+        matched = False
+        for a in _ES_PRON_A:
+            if base.endswith(a) and in_rv(len(base) - len(a)):
+                w = base[: -len(a)] + _ES_PRON_A_FIX[a]
+                matched = True
+                break
+        if not matched:
+            for b in _ES_PRON_B:
+                if base.endswith(b) and in_rv(len(base) - len(b)):
+                    w = base
+                    matched = True
+                    break
+        if not matched and base.endswith("yendo") and base[-6:-5] == "u":
+            w = base
+            matched = True
+        break  # longest pronoun match only
+    # regions stay FIXED after step 0 (Snowball semantics: region starts are
+    # positions in the original word; end-deletions never move them)
+
+    n0 = len(w)
+    # step 1: standard suffixes (longest match)
+    step1_done = False
+    suffix_groups: list[tuple[tuple[str, ...], str, str]] = [
+        # (suffixes, action, required region): action 'del'/'log'/'u'/'ente'
+        (("amientos", "imientos", "amiento", "imiento", "anzas", "ismos",
+          "ables", "ibles", "istas", "anza", "icos", "icas", "ismo", "able",
+          "ible", "ista", "osos", "osas", "ico", "ica", "oso", "osa"), "del", "r2"),
+        (("aciones", "adoras", "adores", "ancias", "adora", "ación", "antes",
+          "ancia", "ador", "ante"), "del_ic", "r2"),
+        (("logías", "logía"), "log", "r2"),
+        (("uciones", "ución"), "u", "r2"),
+        (("encias", "encia"), "ente", "r2"),
+        (("amente",), "amente", "r1"),
+        (("mente",), "mente", "r2"),
+        (("idades", "idad"), "idad", "r2"),
+        (("ivas", "ivos", "iva", "ivo"), "iv", "r2"),
+    ]
+    # longest-match across all groups
+    best: tuple[str, str, str] | None = None
+    for sufs, action, region in suffix_groups:
+        for suf in sufs:
+            if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+                best = (suf, action, region)
+    if best is not None:
+        suf, action, region = best
+        pos = len(w) - len(suf)
+        ok = in_r2(pos) if region == "r2" else in_r1(pos)
+        if ok:
+            step1_done = True
+            if action == "del":
+                w = w[:pos]
+            elif action == "del_ic":
+                w = w[:pos]
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            elif action == "log":
+                w = w[:pos] + "log"
+            elif action == "u":
+                w = w[:pos] + "u"
+            elif action == "ente":
+                w = w[:pos] + "ente"
+            elif action == "amente":
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+            elif action == "mente":
+                w = w[:pos]
+                for pre in ("ante", "able", "ible"):
+                    if w.endswith(pre) and in_r2(len(w) - 4):
+                        w = w[:-4]
+                        break
+            elif action == "idad":
+                w = w[:pos]
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+            elif action == "iv":
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        else:
+            step1_done = False
+
+    # step 2a: verb suffixes beginning y (only if step 1 removed nothing)
+    if not step1_done and len(w) == n0:
+        for suf in ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+                    "yes", "ya", "ye", "yo", "yó"):
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_rv(pos) and pos > 0 and w[pos - 1] == "u":
+                    w = w[:pos]
+                break
+        # step 2b (only if 2a removed nothing)
+        if len(w) == n0:
+            matched = None
+            for suf in _ES_STEP2B_GU + _ES_STEP2B:
+                if w.endswith(suf) and (matched is None or len(suf) > len(matched)):
+                    matched = suf
+            if matched is not None and in_rv(len(w) - len(matched)):
+                w = w[: -len(matched)]
+                if matched in _ES_STEP2B_GU and w.endswith("gu"):
+                    w = w[:-1]
+
+    # step 3: residual suffix
+    matched = None
+    for suf in _ES_STEP3_GU + _ES_STEP3:
+        if w.endswith(suf) and (matched is None or len(suf) > len(matched)):
+            matched = suf
+    if matched is not None and in_rv(len(w) - len(matched)):
+        w = w[: -len(matched)]
+        if matched in _ES_STEP3_GU and w.endswith("gu") and in_rv(len(w) - 1):
+            w = w[:-1]
+
+    return w.translate(_ES_DEACCENT)
