@@ -142,6 +142,37 @@ def _qps(search_indices_fn, index, make_queries, *, small_q=256, big_blocks=8, b
 # --------------------------------------------------------------------------- #
 
 
+class _TrackedRun:
+    """subprocess.run(stdout=PIPE) lookalike that registers the child's
+    process group in _ACTIVE_CHILD so the orchestrator's SIGTERM handler can
+    kill it (see main(): a driver-cap SIGTERM must not orphan a TPU-holding
+    child), and kills the whole group on timeout."""
+
+    def __init__(self, rc, stdout):
+        self.returncode, self.stdout = rc, stdout
+
+
+def _tracked_run(cmd, *, timeout, env=None) -> _TrackedRun:
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=None, text=True,
+        start_new_session=True, env=env,
+    )
+    _ACTIVE_CHILD.append(proc)
+    try:
+        stdout, _ = proc.communicate(timeout=timeout)
+        return _TrackedRun(proc.returncode, stdout or "")
+    except subprocess.TimeoutExpired:
+        _kill_active_child()
+        try:
+            stdout, _ = proc.communicate(timeout=10)
+        except Exception:  # noqa: BLE001
+            stdout = ""
+        raise
+    finally:
+        if proc in _ACTIVE_CHILD:
+            _ACTIVE_CHILD.remove(proc)
+
+
 def bench_hybrid(deadline_s: float = 900.0) -> list[dict]:
     script = pathlib.Path(__file__).parent / "examples" / "hybrid_sharded_bench.py"
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
@@ -149,12 +180,9 @@ def bench_hybrid(deadline_s: float = 900.0) -> list[dict]:
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
     })
-    out = subprocess.run(
-        [sys.executable, str(script)], capture_output=True, text=True,
-        timeout=deadline_s, env=env,
-    )
+    out = _tracked_run([sys.executable, str(script)], timeout=deadline_s, env=env)
     if out.returncode != 0:
-        _log(f"hybrid bench failed: {out.stderr[-500:]}")
+        _log(f"hybrid bench failed (rc={out.returncode})")
         return []
     for line in out.stdout.splitlines():
         if line.startswith("{"):
@@ -536,10 +564,10 @@ def bench_realm(deadline_s: float = 1800.0) -> list[dict]:
     # (/root/reference/src/vod_exps/recipes/periodic_training.py:21); 1M is
     # the single-chip HBM-comfortable point (VERDICT r4 #6).
     script = pathlib.Path(__file__).parent / "examples" / "seq2seq_realm_bench.py"
-    out = subprocess.run(
+    out = _tracked_run(
         [sys.executable, str(script), "--steps", "50", "--corpus", "1048576",
          "--index_dtype", "int8"],
-        stdout=subprocess.PIPE, stderr=None, text=True, timeout=deadline_s,
+        timeout=deadline_s,
     )
     if out.returncode != 0:
         _log(f"realm bench failed (rc={out.returncode})")
@@ -578,10 +606,7 @@ def bench_realtext(deadline_s: float = 5400.0) -> list[dict]:
     gold-hit@10. Embeddings are /tmp-cached by the subprocess, so repeat runs
     skip train+embed (~5 min of the ~20 min cold time)."""
     script = pathlib.Path(__file__).parent / "examples" / "real_text_1m_bench.py"
-    out = subprocess.run(
-        [sys.executable, str(script)], stdout=subprocess.PIPE, stderr=None,
-        text=True, timeout=deadline_s,
-    )
+    out = _tracked_run([sys.executable, str(script)], timeout=deadline_s)
     if out.returncode != 0:
         _log(f"realtext bench failed (rc={out.returncode})")
         return []
@@ -775,25 +800,52 @@ def _est_cost_s(name: str) -> float:
     }.get(name, 300.0)
 
 
-def _run_child_config(name: str, deadline_s: float) -> list[dict]:
-    """Run `bench.py --config name` in a fresh process; forward its JSON lines.
+# the currently-running child's process group, killed by the SIGTERM handler:
+# when the DRIVER's own cap fires it SIGTERMs this orchestrator — without the
+# handler the child survives orphaned, holding the TPU (observed in testing)
+_ACTIVE_CHILD: list = []
 
-    stderr is inherited (live progress in the driver tail); stdout is piped and
-    re-emitted here. On deadline the child is killed but its already-produced
-    lines are still forwarded — partial results survive (unlike r4)."""
+
+def _kill_active_child() -> None:
+    import signal as _signal
+
+    for proc in _ACTIVE_CHILD:
+        try:
+            os.killpg(os.getpgid(proc.pid), _signal.SIGKILL)
+        except (ProcessLookupError, PermissionError, OSError):
+            try:
+                proc.kill()
+            except Exception:  # noqa: BLE001
+                pass
+    _ACTIVE_CHILD.clear()
+
+
+def _run_child_config(name: str, deadline_s: float) -> list[dict]:
+    """Run `bench.py --config name` in a fresh process group; forward its JSON
+    lines. stderr is inherited (live progress in the driver tail); stdout is
+    piped and re-emitted here. On deadline the whole child group is killed but
+    its already-produced lines are still forwarded — partial results survive
+    (unlike r4)."""
     cmd = [sys.executable, os.path.abspath(__file__), "--config", name]
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=None, text=True, start_new_session=True
+    )
+    _ACTIVE_CHILD.append(proc)
     try:
-        out = subprocess.run(
-            cmd, stdout=subprocess.PIPE, stderr=None, text=True, timeout=deadline_s
-        )
-        stdout, rc = out.stdout or "", out.returncode
-    except subprocess.TimeoutExpired as exc:
-        stdout = exc.stdout or ""
-        if isinstance(stdout, bytes):
-            stdout = stdout.decode(errors="replace")
+        stdout, _ = proc.communicate(timeout=deadline_s)
+        rc = proc.returncode
+    except subprocess.TimeoutExpired:
+        _kill_active_child()
+        try:
+            stdout, _ = proc.communicate(timeout=10)
+        except Exception:  # noqa: BLE001
+            stdout = ""
         rc = "killed: budget"
+    finally:
+        if proc in _ACTIVE_CHILD:
+            _ACTIVE_CHILD.remove(proc)
     lines = []
-    for line in stdout.splitlines():
+    for line in (stdout or "").splitlines():
         if line.startswith("{"):
             try:
                 data = json.loads(line)
@@ -806,7 +858,24 @@ def _run_child_config(name: str, deadline_s: float) -> list[dict]:
     return lines
 
 
+def _pick_headline(emitted: list) -> dict:
+    headline = next(
+        (d for d in emitted if d.get("unit") == "QPS" and "dense MIPS" in str(d.get("metric"))),
+        None,
+    )
+    if headline is None:
+        headline = next((d for d in emitted if d.get("value") is not None), None)
+    if headline is None:
+        headline = {
+            "metric": "no config produced a metric line (see stderr)",
+            "value": None, "unit": "error", "recall": None, "vs_baseline": None,
+        }
+    return headline
+
+
 def main() -> None:
+    import signal
+
     budget_s = float(os.environ.get("VOD_BENCH_BUDGET_S", "1620"))
     reserve_s = 10.0  # always leave room to re-emit the headline
     configs = [
@@ -818,6 +887,20 @@ def main() -> None:
     ]
     t_start = time.time()
     emitted: list[dict] = []
+
+    # If the DRIVER's own cap fires first, it SIGTERMs this orchestrator: kill
+    # the active child (it would otherwise survive orphaned, holding the TPU)
+    # and still emit the headline as the final stdout line before dying.
+    def _on_term(signum, frame):  # noqa: ARG001
+        _kill_active_child()
+        _emit(_pick_headline(emitted))
+        _log(f"terminated by signal {signum} at {time.time()-t_start:.0f}s; headline re-emitted")
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
     for name in configs:
         if name not in _CHILD_CONFIGS and name not in _WRAPPED_CONFIGS:
             _log(f"unknown config {name!r}")
@@ -832,31 +915,25 @@ def main() -> None:
                 "value": None, "unit": "skipped", "recall": None, "vs_baseline": None,
             })
             continue
+        # cap each config near its estimate so one relay stall can't eat the
+        # whole remaining budget (stalled dispatches burn no CPU but hold the
+        # clock; observed: a flat run hung >12 min on a dropped relay)
+        deadline = min(remaining, max(est * 1.8, est + 120.0))
         t0 = time.time()
         try:
             if name in _CHILD_CONFIGS:
-                emitted.extend(_run_child_config(name, remaining))
+                emitted.extend(_run_child_config(name, deadline))
             else:
-                emitted.extend(_WRAPPED_CONFIGS[name](deadline_s=remaining) or [])
+                emitted.extend(_WRAPPED_CONFIGS[name](deadline_s=deadline) or [])
+        except subprocess.TimeoutExpired:
+            _log(f"config {name} killed at its {deadline:.0f}s deadline")
         except Exception as exc:  # noqa: BLE001 - keep later configs running
             _log(f"config {name} failed: {exc}")
         _log(f"config {name}: {time.time()-t0:.0f}s")
 
     # THE round metric rides last: the driver parses the final JSON line of
     # stdout. Prefer the flat headline; fall back to the best available line.
-    headline = next(
-        (d for d in emitted if d.get("unit") == "QPS" and "dense MIPS" in str(d.get("metric"))),
-        None,
-    )
-    if headline is None:
-        headline = next((d for d in emitted if d.get("value") is not None), None)
-    if headline is not None:
-        _emit(headline)
-    else:
-        _emit({
-            "metric": "no config produced a metric line (see stderr)",
-            "value": None, "unit": "error", "recall": None, "vs_baseline": None,
-        })
+    _emit(_pick_headline(emitted))
     _log(f"total: {time.time()-t_start:.0f}s of {budget_s:.0f}s budget")
 
 

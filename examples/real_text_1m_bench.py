@@ -10,7 +10,7 @@ overlap semantics as `data/sectioning.py`):
   2. contrastively train the in-repo dual encoder (query window vs in-batch
      passages), embed all 1M+ with the chunked forward,
   3. exact-f32 ground truth on device, then recall@10 + block QPS + B=64
-     serving QPS for int8 / pq4fs+refine / serving-direct / ivfpq(SOAR) —
+     serving QPS for int8 / pq4fs+refine / serving-direct —
      every index built through `DenseFactoryConfig` (the config surface users
      hit),
   4. stemmed vs unstemmed BM25 gold-hit@10 through the native analyzer at the
@@ -266,12 +266,11 @@ def main() -> None:
             codec="pq", coarse_dim=96, refine="int8", refine_dim=192,
             keep_codes=False, k_factor=8, train_size=200_000, approx_recall=0.95,
         ),
-        # cell-pruned low-latency point (SOAR spilled)
-        "ivfpq-soar": DenseFactoryConfig(
-            codec="ivfpq", n_clusters=2048, nprobe=32, spill=True,
-            n_subquantizers=96, code_bits=4, refine="int8", refine_dim=192,
-            k_factor=8, train_size=200_000,
-        ),
+        # ivfpq-SOAR is demoted out of this bench (VERDICT r4 #4): measured
+        # dominated by serving-direct at every batch size at 8.8M — see
+        # examples/ivfpq_crossover_bench.py and STATUS.md round-5. Build one
+        # here with DenseFactoryConfig(codec="ivfpq", spill=True, ...) if
+        # comparing engines.
     }
     jemb = jnp.asarray(emb)
     for name, cfg in codecs.items():
