@@ -733,10 +733,13 @@ def bench_flat() -> None:
         got = np.asarray(out.indices)[:b]
         return float(np.mean([len(set(got[i]) & set(exact_topk[i])) / k for i in range(b)]))
 
+    # fused first (the historical winner): if the per-config deadline kills this
+    # child mid-run, the already-emitted provisional line still reaches the
+    # driver record (r5 cold-run lesson: one kill used to cost the whole line)
     results = {}
     for label, ix in (
-        ("scan+rr", index_scan_rr),
         ("fused-b1024+rr", index_fused_hi_rr),
+        ("scan+rr", index_scan_rr),
     ):
         try:
             _log(f"[{label}] timing")
@@ -745,6 +748,17 @@ def bench_flat() -> None:
                 ix, make_queries,
             )
             results[label] = (qq, recall_of(ix))
+            qq, rc = results[label]
+            _emit({
+                "metric": (
+                    f"dense MIPS QPS/chip (1M x 768 bf16 flat, {label} provisional, "
+                    f"recall@10={rc:.3f}; cpu={cpu_qps:.1f} on {os.cpu_count()} host cores)"
+                ),
+                "value": round(qq, 1),
+                "unit": "QPS",
+                "recall": round(rc, 4),
+                "vs_baseline": round(qq / cpu_qps, 1),
+            })
         except Exception as exc:  # noqa: BLE001 - report the other paths if one regresses
             _log(f"{label} path failed: {exc}")
             results[label] = (0.0, 0.0)
@@ -820,6 +834,34 @@ def _kill_active_child() -> None:
     _ACTIVE_CHILD.clear()
 
 
+def _probe_chip(timeout_s: float = 75.0) -> bool:
+    """One tiny end-to-end TPU dispatch in a fresh process. Used after a config
+    failure/kill: a SIGKILLed child can leave the relay-held chip wedged for a
+    while (observed in the r5 cold run — the next config then burns its whole
+    deadline blocked on the first dispatch). Cheap when healthy (~5 s)."""
+    code = (
+        "import jax, numpy, jax.numpy as jnp;"
+        "numpy.asarray(jax.jit(lambda x: (x @ x).sum())(jnp.ones((8, 8))))"
+    )
+    try:
+        out = _tracked_run([sys.executable, "-c", code], timeout=timeout_s)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_chip(budget_s: float) -> bool:
+    """Probe until the chip answers or `budget_s` is spent. Returns health."""
+    t0 = time.time()
+    while True:
+        left = budget_s - (time.time() - t0)
+        if left <= 5.0:
+            return False
+        if _probe_chip(min(75.0, left)):
+            return True
+        _log(f"chip probe failed; retrying ({budget_s - (time.time() - t0):.0f}s left)")
+
+
 def _run_child_config(name: str, deadline_s: float) -> list[dict]:
     """Run `bench.py --config name` in a fresh process group; forward its JSON
     lines. stderr is inherited (live progress in the driver tail); stdout is
@@ -855,13 +897,25 @@ def _run_child_config(name: str, deadline_s: float) -> list[dict]:
             lines.append(data)
     if rc != 0:
         _log(f"config {name}: rc={rc} ({len(lines)} line(s) salvaged)")
+        global _CHIP_SUSPECT
+        _CHIP_SUSPECT = True
     return lines
 
 
+# set when a TPU-holding child dies abnormally: the next TPU config first waits
+# for the chip to answer a tiny probe instead of burning its deadline wedged
+_CHIP_SUSPECT = False
+_TPU_CONFIGS = {"flat", "msmarco", "realm", "realtext"}  # hybrid is CPU-mesh
+
+
 def _pick_headline(emitted: list) -> dict:
+    flat_lines = [
+        d for d in emitted if d.get("unit") == "QPS" and "dense MIPS" in str(d.get("metric"))
+    ]
+    # the recall-floored FINAL selection line beats per-path provisional lines
     headline = next(
-        (d for d in emitted if d.get("unit") == "QPS" and "dense MIPS" in str(d.get("metric"))),
-        None,
+        (d for d in flat_lines if "recall floor" in str(d.get("metric"))),
+        flat_lines[0] if flat_lines else None,
     )
     if headline is None:
         headline = next((d for d in emitted if d.get("value") is not None), None)
@@ -915,11 +969,21 @@ def main() -> None:
                 "value": None, "unit": "skipped", "recall": None, "vs_baseline": None,
             })
             continue
+        global _CHIP_SUSPECT
+        if _CHIP_SUSPECT and name in _TPU_CONFIGS:
+            ok = _wait_chip(min(remaining * 0.25, 240.0))
+            _log(f"chip probe after failure: {'healthy' if ok else 'still wedged'}")
+            _CHIP_SUSPECT = not ok
+            remaining = budget_s - (time.time() - t_start) - reserve_s
+            if est > remaining:
+                _log(f"config {name} skipped post-probe: est {est:.0f}s > {remaining:.0f}s")
+                continue
         # cap each config near its estimate so one relay stall can't eat the
         # whole remaining budget (stalled dispatches burn no CPU but hold the
         # clock; observed: a flat run hung >12 min on a dropped relay)
         deadline = min(remaining, max(est * 1.8, est + 120.0))
         t0 = time.time()
+        n_before = len(emitted)
         try:
             if name in _CHILD_CONFIGS:
                 emitted.extend(_run_child_config(name, deadline))
@@ -927,9 +991,27 @@ def main() -> None:
                 emitted.extend(_WRAPPED_CONFIGS[name](deadline_s=deadline) or [])
         except subprocess.TimeoutExpired:
             _log(f"config {name} killed at its {deadline:.0f}s deadline")
+            _CHIP_SUSPECT = name in _TPU_CONFIGS
         except Exception as exc:  # noqa: BLE001 - keep later configs running
             _log(f"config {name} failed: {exc}")
+        if name in _TPU_CONFIGS and len(emitted) == n_before:
+            _CHIP_SUSPECT = True  # wrapped configs signal failure by zero lines
         _log(f"config {name}: {time.time()-t0:.0f}s")
+
+    # Headline retry: if the flat config produced NO line (relay stall / cold-
+    # compile kill — observed in the r5 cold validation run), re-run it with
+    # whatever budget remains. The first attempt's completed compiles are in
+    # the persistent cache, so the retry skips straight to timing.
+    have_flat = any(
+        d.get("unit") == "QPS" and "dense MIPS" in str(d.get("metric")) for d in emitted
+    )
+    remaining = budget_s - (time.time() - t_start) - reserve_s
+    if "flat" in configs and not have_flat and remaining > 120.0:
+        _log(f"flat produced no line; retrying with {remaining:.0f}s remaining")
+        try:
+            emitted.extend(_run_child_config("flat", remaining))
+        except Exception as exc:  # noqa: BLE001
+            _log(f"flat retry failed: {exc}")
 
     # THE round metric rides last: the driver parses the final JSON line of
     # stdout. Prefer the flat headline; fall back to the best available line.

@@ -27,6 +27,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache (VERDICT r4 #5: the suite costs ~22 min on a
+# 1-core box, almost all of it XLA-CPU compiles). Keys hash the optimized HLO +
+# backend config, so correctness is safe; a warm cache replays a 0.7 s compile
+# in ~0.01 s (measured). Cold first run seeds it; every later run — including
+# re-runs while iterating — pays only trace+execute time. Env override:
+# VOD_TEST_CACHE_DIR=, empty string disables.
+_cache_dir = os.environ.get("VOD_TEST_CACHE_DIR", "/tmp/jaxcache-tests")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert len(jax.devices()) == 8, (
     f"expected the 8-device virtual CPU mesh, got {jax.devices()}; "
     "was a backend initialized before conftest ran?"
