@@ -799,18 +799,20 @@ _WRAPPED_CONFIGS = {"realm": bench_realm, "realtext": bench_realtext, "hybrid": 
 
 
 def _est_cost_s(name: str) -> float:
-    """Rough per-config wall estimates (driver r3/r4 captures), adjusted for
-    warm /tmp caches. Used only to SKIP configs that cannot fit the remaining
-    budget — running configs are additionally killed at the hard deadline."""
+    """Rough per-config wall estimates (r5 measured walls with a warm
+    /tmp/jaxcache: flat ~90-150 s, msmarco 471 s, realm 457 s, hybrid 71 s).
+    Used only to SKIP configs that cannot fit the remaining budget — running
+    configs are additionally killed at the hard deadline, and the flat
+    headline gets an end-of-run retry with whatever budget remains."""
     warm_realtext = any(
         p.name.startswith("realtext_emb_") for p in pathlib.Path("/tmp").glob("realtext_emb_*.npz")
     )
     return {
-        "flat": 180.0 if pathlib.Path(_CORPUS_CACHE).exists() else 260.0,
-        "msmarco": 460.0,
-        "realm": 560.0,
+        "flat": 160.0 if pathlib.Path(_CORPUS_CACHE).exists() else 260.0,
+        "msmarco": 480.0,
+        "realm": 470.0,
         "realtext": 430.0 if warm_realtext else 980.0,
-        "hybrid": 60.0,
+        "hybrid": 70.0,
     }.get(name, 300.0)
 
 
@@ -834,7 +836,7 @@ def _kill_active_child() -> None:
     _ACTIVE_CHILD.clear()
 
 
-def _probe_chip(timeout_s: float = 75.0) -> bool:
+def _probe_chip(timeout_s: float = 110.0) -> bool:
     """One tiny end-to-end TPU dispatch in a fresh process. Used after a config
     failure/kill: a SIGKILLed child can leave the relay-held chip wedged for a
     while (observed in the r5 cold run — the next config then burns its whole
@@ -857,7 +859,7 @@ def _wait_chip(budget_s: float) -> bool:
         left = budget_s - (time.time() - t0)
         if left <= 5.0:
             return False
-        if _probe_chip(min(75.0, left)):
+        if _probe_chip(min(110.0, left)):
             return True
         _log(f"chip probe failed; retrying ({budget_s - (time.time() - t0):.0f}s left)")
 
@@ -954,6 +956,15 @@ def main() -> None:
 
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
+
+    # Startup probe: the relay intermittently wedges (clients block forever on
+    # their first dispatch, sometimes for ~15 min after an abnormal exit
+    # elsewhere). Cheap when healthy (~15 s incl. client init); if it fails,
+    # wait here instead of letting the flat config burn its deadline blocked.
+    if any(c in _TPU_CONFIGS for c in configs):
+        if not _probe_chip():
+            _log("startup chip probe failed; waiting for the relay")
+            _wait_chip(min(budget_s * 0.25, 420.0))
 
     for name in configs:
         if name not in _CHILD_CONFIGS and name not in _WRAPPED_CONFIGS:
