@@ -157,13 +157,24 @@ SPANISH_CASES = [
     ("informativo", "inform"), ("bebiendo", "beb"), ("lógica", "logic"),
     ("críticos", "critic"), ("saludables", "salud"),
 ]
+FRENCH_CASES = [
+    ("aimer", "aim"), ("adorer", "ador"), ("continuait", "continu"),
+    ("continua", "continu"), ("majestueux", "majestu"),
+    ("volontairement", "volontair"), ("continuellement", "continuel"),
+    ("possibilité", "possibil"), ("championnes", "champion"),
+    ("maisons", "maison"), ("adoption", "adopt"), ("nation", "nation"),
+    ("évidemment", "évident"), ("abondamment", "abond"),
+    ("parlement", "parl"), ("jouer", "jou"), ("yeux", "yeux"),
+    ("mangeaient", "mang"), ("tapis", "tapis"), ("quand", "quand"),
+]
 
 
 def test_snowball_canonical_cases() -> None:
-    from vod_tpu.native.snowball import german_stem, spanish_stem
+    from vod_tpu.native.snowball import french_stem, german_stem, spanish_stem
 
     bad = [(w, german_stem(w), s) for w, s in GERMAN_CASES if german_stem(w) != s]
     bad += [(w, spanish_stem(w), s) for w, s in SPANISH_CASES if spanish_stem(w) != s]
+    bad += [(w, french_stem(w), s) for w, s in FRENCH_CASES if french_stem(w) != s]
     assert not bad, bad
 
 
@@ -192,15 +203,27 @@ def test_snowball_native_matches_python() -> None:
     es_stems = ["gat", "cancion", "trabaj", "lógic", "crít", "universid", "xy", "guí"]
     es_sufs = ["", "os", "as", "a", "o", "ando", "iendo", "amente", "mente",
                "able", "ación", "adora", "idad", "ivo", "logía", "ución", "é", "selo"]
+    fr_stems = ["aim", "ador", "continu", "national", "volontair", "champion",
+                "cré", "jou", "xy", "électric", "guë"]
+    fr_sufs = ["", "s", "es", "e", "er", "ez", "iez", "aient", "ement",
+               "ements", "ité", "ités", "eux", "euses", "amment", "emment",
+               "ment", "ments", "ation", "ateur", "logie", "ive", "aux",
+               "eaux", "issement", "ière", "ion", "î", "ât", "y"]
     de_words = [w for w, _ in GERMAN_CASES]
     es_words = [w for w, _ in SPANISH_CASES]
+    fr_words = [w for w, _ in FRENCH_CASES]
     for _ in range(400):
         de_words.append(str(rng.choice(de_stems)) + str(rng.choice(de_sufs)) + str(rng.choice(de_sufs)))
         es_words.append(str(rng.choice(es_stems)) + str(rng.choice(es_sufs)) + str(rng.choice(es_sufs)))
+        fr_words.append(str(rng.choice(fr_stems)) + str(rng.choice(fr_sufs)) + str(rng.choice(fr_sufs)))
+    from vod_tpu.native.snowball import french_stem
+
     bad = [(w, native_stem(w, 2), german_stem(w)) for w in de_words
            if native_stem(w, 2) != german_stem(w)]
     bad += [(w, native_stem(w, 3), spanish_stem(w)) for w in es_words
             if native_stem(w, 3) != spanish_stem(w)]
+    bad += [(w, native_stem(w, 4), french_stem(w)) for w in fr_words
+            if native_stem(w, 4) != french_stem(w)]
     assert not bad, bad[:10]
 
 
@@ -233,6 +256,15 @@ def test_analyze_texts_language_stemming_and_stop_order() -> None:
     want_es = fnv1a_id("gat", 1 << 16)
     for i in range(2):
         assert set(ids_es[i, : counts_es[i]].tolist()) == {want_es}
+
+    # french path through the public API: stopwords (les/et/un) drop on their
+    # surface forms, inflections collapse to one stem id
+    ids_fr, counts_fr = analyze_texts(
+        ["les chats et un chat", "des chats"], vocab_size=1 << 16, stem=True, language="fr"
+    )
+    want_fr = fnv1a_id("chat", 1 << 16)
+    for i in range(2):
+        assert set(ids_fr[i, : counts_fr[i]].tolist()) == {want_fr}
 
 
 def test_stemmed_bm25_german_fixture() -> None:

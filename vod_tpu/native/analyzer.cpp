@@ -647,16 +647,318 @@ void spanish_stem(u32& w) {
   }
 }
 
-// lang codes (mirror snowball.py STEMMED_LANGUAGES): 0=none 1=english 2=german 3=spanish
+// -- French (classic Snowball spec; mirrors snowball.py french_stem) ----------
+
+inline bool fr_vowel(char32_t c) {
+  return c == U'a' || c == U'e' || c == U'i' || c == U'o' || c == U'u' ||
+         c == U'y' || c == 0xE2 || c == 0xE0 || c == 0xEB || c == 0xE9 ||
+         c == 0xEA || c == 0xE8 || c == 0xEF || c == 0xEE || c == 0xF4 ||
+         c == 0xFB || c == 0xF9;  // â à ë é ê è ï î ô û ù
+}
+
+// u/i between vowels, y next to a vowel, u after q -> marker uppercase,
+// left-to-right over the current (partially marked) string
+inline void fr_mark(u32& w) {
+  const int n = static_cast<int>(w.size());
+  for (int i = 0; i < n; ++i) {
+    const char32_t c = w[i];
+    if (c == U'u' && i > 0 && w[i - 1] == U'q') w[i] = U'U';
+    else if ((c == U'u' || c == U'i') && i > 0 && i < n - 1 &&
+             fr_vowel(w[i - 1]) && fr_vowel(w[i + 1]))
+      w[i] = (c == U'u') ? U'U' : U'I';
+    else if (c == U'y' && ((i > 0 && fr_vowel(w[i - 1])) ||
+                           (i < n - 1 && fr_vowel(w[i + 1]))))
+      w[i] = U'Y';
+  }
+}
+
+inline int fr_rv(const u32& w) {
+  const int n = static_cast<int>(w.size());
+  if (n >= 3) {
+    const u32 head = w.substr(0, 3);
+    if (head == U"par" || head == U"col" || head == U"tap") return 3;
+  }
+  if (n >= 2 && fr_vowel(w[0]) && fr_vowel(w[1])) return std::min(3, n);
+  for (int i = 1; i < n; ++i)
+    if (fr_vowel(w[i])) return i + 1;
+  return n;
+}
+
+inline void fr_regions(const u32& w, int* r1, int* r2) {
+  const int n = static_cast<int>(w.size());
+  auto next_region = [&](int start) {
+    int i = start;
+    while (i < n && !fr_vowel(w[i])) ++i;
+    while (i < n && fr_vowel(w[i])) ++i;
+    return i < n ? std::min(i + 1, n) : n;
+  };
+  *r1 = next_region(0);
+  *r2 = next_region(*r1);
+}
+
+struct FrRule { const char32_t* suf; int action; };
+// actions: 0=del(r2) 1=del_r2+ic 2=log 3=u 4=ent 5=ement 6=ité 7=if
+//          8=eaux 9=aux 10=euse 11=issement 12=amment 13=emment 14=ment
+static const FrRule kFrStep1[] = {
+    {U"ances", 0}, {U"iqUes", 0}, {U"ismes", 0}, {U"ables", 0}, {U"istes", 0},
+    {U"ance", 0}, {U"iqUe", 0}, {U"isme", 0}, {U"able", 0}, {U"iste", 0},
+    {U"eux", 0},
+    {U"atrices", 1}, {U"ateurs", 1}, {U"ations", 1}, {U"atrice", 1},
+    {U"ateur", 1}, {U"ation", 1},
+    {U"logies", 2}, {U"logie", 2},
+    {U"usions", 3}, {U"utions", 3}, {U"usion", 3}, {U"ution", 3},
+    {U"ences", 4}, {U"ence", 4},
+    {U"ements", 5}, {U"ement", 5},
+    {U"ités", 6}, {U"ité", 6},
+    {U"ives", 7}, {U"ifs", 7}, {U"ive", 7}, {U"if", 7},
+    {U"eaux", 8}, {U"aux", 9},
+    {U"euses", 10}, {U"euse", 10},
+    {U"issements", 11}, {U"issement", 11},
+    {U"amment", 12}, {U"emment", 13},
+    {U"ments", 14}, {U"ment", 14},
+};
+
+static const char32_t* kFrStep2a[] = {
+    U"issaIent", U"issantes", U"iraIent", U"issante", U"issants", U"issions",
+    U"irions", U"issais", U"issait", U"issant", U"issent", U"issiez",
+    U"issons", U"irais", U"irait", U"irent", U"iriez", U"irons", U"iront",
+    U"isses", U"issez", U"îmes", U"îtes", U"irai", U"iras", U"irez",
+    U"isse", U"ies", U"ira", U"ît", U"ie", U"ir", U"is", U"it", U"i"};
+static const char32_t* kFrStep2bE[] = {
+    U"eraIent", U"erions", U"èrent", U"erais", U"erait", U"erez", U"eriez",
+    U"erons", U"eront", U"erai", U"eras", U"ées", U"era", U"iez", U"ée",
+    U"és", U"er", U"ez", U"é"};
+static const char32_t* kFrStep2bA[] = {
+    U"assions", U"assiez", U"assent", U"antes", U"asses", U"aIent",
+    U"âtes", U"âmes", U"asse", U"ante", U"ants", U"ais", U"ait", U"ant",
+    U"ât", U"as", U"ai", U"a"};
+
+void french_stem(u32& w) {
+  fr_mark(w);
+  const int rv = fr_rv(w);
+  int r1, r2;
+  fr_regions(w, &r1, &r2);
+  auto in_rv = [&](int pos) { return pos >= rv; };
+  auto in_r1 = [&](int pos) { return pos >= r1; };
+  auto in_r2 = [&](int pos) { return pos >= r2; };
+
+  const u32 w0 = w;
+  // step 1: standard suffix removal (longest match over all groups)
+  const FrRule* best = nullptr;
+  size_t best_len = 0;
+  for (const auto& r : kFrStep1) {
+    const size_t sl = u32_len(r.suf);
+    if (sl > best_len && u32_ends(w, r.suf)) { best = &r; best_len = sl; }
+  }
+  const bool ment_family = best != nullptr && (best->action >= 12);
+  if (best != nullptr) {
+    const int pos = static_cast<int>(w.size() - best_len);
+    switch (best->action) {
+      case 0:
+        if (in_r2(pos)) w.resize(pos);
+        break;
+      case 1:
+        if (in_r2(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"ic")) {
+            if (in_r2(static_cast<int>(w.size()) - 2)) w.resize(w.size() - 2);
+            else { w.resize(w.size() - 2); w.append(U"iqU"); }
+          }
+        }
+        break;
+      case 2:
+        if (in_r2(pos)) { w.resize(pos); w.append(U"log"); }
+        break;
+      case 3:
+        if (in_r2(pos)) { w.resize(pos); w.append(U"u"); }
+        break;
+      case 4:
+        if (in_r2(pos)) { w.resize(pos); w.append(U"ent"); }
+        break;
+      case 5:  // ement/ements
+        if (in_rv(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"iv") && in_r2(static_cast<int>(w.size()) - 2)) {
+            w.resize(w.size() - 2);
+            if (u32_ends(w, U"at") && in_r2(static_cast<int>(w.size()) - 2))
+              w.resize(w.size() - 2);
+          } else if (u32_ends(w, U"eus")) {
+            if (in_r2(static_cast<int>(w.size()) - 3)) w.resize(w.size() - 3);
+            else if (in_r1(static_cast<int>(w.size()) - 3)) {
+              w.resize(w.size() - 3); w.append(U"eux");
+            }
+          } else if ((u32_ends(w, U"abl") || u32_ends(w, U"iqU")) &&
+                     in_r2(static_cast<int>(w.size()) - 3)) {
+            w.resize(w.size() - 3);
+          } else if ((u32_ends(w, U"ièr") || u32_ends(w, U"Ièr")) &&
+                     in_rv(static_cast<int>(w.size()) - 3)) {
+            w.resize(w.size() - 3); w.append(U"i");
+          }
+        }
+        break;
+      case 6:  // ité/ités
+        if (in_r2(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"abil")) {
+            if (in_r2(static_cast<int>(w.size()) - 4)) w.resize(w.size() - 4);
+            else { w.resize(w.size() - 4); w.append(U"abl"); }
+          } else if (u32_ends(w, U"ic")) {
+            if (in_r2(static_cast<int>(w.size()) - 2)) w.resize(w.size() - 2);
+            else { w.resize(w.size() - 2); w.append(U"iqU"); }
+          } else if (u32_ends(w, U"iv") && in_r2(static_cast<int>(w.size()) - 2)) {
+            w.resize(w.size() - 2);
+          }
+        }
+        break;
+      case 7:  // if/ive/ifs/ives
+        if (in_r2(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"at") && in_r2(static_cast<int>(w.size()) - 2)) {
+            w.resize(w.size() - 2);
+            if (u32_ends(w, U"ic")) {
+              if (in_r2(static_cast<int>(w.size()) - 2)) w.resize(w.size() - 2);
+              else { w.resize(w.size() - 2); w.append(U"iqU"); }
+            }
+          }
+        }
+        break;
+      case 8:
+        w.resize(pos); w.append(U"eau");
+        break;
+      case 9:
+        if (in_r1(pos)) { w.resize(pos); w.append(U"al"); }
+        break;
+      case 10:
+        if (in_r2(pos)) w.resize(pos);
+        else if (in_r1(pos)) { w.resize(pos); w.append(U"eux"); }
+        break;
+      case 11:
+        if (in_r1(pos) && pos > 0 && !fr_vowel(w[pos - 1])) w.resize(pos);
+        break;
+      case 12:
+        if (in_rv(pos)) { w.resize(pos); w.append(U"ant"); }
+        break;
+      case 13:
+        if (in_rv(pos)) { w.resize(pos); w.append(U"ent"); }
+        break;
+      case 14:
+        if (pos > 0 && in_rv(pos - 1) && fr_vowel(w[pos - 1])) w.resize(pos);
+        break;
+    }
+  }
+
+  bool changed = w != w0;
+  // step 2a: verb suffixes beginning i (gated per spec)
+  if (!changed || ment_family) {
+    const u32 w1 = w;
+    const char32_t* m2a = nullptr;
+    size_t ml = 0;
+    for (const char32_t* suf : kFrStep2a) {
+      const size_t sl = u32_len(suf);
+      if (sl > ml && u32_ends(w, suf)) { m2a = suf; ml = sl; }
+    }
+    if (m2a != nullptr) {
+      const int pos = static_cast<int>(w.size() - ml);
+      if (in_rv(pos) && pos > 0 && in_rv(pos - 1) && !fr_vowel(w[pos - 1]))
+        w.resize(pos);
+    }
+    if (w == w1) {  // step 2b (only if 2a removed nothing)
+      const char32_t* m2b = nullptr;
+      int act = -1;  // 0=ions 1=e-group 2=a-group
+      size_t bl = 0;
+      if (u32_ends(w, U"ions")) { m2b = U"ions"; act = 0; bl = 4; }
+      for (const char32_t* suf : kFrStep2bE) {
+        const size_t sl = u32_len(suf);
+        if (sl > bl && u32_ends(w, suf)) { m2b = suf; act = 1; bl = sl; }
+      }
+      for (const char32_t* suf : kFrStep2bA) {
+        const size_t sl = u32_len(suf);
+        if (sl > bl && u32_ends(w, suf)) { m2b = suf; act = 2; bl = sl; }
+      }
+      if (m2b != nullptr) {
+        const int pos = static_cast<int>(w.size() - bl);
+        if (act == 0) {
+          if (in_rv(pos) && in_r2(pos)) w.resize(pos);
+        } else if (act == 1) {
+          if (in_rv(pos)) w.resize(pos);
+        } else {
+          if (in_rv(pos)) {
+            w.resize(pos);
+            if (u32_ends(w, U"e") && in_rv(static_cast<int>(w.size()) - 1))
+              w.resize(w.size() - 1);
+          }
+        }
+      }
+    }
+    changed = w != w0;
+  }
+
+  if (changed) {
+    // step 3
+    if (!w.empty() && w.back() == U'Y') w.back() = U'i';
+    else if (!w.empty() && w.back() == 0xE7) w.back() = U'c';
+  } else {
+    // step 4: residual suffix
+    if (w.size() >= 2 && w.back() == U's') {
+      const char32_t p = w[w.size() - 2];
+      if (p != U'a' && p != U'i' && p != U'o' && p != U'u' && p != 0xE8 &&
+          p != U's')
+        w.resize(w.size() - 1);
+    }
+    const char32_t* m4 = nullptr;
+    size_t ml = 0;
+    for (const char32_t* suf :
+         {U"ière", U"Ière", U"ion", U"ier", U"Ier", U"ë", U"e"}) {
+      const size_t sl = u32_len(suf);
+      if (sl > ml && u32_ends(w, suf)) { m4 = suf; ml = sl; }
+    }
+    if (m4 != nullptr) {
+      const int pos = static_cast<int>(w.size() - ml);
+      if (std::char_traits<char32_t>::compare(m4, U"ion", 4) == 0) {
+        if (in_rv(pos) && in_r2(pos) && pos > 0 && in_rv(pos - 1) &&
+            (w[pos - 1] == U's' || w[pos - 1] == U't'))
+          w.resize(pos);
+      } else if (ml == 4 || ml == 3) {  // ière/Ière/ier/Ier
+        if (in_rv(pos)) { w.resize(pos); w.append(U"i"); }
+      } else if (m4[0] == U'e') {
+        if (in_rv(pos)) w.resize(pos);
+      } else {  // ë
+        if (in_rv(pos) && u32_ends(w, U"guë")) w.resize(pos);
+      }
+    }
+  }
+
+  // step 5: undouble
+  if (u32_ends(w, U"enn") || u32_ends(w, U"onn") || u32_ends(w, U"ett") ||
+      u32_ends(w, U"ell") || u32_ends(w, U"eill"))
+    w.resize(w.size() - 1);
+  // step 6: un-accent (é/è followed by >=1 non-vowel at the end)
+  {
+    int i = static_cast<int>(w.size()) - 1;
+    int cnt = 0;
+    while (i >= 0 && !fr_vowel(w[i])) { --i; ++cnt; }
+    if (cnt >= 1 && i >= 0 && (w[i] == 0xE9 || w[i] == 0xE8)) w[i] = U'e';
+  }
+  // unmark
+  for (auto& c : w) {
+    if (c == U'I') c = U'i';
+    else if (c == U'U') c = U'u';
+    else if (c == U'Y') c = U'y';
+  }
+}
+
+// lang codes (mirror snowball.py STEMMED_LANGUAGES):
+// 0=none 1=english 2=german 3=spanish 4=french
 inline void stem_token_lang(std::string& token, int lang) {
   if (lang == 1) {
     if (is_ascii(token)) porter_stem(token);
     return;
   }
-  if (lang == 2 || lang == 3) {
+  if (lang == 2 || lang == 3 || lang == 4) {
     u32 w = utf8_decode(token);
     if (lang == 2) german_stem(w);
-    else spanish_stem(w);
+    else if (lang == 3) spanish_stem(w);
+    else french_stem(w);
     utf8_encode(w, token);
   }
 }

@@ -1,13 +1,14 @@
-"""Snowball stemmers for German and Spanish (reference/fallback path).
+"""Snowball stemmers for German, Spanish and French (reference/fallback path).
 
 Parity: ES stems each of its 33 mapped languages via `<lang>` analyzers
 (reference `vod_configs/utils/es_body.py:32,101`); round 4 covered English
-(the original Porter 1980 algorithm, `porter.py`). This adds the two
+(the original Porter 1980 algorithm, `porter.py`). This adds the three
 highest-value non-English languages, implemented from the published Snowball
 specifications (Porter's snowballstem.org algorithm descriptions — public
-1980s/2000s specs, like Porter itself). Each algorithm is implemented twice:
-here (the reference/fallback) and in `analyzer.cpp` (the native hot path),
-with token-level parity tests keeping the two in lock-step
+1980s/2000s specs, like Porter itself; French follows the classic spec,
+without the post-2015 `ë/ï -> He/Hi` revision). Each algorithm is implemented
+twice: here (the reference/fallback) and in `analyzer.cpp` (the native hot
+path), with token-level parity tests keeping the two in lock-step
 (`tests/test_stemming.py`).
 
 Languages NOT covered here pass through unstemmed, matching the round-4
@@ -18,9 +19,11 @@ filter still covers all 33 languages (`stopwords.py`).
 
 from __future__ import annotations
 
-__all__ = ["german_stem", "spanish_stem", "snowball_stem", "STEMMED_LANGUAGES"]
+__all__ = [
+    "german_stem", "spanish_stem", "french_stem", "snowball_stem", "STEMMED_LANGUAGES",
+]
 
-STEMMED_LANGUAGES = {"english": 1, "german": 2, "spanish": 3}
+STEMMED_LANGUAGES = {"english": 1, "german": 2, "spanish": 3, "french": 4}
 
 
 def snowball_stem(token: str, language: str) -> str:
@@ -34,6 +37,8 @@ def snowball_stem(token: str, language: str) -> str:
         return german_stem(token)
     if language == "spanish":
         return spanish_stem(token)
+    if language == "french":
+        return french_stem(token)
     return token
 
 
@@ -363,3 +368,274 @@ def spanish_stem(word: str) -> str:
             w = w[:-1]
 
     return w.translate(_ES_DEACCENT)
+
+
+# --------------------------------------------------------------------------- #
+# French (Snowball french stemmer, classic spec)
+# --------------------------------------------------------------------------- #
+
+_FR_VOWELS = frozenset("aeiouyâàëéêèïîôûù")
+
+# step 1 groups: (suffixes, action). Suffixes are in MARKED form (iqU etc.:
+# the pre-pass uppercases u after q, so surface "ique" arrives as "iqUe").
+_FR_STEP1: tuple[tuple[tuple[str, ...], str], ...] = (
+    (("ances", "iqUes", "ismes", "ables", "istes", "ance", "iqUe", "isme",
+      "able", "iste", "eux"), "del_r2"),
+    (("atrices", "ateurs", "ations", "atrice", "ateur", "ation"), "del_r2_ic"),
+    (("logies", "logie"), "log"),
+    (("usions", "utions", "usion", "ution"), "u"),
+    (("ences", "ence"), "ent"),
+    (("ements", "ement"), "ement"),
+    (("ités", "ité"), "ite"),
+    (("ives", "ifs", "ive", "if"), "if"),
+    (("eaux",), "eaux"),
+    (("aux",), "aux"),
+    (("euses", "euse"), "euse"),
+    (("issements", "issement"), "issement"),
+    (("amment",), "amment"),
+    (("emment",), "emment"),
+    (("ments", "ment"), "ment"),
+)
+
+_FR_MENT_FAMILY = frozenset({"amment", "emment", "ment", "ments"})
+
+_FR_STEP2A = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez", "issons",
+    "irais", "irait", "irent", "iriez", "irons", "iront", "isses", "issez",
+    "îmes", "îtes", "irai", "iras", "irez", "isse", "ies", "ira", "ît",
+    "ie", "ir", "is", "it", "i",
+)
+_FR_STEP2B_IONS = ("ions",)
+_FR_STEP2B_E = (
+    "eraIent", "erions", "èrent", "erais", "erait", "erez", "eriez", "erons",
+    "eront", "erai", "eras", "ées", "era", "iez", "ée", "és", "er", "ez", "é",
+)
+_FR_STEP2B_A = (
+    "assions", "assiez", "assent", "antes", "asses", "aIent", "âtes", "âmes",
+    "asse", "ante", "ants", "ais", "ait", "ant", "ât", "as", "ai", "a",
+)
+
+
+def _fr_mark(word: str) -> str:
+    """u/i between vowels, y next to a vowel, u after q -> upper case
+    (consonant markers), left-to-right over the current string."""
+    chars = list(word)
+    n = len(chars)
+    for i, c in enumerate(chars):
+        if c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif c in ("u", "i") and 0 < i < n - 1 and chars[i - 1] in _FR_VOWELS \
+                and chars[i + 1] in _FR_VOWELS:
+            chars[i] = c.upper()
+        elif c == "y" and (
+            (i > 0 and chars[i - 1] in _FR_VOWELS)
+            or (i < n - 1 and chars[i + 1] in _FR_VOWELS)
+        ):
+            chars[i] = "Y"
+    return "".join(chars)
+
+
+def _fr_rv(w: str) -> int:
+    n = len(w)
+    if w[:3] in ("par", "col", "tap"):
+        return min(3, n)
+    if n >= 2 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        return min(3, n)
+    for i in range(1, n):
+        if w[i] in _FR_VOWELS:
+            return i + 1
+    return n
+
+
+def _fr_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def next_region(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _FR_VOWELS:
+            i += 1
+        while i < n and w[i] in _FR_VOWELS:
+            i += 1
+        return min(i + 1, n) if i < n else n
+
+    r1 = next_region(0)
+    return r1, next_region(r1)
+
+
+def french_stem(word: str) -> str:  # noqa: C901 - mirrors the published spec
+    w = _fr_mark(word)
+    rv = _fr_rv(w)
+    r1, r2 = _fr_regions(w)
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    w0 = w
+    # ---- step 1: standard suffix removal (longest match over all groups)
+    best: tuple[str, str] | None = None
+    for sufs, action in _FR_STEP1:
+        for suf in sufs:
+            if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+                best = (suf, action)
+    ment_family = best is not None and best[0] in _FR_MENT_FAMILY
+    if best is not None:
+        suf, action = best
+        pos = len(w) - len(suf)
+        if action == "del_r2":
+            if in_r2(pos):
+                w = w[:pos]
+        elif action == "del_r2_ic":
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("ic"):
+                    w = w[:-2] if in_r2(len(w) - 2) else w[:-2] + "iqU"
+        elif action == "log":
+            if in_r2(pos):
+                w = w[:pos] + "log"
+        elif action == "u":
+            if in_r2(pos):
+                w = w[:pos] + "u"
+        elif action == "ent":
+            if in_r2(pos):
+                w = w[:pos] + "ent"
+        elif action == "ement":
+            if in_rv(pos):
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if in_r2(len(w) - 3):
+                        w = w[:-3]
+                    elif in_r1(len(w) - 3):
+                        w = w[:-3] + "eux"
+                elif (w.endswith("abl") or w.endswith("iqU")) and in_r2(len(w) - 3):
+                    w = w[:-3]
+                elif (w.endswith("ièr") or w.endswith("Ièr")) and in_rv(len(w) - 3):
+                    w = w[:-3] + "i"
+        elif action == "ite":
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("abil"):
+                    w = w[:-4] if in_r2(len(w) - 4) else w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    w = w[:-2] if in_r2(len(w) - 2) else w[:-2] + "iqU"
+                elif w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif action == "if":
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        w = w[:-2] if in_r2(len(w) - 2) else w[:-2] + "iqU"
+        elif action == "eaux":
+            w = w[:pos] + "eau"
+        elif action == "aux":
+            if in_r1(pos):
+                w = w[:pos] + "al"
+        elif action == "euse":
+            if in_r2(pos):
+                w = w[:pos]
+            elif in_r1(pos):
+                w = w[:pos] + "eux"
+        elif action == "issement":
+            if in_r1(pos) and pos > 0 and w[pos - 1] not in _FR_VOWELS:
+                w = w[:pos]
+        elif action == "amment":
+            if in_rv(pos):
+                w = w[:pos] + "ant"
+        elif action == "emment":
+            if in_rv(pos):
+                w = w[:pos] + "ent"
+        elif action == "ment":
+            if pos > 0 and in_rv(pos - 1) and w[pos - 1] in _FR_VOWELS:
+                w = w[:pos]
+
+    changed = w != w0
+    # ---- step 2a: verb suffixes beginning i (gated per spec)
+    if not changed or ment_family:
+        w1 = w
+        m2a = None
+        for suf in _FR_STEP2A:
+            if w.endswith(suf) and (m2a is None or len(suf) > len(m2a)):
+                m2a = suf
+        if m2a is not None:
+            pos = len(w) - len(m2a)
+            if in_rv(pos) and pos > 0 and in_rv(pos - 1) and w[pos - 1] not in _FR_VOWELS:
+                w = w[:pos]
+        # ---- step 2b (only if 2a removed nothing)
+        if w == w1:
+            m2b: tuple[str, str] | None = None
+            for sufs, act in ((_FR_STEP2B_IONS, "ions"), (_FR_STEP2B_E, "e"),
+                              (_FR_STEP2B_A, "a")):
+                for suf in sufs:
+                    if w.endswith(suf) and (m2b is None or len(suf) > len(m2b[0])):
+                        m2b = (suf, act)
+            if m2b is not None:
+                suf, act = m2b
+                pos = len(w) - len(suf)
+                if act == "ions":
+                    if in_rv(pos) and in_r2(pos):
+                        w = w[:pos]
+                elif act == "e":
+                    if in_rv(pos):
+                        w = w[:pos]
+                elif act == "a":
+                    if in_rv(pos):
+                        w = w[:pos]
+                        if w.endswith("e") and in_rv(len(w) - 1):
+                            w = w[:-1]
+        changed = w != w0
+
+    if changed:
+        # ---- step 3
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # ---- step 4: residual suffix
+        if w.endswith("s") and len(w) >= 2 and w[-2] not in "aiouès":
+            w = w[:-1]
+        m4: str | None = None
+        for suf in ("ière", "Ière", "ion", "ier", "Ier", "ë", "e"):
+            if w.endswith(suf) and (m4 is None or len(suf) > len(m4)):
+                m4 = suf
+        if m4 is not None:
+            pos = len(w) - len(m4)
+            if m4 == "ion":
+                if in_rv(pos) and in_r2(pos) and pos > 0 and in_rv(pos - 1) \
+                        and w[pos - 1] in "st":
+                    w = w[:pos]
+            elif m4 in ("ière", "Ière", "ier", "Ier"):
+                if in_rv(pos):
+                    w = w[:pos] + "i"
+            elif m4 == "e":
+                if in_rv(pos):
+                    w = w[:pos]
+            elif m4 == "ë":
+                if in_rv(pos) and w.endswith("guë"):
+                    w = w[:pos]
+
+    # ---- step 5: undouble
+    if w.endswith(("enn", "onn", "ett", "ell", "eill")):
+        w = w[:-1]
+    # ---- step 6: un-accent (é/è followed by >=1 non-vowel at the end)
+    i = len(w) - 1
+    cnt = 0
+    while i >= 0 and w[i] not in _FR_VOWELS:
+        i -= 1
+        cnt += 1
+    if cnt >= 1 and i >= 0 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1:]
+
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
