@@ -139,6 +139,16 @@ def main() -> dict:
     dt = (time.time() - t0) / args.steps
     print(f"# steady state: {dt*1e3:.1f} ms/step (loss={loss:.3f})", flush=True)
 
+    # provisional JSON line BEFORE the reindex stage: if the bench
+    # orchestrator's deadline kills this process mid-reindex, the ms/step
+    # measurement still reaches the driver record (bench.py keeps the LAST
+    # JSON line, so the final result below supersedes this one)
+    print(json.dumps({
+        "ms_per_step": round(dt * 1e3, 1), "params_m": round(n_params / 1e6, 1),
+        "corpus": n, "batch": b, "n_sections": d, "loss": loss,
+        "index_dtype": args.index_dtype,
+    }), flush=True)
+
     # periodic-boundary reindex: re-embed the corpus with the CURRENT encoder
     # and swap the index (the in-loop reindexing of BASELINE config #5)
     from vod_tpu.models.systems import Ranker
