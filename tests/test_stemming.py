@@ -167,14 +167,26 @@ FRENCH_CASES = [
     ("parlement", "parl"), ("jouer", "jou"), ("yeux", "yeux"),
     ("mangeaient", "mang"), ("tapis", "tapis"), ("quand", "quand"),
 ]
+RUSSIAN_CASES = [
+    ("книги", "книг"), ("книга", "книг"), ("книгами", "книг"),
+    ("красивый", "красив"), ("красивая", "красив"), ("бегать", "бега"),
+    ("бегающий", "бега"), ("читал", "чита"), ("читала", "чита"),
+    ("читавшись", "чита"), ("важность", "важност"), ("важности", "важност"),
+    ("сильнейший", "сильн"), ("женщинами", "женщин"),
+    ("программирование", "программирован"), ("российских", "российск"),
+    ("быстрее", "быстр"), ("делающий", "дела"),
+]
 
 
 def test_snowball_canonical_cases() -> None:
-    from vod_tpu.native.snowball import french_stem, german_stem, spanish_stem
+    from vod_tpu.native.snowball import (
+        french_stem, german_stem, russian_stem, spanish_stem,
+    )
 
     bad = [(w, german_stem(w), s) for w, s in GERMAN_CASES if german_stem(w) != s]
     bad += [(w, spanish_stem(w), s) for w, s in SPANISH_CASES if spanish_stem(w) != s]
     bad += [(w, french_stem(w), s) for w, s in FRENCH_CASES if french_stem(w) != s]
+    bad += [(w, russian_stem(w), s) for w, s in RUSSIAN_CASES if russian_stem(w) != s]
     assert not bad, bad
 
 
@@ -216,7 +228,16 @@ def test_snowball_native_matches_python() -> None:
         de_words.append(str(rng.choice(de_stems)) + str(rng.choice(de_sufs)) + str(rng.choice(de_sufs)))
         es_words.append(str(rng.choice(es_stems)) + str(rng.choice(es_sufs)) + str(rng.choice(es_sufs)))
         fr_words.append(str(rng.choice(fr_stems)) + str(rng.choice(fr_sufs)) + str(rng.choice(fr_sufs)))
-    from vod_tpu.native.snowball import french_stem
+    from vod_tpu.native.snowball import french_stem, russian_stem
+
+    ru_stems = ["книг", "чита", "бега", "важн", "сильн", "женщин", "программ",
+                "делающ", "хорош"]
+    ru_sufs = ["", "а", "и", "ами", "ый", "ая", "ть", "л", "вшись", "ость",
+               "ости", "ейший", "ие", "ование", "их", "ее", "нн", "ь", "ёт",
+               "уют", "ив", "ующ", "ся", "сь"]
+    ru_words = [w for w, _ in RUSSIAN_CASES]
+    for _ in range(400):
+        ru_words.append(str(rng.choice(ru_stems)) + str(rng.choice(ru_sufs)) + str(rng.choice(ru_sufs)))
 
     bad = [(w, native_stem(w, 2), german_stem(w)) for w in de_words
            if native_stem(w, 2) != german_stem(w)]
@@ -224,6 +245,8 @@ def test_snowball_native_matches_python() -> None:
             if native_stem(w, 3) != spanish_stem(w)]
     bad += [(w, native_stem(w, 4), french_stem(w)) for w in fr_words
             if native_stem(w, 4) != french_stem(w)]
+    bad += [(w, native_stem(w, 5), russian_stem(w)) for w in ru_words
+            if native_stem(w, 5) != russian_stem(w)]
     assert not bad, bad[:10]
 
 
@@ -265,6 +288,14 @@ def test_analyze_texts_language_stemming_and_stop_order() -> None:
     want_fr = fnv1a_id("chat", 1 << 16)
     for i in range(2):
         assert set(ids_fr[i, : counts_fr[i]].tolist()) == {want_fr}
+
+    # russian path (Cyrillic): full-Unicode host lowercasing + stemming
+    ids_ru, counts_ru = analyze_texts(
+        ["Книги и книгу", "о книгах"], vocab_size=1 << 16, stem=True, language="ru"
+    )
+    want_ru = fnv1a_id("книг", 1 << 16)
+    for i in range(2):
+        assert set(ids_ru[i, : counts_ru[i]].tolist()) == {want_ru}
 
 
 def test_stemmed_bm25_german_fixture() -> None:

@@ -947,18 +947,145 @@ void french_stem(u32& w) {
   }
 }
 
+// -- Russian (Snowball russian stemmer; mirrors snowball.py russian_stem) ----
+
+inline bool ru_vowel(char32_t c) {
+  return c == U'а' || c == U'е' || c == U'и' || c == U'о' || c == U'у' ||
+         c == U'ы' || c == U'э' || c == U'ю' || c == U'я';
+}
+
+static const char32_t* kRuPerfGerund1[] = {U"вшись", U"вши", U"в"};
+static const char32_t* kRuPerfGerund2[] = {U"ившись", U"ывшись", U"ивши",
+                                           U"ывши", U"ив", U"ыв"};
+static const char32_t* kRuAdjective[] = {
+    U"ими", U"ыми", U"его", U"ого", U"ему", U"ому", U"ее", U"ие", U"ые",
+    U"ое", U"ей", U"ий", U"ый", U"ой", U"ем", U"им", U"ым", U"ом", U"их",
+    U"ых", U"ую", U"юю", U"ая", U"яя", U"ою", U"ею"};
+static const char32_t* kRuParticiple1[] = {U"ющ", U"нн", U"вш", U"ем", U"щ"};
+static const char32_t* kRuParticiple2[] = {U"ивш", U"ывш", U"ующ"};
+static const char32_t* kRuVerb1[] = {
+    U"ешь", U"нно", U"ете", U"йте", U"ла", U"на", U"ли", U"ем", U"ло",
+    U"но", U"ет", U"ют", U"ны", U"ть", U"й", U"л", U"н"};
+static const char32_t* kRuVerb2[] = {
+    U"ейте", U"уйте", U"ила", U"ыла", U"ена", U"ите", U"или", U"ыли",
+    U"ило", U"ыло", U"ено", U"ует", U"уют", U"ены", U"ить", U"ыть",
+    U"ишь", U"ей", U"уй", U"ил", U"ыл", U"им", U"ым", U"ен", U"ят",
+    U"ит", U"ыт", U"ую", U"ю"};
+static const char32_t* kRuNoun[] = {
+    U"иями", U"ями", U"ами", U"ией", U"иям", U"ием", U"иях", U"ев", U"ов",
+    U"ие", U"ье", U"еи", U"ии", U"ей", U"ой", U"ий", U"ям", U"ем", U"ам",
+    U"ом", U"ах", U"ях", U"ию", U"ью", U"ия", U"ья", U"а", U"е", U"и",
+    U"й", U"о", U"у", U"ы", U"ь", U"ю", U"я"};
+
+// longest suffix whose start lies in RV; nullptr if none
+template <size_t N>
+inline const char32_t* ru_longest(const u32& w, const char32_t* (&sufs)[N], int rv) {
+  const char32_t* best = nullptr;
+  size_t best_len = 0;
+  for (const char32_t* suf : sufs) {
+    const size_t sl = u32_len(suf);
+    if (sl > best_len && w.size() >= sl &&
+        static_cast<int>(w.size() - sl) >= rv && u32_ends(w, suf)) {
+      best = suf;
+      best_len = sl;
+    }
+  }
+  return best;
+}
+
+// longest across both groups; group-1 needs a preceding а/я in RV. Returns
+// false when nothing was removed (a failed condition fails the category).
+template <size_t N1, size_t N2>
+inline bool ru_try_group12(u32& w, const char32_t* (&g1)[N1],
+                           const char32_t* (&g2)[N2], int rv) {
+  const char32_t* m1 = ru_longest(w, g1, rv);
+  const char32_t* m2 = ru_longest(w, g2, rv);
+  const size_t l1 = m1 ? u32_len(m1) : 0;
+  const size_t l2 = m2 ? u32_len(m2) : 0;
+  if (m2 != nullptr && l2 >= l1) {
+    w.resize(w.size() - l2);
+    return true;
+  }
+  if (m1 != nullptr) {
+    const int pos = static_cast<int>(w.size() - l1);
+    if (pos > 0 && pos - 1 >= rv && (w[pos - 1] == U'а' || w[pos - 1] == U'я')) {
+      w.resize(pos);
+      return true;
+    }
+  }
+  return false;
+}
+
+void russian_stem(u32& w) {
+  for (auto& c : w)
+    if (c == U'ё') c = U'е';  // spec assumption
+  const int n = static_cast<int>(w.size());
+  int rv = n;
+  for (int i = 0; i < n; ++i) {
+    if (ru_vowel(w[i])) { rv = i + 1; break; }
+  }
+  auto next_region = [&](int start) {
+    int i = start;
+    while (i < n && !ru_vowel(w[i])) ++i;
+    while (i < n && ru_vowel(w[i])) ++i;
+    return i < n ? std::min(i + 1, n) : n;
+  };
+  const int r1 = next_region(0);
+  const int r2 = next_region(r1);
+
+  // step 1
+  if (!ru_try_group12(w, kRuPerfGerund1, kRuPerfGerund2, rv)) {
+    if (u32_ends(w, U"ся") && static_cast<int>(w.size()) - 2 >= rv)
+      w.resize(w.size() - 2);
+    else if (u32_ends(w, U"сь") && static_cast<int>(w.size()) - 2 >= rv)
+      w.resize(w.size() - 2);
+    const char32_t* adj = ru_longest(w, kRuAdjective, rv);
+    if (adj != nullptr) {
+      w.resize(w.size() - u32_len(adj));
+      ru_try_group12(w, kRuParticiple1, kRuParticiple2, rv);
+    } else if (!ru_try_group12(w, kRuVerb1, kRuVerb2, rv)) {
+      const char32_t* noun = ru_longest(w, kRuNoun, rv);
+      if (noun != nullptr) w.resize(w.size() - u32_len(noun));
+    }
+  }
+  // step 2: final и
+  if (u32_ends(w, U"и") && static_cast<int>(w.size()) - 1 >= rv)
+    w.resize(w.size() - 1);
+  // step 3: derivational (in R2)
+  if (u32_ends(w, U"ость") && static_cast<int>(w.size()) - 4 >= r2)
+    w.resize(w.size() - 4);
+  else if (u32_ends(w, U"ост") && static_cast<int>(w.size()) - 3 >= r2)
+    w.resize(w.size() - 3);
+  // step 4: tidy up (нн matches entirely inside RV)
+  if (u32_ends(w, U"нн") && static_cast<int>(w.size()) - 2 >= rv) {
+    w.resize(w.size() - 1);
+  } else {
+    const char32_t* sup = nullptr;
+    if (u32_ends(w, U"ейше") && static_cast<int>(w.size()) - 4 >= rv) sup = U"ейше";
+    else if (u32_ends(w, U"ейш") && static_cast<int>(w.size()) - 3 >= rv) sup = U"ейш";
+    if (sup != nullptr) {
+      w.resize(w.size() - u32_len(sup));
+      if (u32_ends(w, U"нн") && static_cast<int>(w.size()) - 2 >= rv)
+        w.resize(w.size() - 1);
+    } else if (u32_ends(w, U"ь") && static_cast<int>(w.size()) - 1 >= rv) {
+      w.resize(w.size() - 1);
+    }
+  }
+}
+
 // lang codes (mirror snowball.py STEMMED_LANGUAGES):
-// 0=none 1=english 2=german 3=spanish 4=french
+// 0=none 1=english 2=german 3=spanish 4=french 5=russian
 inline void stem_token_lang(std::string& token, int lang) {
   if (lang == 1) {
     if (is_ascii(token)) porter_stem(token);
     return;
   }
-  if (lang == 2 || lang == 3 || lang == 4) {
+  if (lang >= 2 && lang <= 5) {
     u32 w = utf8_decode(token);
     if (lang == 2) german_stem(w);
     else if (lang == 3) spanish_stem(w);
-    else french_stem(w);
+    else if (lang == 4) french_stem(w);
+    else russian_stem(w);
     utf8_encode(w, token);
   }
 }

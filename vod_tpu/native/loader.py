@@ -35,7 +35,7 @@ _STOPWORDS = {
 _TOKEN_RE = re.compile(r"[0-9a-z\u0080-\U0010FFFF]+")
 
 # inverse of snowball.STEMMED_LANGUAGES (lang code -> name), for _py_analyze
-_LANG_BY_CODE = {1: "english", 2: "german", 3: "spanish", 4: "french"}
+_LANG_BY_CODE = {1: "english", 2: "german", 3: "spanish", 4: "french", 5: "russian"}
 
 
 def _compile() -> typ.Optional[ctypes.CDLL]:

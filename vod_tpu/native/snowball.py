@@ -20,10 +20,11 @@ filter still covers all 33 languages (`stopwords.py`).
 from __future__ import annotations
 
 __all__ = [
-    "german_stem", "spanish_stem", "french_stem", "snowball_stem", "STEMMED_LANGUAGES",
+    "german_stem", "spanish_stem", "french_stem", "russian_stem",
+    "snowball_stem", "STEMMED_LANGUAGES",
 ]
 
-STEMMED_LANGUAGES = {"english": 1, "german": 2, "spanish": 3, "french": 4}
+STEMMED_LANGUAGES = {"english": 1, "german": 2, "spanish": 3, "french": 4, "russian": 5}
 
 
 def snowball_stem(token: str, language: str) -> str:
@@ -39,6 +40,8 @@ def snowball_stem(token: str, language: str) -> str:
         return spanish_stem(token)
     if language == "french":
         return french_stem(token)
+    if language == "russian":
+        return russian_stem(token)
     return token
 
 
@@ -639,3 +642,132 @@ def french_stem(word: str) -> str:  # noqa: C901 - mirrors the published spec
         w = w[:i] + "e" + w[i + 1:]
 
     return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+# --------------------------------------------------------------------------- #
+# Russian (Snowball russian stemmer)
+# --------------------------------------------------------------------------- #
+
+_RU_VOWELS = frozenset("аеиоуыэюя")
+
+# ending groups; "1"-groups require a preceding а/я (which remains). Longest
+# match across the category; a failed condition fails the category (Snowball
+# `among` semantics — no backtracking to shorter entries).
+_RU_PERF_GERUND_1 = ("вшись", "вши", "в")
+_RU_PERF_GERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJECTIVE = (
+    "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые", "ое", "ей",
+    "ий", "ый", "ой", "ем", "им", "ым", "ом", "их", "ых", "ую", "юю", "ая",
+    "яя", "ою", "ею",
+)
+_RU_PARTICIPLE_1 = ("ющ", "нн", "вш", "ем", "щ")
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = (
+    "ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем", "ло", "но", "ет",
+    "ют", "ны", "ть", "й", "л", "н",
+)
+_RU_VERB_2 = (
+    "ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли", "ило", "ыло",
+    "ено", "ует", "уют", "ены", "ить", "ыть", "ишь", "ей", "уй", "ил", "ыл",
+    "им", "ым", "ен", "ят", "ит", "ыт", "ую", "ю",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ев", "ов", "ие", "ье",
+    "еи", "ии", "ей", "ой", "ий", "ям", "ем", "ам", "ом", "ах", "ях", "ию",
+    "ью", "ия", "ья", "а", "е", "и", "й", "о", "у", "ы", "ь", "ю", "я",
+)
+
+
+def _ru_longest(w: str, sufs: tuple[str, ...], rv: int) -> str | None:
+    best = None
+    for suf in sufs:
+        if w.endswith(suf) and len(w) - len(suf) >= rv and (
+            best is None or len(suf) > len(best)
+        ):
+            best = suf
+    return best
+
+
+def russian_stem(word: str) -> str:
+    w = word.replace("ё", "е")  # spec assumption
+    n = len(w)
+    # RV = after the first vowel; R1/R2 standard
+    rv = n
+    for i in range(n):
+        if w[i] in _RU_VOWELS:
+            rv = i + 1
+            break
+
+    def next_region(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _RU_VOWELS:
+            i += 1
+        while i < n and w[i] in _RU_VOWELS:
+            i += 1
+        return min(i + 1, n) if i < n else n
+
+    r1 = next_region(0)
+    r2 = next_region(r1)
+    del r1  # only R2 (derivational) and RV are tested
+
+    def try_group12(word_, g1, g2):
+        """Longest across both groups; group-1 needs a preceding а/я in RV.
+        Returns the shortened word or None (condition failure != no match:
+        both fail the category)."""
+        m1 = _ru_longest(word_, g1, rv)
+        m2 = _ru_longest(word_, g2, rv)
+        if m2 is not None and (m1 is None or len(m2) >= len(m1)):
+            return word_[: -len(m2)]
+        if m1 is not None:
+            pos = len(word_) - len(m1)
+            if pos > 0 and pos - 1 >= rv and word_[pos - 1] in "ая":
+                return word_[:pos]
+            return None  # longest match failed its condition
+        return None
+
+    # ---- step 1
+    g = try_group12(w, _RU_PERF_GERUND_1, _RU_PERF_GERUND_2)
+    if g is not None:
+        w = g
+    else:
+        refl = _ru_longest(w, ("ся", "сь"), rv)
+        if refl is not None:
+            w = w[: -len(refl)]
+        adj = _ru_longest(w, _RU_ADJECTIVE, rv)
+        if adj is not None:
+            w = w[: -len(adj)]
+            part = try_group12(w, _RU_PARTICIPLE_1, _RU_PARTICIPLE_2)
+            if part is not None:
+                w = part
+        else:
+            vb = try_group12(w, _RU_VERB_1, _RU_VERB_2)
+            if vb is not None:
+                w = vb
+            else:
+                nn = _ru_longest(w, _RU_NOUN, rv)
+                if nn is not None:
+                    w = w[: -len(nn)]
+
+    # ---- step 2: final и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+    # ---- step 3: derivational (in R2)
+    der = None
+    for suf in ("ость", "ост"):
+        if w.endswith(suf) and len(w) - len(suf) >= r2:
+            der = suf
+            break
+    if der is not None:
+        w = w[: -len(der)]
+    # ---- step 4: tidy up (нн matches entirely inside RV)
+    if w.endswith("нн") and len(w) - 2 >= rv:
+        w = w[:-1]
+    else:
+        sup = _ru_longest(w, ("ейше", "ейш"), rv)
+        if sup is not None:
+            w = w[: -len(sup)]
+            if w.endswith("нн") and len(w) - 2 >= rv:
+                w = w[:-1]
+        elif w.endswith("ь") and len(w) - 1 >= rv:
+            w = w[:-1]
+    return w
