@@ -176,17 +176,27 @@ RUSSIAN_CASES = [
     ("программирование", "программирован"), ("российских", "российск"),
     ("быстрее", "быстр"), ("делающий", "дела"),
 ]
+ITALIAN_CASES = [
+    ("abbandonata", "abbandon"), ("abbandonare", "abbandon"),
+    ("cani", "can"), ("cane", "can"), ("bellissimo", "bellissim"),
+    ("nazionale", "nazional"), ("nazioni", "nazion"),
+    ("lavorando", "lavor"), ("guardarlo", "guard"), ("mangiando", "mang"),
+    ("felicità", "felic"), ("attivo", "attiv"), ("informazione", "inform"),
+    ("abilità", "abil"), ("crocchio", "crocc"), ("crocchi", "crocc"),
+    ("pensieri", "pensier"), ("pensiero", "pensier"),
+]
 
 
 def test_snowball_canonical_cases() -> None:
     from vod_tpu.native.snowball import (
-        french_stem, german_stem, russian_stem, spanish_stem,
+        french_stem, german_stem, italian_stem, russian_stem, spanish_stem,
     )
 
     bad = [(w, german_stem(w), s) for w, s in GERMAN_CASES if german_stem(w) != s]
     bad += [(w, spanish_stem(w), s) for w, s in SPANISH_CASES if spanish_stem(w) != s]
     bad += [(w, french_stem(w), s) for w, s in FRENCH_CASES if french_stem(w) != s]
     bad += [(w, russian_stem(w), s) for w, s in RUSSIAN_CASES if russian_stem(w) != s]
+    bad += [(w, italian_stem(w), s) for w, s in ITALIAN_CASES if italian_stem(w) != s]
     assert not bad, bad
 
 
@@ -228,16 +238,23 @@ def test_snowball_native_matches_python() -> None:
         de_words.append(str(rng.choice(de_stems)) + str(rng.choice(de_sufs)) + str(rng.choice(de_sufs)))
         es_words.append(str(rng.choice(es_stems)) + str(rng.choice(es_sufs)) + str(rng.choice(es_sufs)))
         fr_words.append(str(rng.choice(fr_stems)) + str(rng.choice(fr_sufs)) + str(rng.choice(fr_sufs)))
-    from vod_tpu.native.snowball import french_stem, russian_stem
+    from vod_tpu.native.snowball import french_stem, italian_stem, russian_stem
 
     ru_stems = ["книг", "чита", "бега", "важн", "сильн", "женщин", "программ",
                 "делающ", "хорош"]
     ru_sufs = ["", "а", "и", "ами", "ый", "ая", "ть", "л", "вшись", "ость",
                "ости", "ейший", "ие", "ование", "их", "ее", "нн", "ь", "ёт",
                "уют", "ив", "ующ", "ся", "сь"]
+    it_stems = ["abbandon", "nazion", "can", "bell", "lavor", "guard", "xy",
+                "felic", "attiv", "crocch", "qual"]
+    it_sufs = ["", "a", "e", "i", "o", "are", "ando", "endo", "arlo", "azione",
+               "mente", "amente", "ità", "ivo", "oso", "logia", "uzione",
+               "isti", "erebbero", "ch", "à", "iamo"]
     ru_words = [w for w, _ in RUSSIAN_CASES]
+    it_words = [w for w, _ in ITALIAN_CASES]
     for _ in range(400):
         ru_words.append(str(rng.choice(ru_stems)) + str(rng.choice(ru_sufs)) + str(rng.choice(ru_sufs)))
+        it_words.append(str(rng.choice(it_stems)) + str(rng.choice(it_sufs)) + str(rng.choice(it_sufs)))
 
     bad = [(w, native_stem(w, 2), german_stem(w)) for w in de_words
            if native_stem(w, 2) != german_stem(w)]
@@ -247,6 +264,8 @@ def test_snowball_native_matches_python() -> None:
             if native_stem(w, 4) != french_stem(w)]
     bad += [(w, native_stem(w, 5), russian_stem(w)) for w in ru_words
             if native_stem(w, 5) != russian_stem(w)]
+    bad += [(w, native_stem(w, 6), italian_stem(w)) for w in it_words
+            if native_stem(w, 6) != italian_stem(w)]
     assert not bad, bad[:10]
 
 

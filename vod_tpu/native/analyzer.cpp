@@ -1073,19 +1073,248 @@ void russian_stem(u32& w) {
   }
 }
 
+// -- Italian (Snowball italian stemmer; mirrors snowball.py italian_stem) ----
+
+inline bool it_vowel(char32_t c) {
+  return c == U'a' || c == U'e' || c == U'i' || c == U'o' || c == U'u' ||
+         c == 0xE0 || c == 0xE8 || c == 0xEC || c == 0xF2 || c == 0xF9;  // à è ì ò ù
+}
+
+static const char32_t* kItPron[] = {
+    U"gliela", U"gliele", U"glieli", U"glielo", U"gliene", U"sene",
+    U"mela", U"mele", U"meli", U"melo", U"mene", U"tela", U"tele", U"teli",
+    U"telo", U"tene", U"cela", U"cele", U"celi", U"celo", U"cene", U"vela",
+    U"vele", U"veli", U"velo", U"vene", U"gli", U"ci", U"la", U"le", U"li",
+    U"lo", U"mi", U"ne", U"si", U"ti", U"vi"};
+
+struct ItRule { const char32_t* suf; int action; };
+// actions: 0=del(r2) 1=del_r2+ic 2=log 3=u 4=ente 5=del(rv) 6=amente(r1)
+//          7=ità 8=iv
+static const ItRule kItStep1[] = {
+    {U"atrice", 0}, {U"atrici", 0}, {U"anza", 0}, {U"anze", 0}, {U"iche", 0},
+    {U"ichi", 0}, {U"ismo", 0}, {U"ismi", 0}, {U"abile", 0}, {U"abili", 0},
+    {U"ibile", 0}, {U"ibili", 0}, {U"ista", 0}, {U"iste", 0}, {U"isti", 0},
+    {U"istà", 0}, {U"istè", 0}, {U"istì", 0}, {U"mente", 0}, {U"ante", 0},
+    {U"anti", 0}, {U"oso", 0}, {U"osi", 0}, {U"osa", 0}, {U"ose", 0},
+    {U"ico", 0}, {U"ici", 0}, {U"ica", 0}, {U"ice", 0},
+    {U"azione", 1}, {U"azioni", 1}, {U"atore", 1}, {U"atori", 1},
+    {U"logia", 2}, {U"logie", 2},
+    {U"uzione", 3}, {U"uzioni", 3}, {U"usione", 3}, {U"usioni", 3},
+    {U"enza", 4}, {U"enze", 4},
+    {U"amento", 5}, {U"amenti", 5}, {U"imento", 5}, {U"imenti", 5},
+    {U"amente", 6}, {U"ità", 7},
+    {U"ivo", 8}, {U"ivi", 8}, {U"iva", 8}, {U"ive", 8},
+};
+static const char32_t* kItStep2[] = {
+    U"erebbero", U"irebbero", U"assero", U"assimo", U"eranno", U"erebbe",
+    U"eremmo", U"ereste", U"eresti", U"essero", U"iranno", U"irebbe",
+    U"iremmo", U"ireste", U"iresti", U"iscano", U"iscono", U"issero",
+    U"arono", U"avamo", U"avano", U"avate", U"eremo", U"erete", U"erono",
+    U"evamo", U"evano", U"evate", U"iremo", U"irete", U"irono", U"ivamo",
+    U"ivano", U"ivate", U"ammo", U"ando", U"asse", U"assi", U"emmo",
+    U"enda", U"ende", U"endi", U"endo", U"erai", U"erei", U"Yamo", U"iamo",
+    U"immo", U"irai", U"irei", U"isca", U"isce", U"isci", U"isco", U"ano",
+    U"are", U"ata", U"ate", U"ati", U"ato", U"ava", U"avi", U"avo",
+    U"erà", U"ere", U"erò", U"ete", U"eva", U"evi", U"evo", U"irà",
+    U"ire", U"irò", U"ita", U"ite", U"iti", U"ito", U"iva", U"ivi",
+    U"ivo", U"ono", U"uta", U"ute", U"uti", U"uto", U"ar", U"ir"};
+
+inline int it_rv(const u32& w) {
+  const int n = static_cast<int>(w.size());
+  if (n < 3) return n;
+  if (!it_vowel(w[1])) {
+    int i = 2;
+    while (i < n && !it_vowel(w[i])) ++i;
+    return std::min(i + 1, n);
+  }
+  if (it_vowel(w[0]) && it_vowel(w[1])) {
+    int i = 2;
+    while (i < n && it_vowel(w[i])) ++i;
+    return std::min(i + 1, n);
+  }
+  return 3;
+}
+
+inline void it_regions(const u32& w, int* r1, int* r2) {
+  const int n = static_cast<int>(w.size());
+  auto next_region = [&](int start) {
+    int i = start;
+    while (i < n && !it_vowel(w[i])) ++i;
+    while (i < n && it_vowel(w[i])) ++i;
+    return i < n ? std::min(i + 1, n) : n;
+  };
+  *r1 = next_region(0);
+  *r2 = next_region(*r1);
+}
+
+void italian_stem(u32& w) {
+  // acute -> grave accents, then u/i marking
+  for (auto& c : w) {
+    if (c == 0xE1) c = 0xE0;
+    else if (c == 0xE9) c = 0xE8;
+    else if (c == 0xED) c = 0xEC;
+    else if (c == 0xF3) c = 0xF2;
+    else if (c == 0xFA) c = 0xF9;
+  }
+  {
+    const int n = static_cast<int>(w.size());
+    for (int i = 0; i < n; ++i) {
+      const char32_t c = w[i];
+      if (c == U'u' && i > 0 && w[i - 1] == U'q') w[i] = U'U';
+      else if ((c == U'u' || c == U'i') && i > 0 && i < n - 1 &&
+               it_vowel(w[i - 1]) && it_vowel(w[i + 1]))
+        w[i] = (c == U'u') ? U'U' : U'I';
+    }
+  }
+  const int rv = it_rv(w);
+  int r1, r2;
+  it_regions(w, &r1, &r2);
+  auto in_rv = [&](int pos) { return pos >= rv; };
+  auto in_r1 = [&](int pos) { return pos >= r1; };
+  auto in_r2 = [&](int pos) { return pos >= r2; };
+
+  // step 0: attached pronoun
+  {
+    const char32_t* bp = nullptr;
+    size_t bl = 0;
+    for (const char32_t* pron : kItPron) {
+      const size_t sl = u32_len(pron);
+      if (sl > bl && u32_ends(w, pron)) { bp = pron; bl = sl; }
+    }
+    if (bp != nullptr && w.size() > bl) {
+      u32 base = w.substr(0, w.size() - bl);
+      if ((u32_ends(base, U"ando") || u32_ends(base, U"endo")) &&
+          in_rv(static_cast<int>(base.size()) - 4)) {
+        w = base;
+      } else if ((u32_ends(base, U"ar") || u32_ends(base, U"er") ||
+                  u32_ends(base, U"ir")) &&
+                 in_rv(static_cast<int>(base.size()) - 2)) {
+        w = base;
+        w.push_back(U'e');
+      }
+    }
+  }
+
+  const size_t n0 = w.size();
+  // step 1: standard suffixes, longest match
+  const ItRule* best = nullptr;
+  size_t best_len = 0;
+  for (const auto& r : kItStep1) {
+    const size_t sl = u32_len(r.suf);
+    if (sl > best_len && u32_ends(w, r.suf)) { best = &r; best_len = sl; }
+  }
+  if (best != nullptr) {
+    const int pos = static_cast<int>(w.size() - best_len);
+    switch (best->action) {
+      case 0:
+        if (in_r2(pos)) w.resize(pos);
+        break;
+      case 1:
+        if (in_r2(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"ic") && in_r2(static_cast<int>(w.size()) - 2))
+            w.resize(w.size() - 2);
+        }
+        break;
+      case 2:
+        if (in_r2(pos)) { w.resize(pos); w.append(U"log"); }
+        break;
+      case 3:
+        if (in_r2(pos)) { w.resize(pos); w.append(U"u"); }
+        break;
+      case 4:
+        if (in_r2(pos)) { w.resize(pos); w.append(U"ente"); }
+        break;
+      case 5:
+        if (in_rv(pos)) w.resize(pos);
+        break;
+      case 6:
+        if (in_r1(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"iv") && in_r2(static_cast<int>(w.size()) - 2)) {
+            w.resize(w.size() - 2);
+            if (u32_ends(w, U"at") && in_r2(static_cast<int>(w.size()) - 2))
+              w.resize(w.size() - 2);
+          } else if (u32_ends(w, U"abil") && in_r2(static_cast<int>(w.size()) - 4)) {
+            w.resize(w.size() - 4);
+          } else if ((u32_ends(w, U"os") || u32_ends(w, U"ic")) &&
+                     in_r2(static_cast<int>(w.size()) - 2)) {
+            w.resize(w.size() - 2);
+          }
+        }
+        break;
+      case 7:
+        if (in_r2(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"abil") && in_r2(static_cast<int>(w.size()) - 4))
+            w.resize(w.size() - 4);
+          else if ((u32_ends(w, U"ic") || u32_ends(w, U"iv")) &&
+                   in_r2(static_cast<int>(w.size()) - 2))
+            w.resize(w.size() - 2);
+        }
+        break;
+      case 8:
+        if (in_r2(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"at") && in_r2(static_cast<int>(w.size()) - 2)) {
+            w.resize(w.size() - 2);
+            if (u32_ends(w, U"ic") && in_r2(static_cast<int>(w.size()) - 2))
+              w.resize(w.size() - 2);
+          }
+        }
+        break;
+    }
+  }
+
+  // step 2: verb suffixes (only if step 1 removed nothing)
+  if (w.size() == n0) {
+    const char32_t* m2 = nullptr;
+    size_t ml = 0;
+    for (const char32_t* suf : kItStep2) {
+      const size_t sl = u32_len(suf);
+      if (sl > ml && u32_ends(w, suf)) { m2 = suf; ml = sl; }
+    }
+    if (m2 != nullptr && in_rv(static_cast<int>(w.size() - ml))) {
+      w.resize(w.size() - ml);
+    }
+  }
+
+  // step 3a: final vowel (+ a preceding i), in RV
+  if (!w.empty()) {
+    const char32_t c = w.back();
+    const bool fv = c == U'a' || c == U'e' || c == U'i' || c == U'o' ||
+                    c == 0xE0 || c == 0xE8 || c == 0xEC || c == 0xF2;
+    if (fv && in_rv(static_cast<int>(w.size()) - 1)) {
+      w.resize(w.size() - 1);
+      if (u32_ends(w, U"i") && in_rv(static_cast<int>(w.size()) - 1))
+        w.resize(w.size() - 1);
+    }
+  }
+  // step 3b: ch/gh -> c/g in RV
+  if ((u32_ends(w, U"ch") || u32_ends(w, U"gh")) &&
+      in_rv(static_cast<int>(w.size()) - 2))
+    w.resize(w.size() - 1);
+
+  for (auto& c : w) {
+    if (c == U'I') c = U'i';
+    else if (c == U'U') c = U'u';
+  }
+}
+
 // lang codes (mirror snowball.py STEMMED_LANGUAGES):
-// 0=none 1=english 2=german 3=spanish 4=french 5=russian
+// 0=none 1=english 2=german 3=spanish 4=french 5=russian 6=italian
 inline void stem_token_lang(std::string& token, int lang) {
   if (lang == 1) {
     if (is_ascii(token)) porter_stem(token);
     return;
   }
-  if (lang >= 2 && lang <= 5) {
+  if (lang >= 2 && lang <= 6) {
     u32 w = utf8_decode(token);
     if (lang == 2) german_stem(w);
     else if (lang == 3) spanish_stem(w);
     else if (lang == 4) french_stem(w);
-    else russian_stem(w);
+    else if (lang == 5) russian_stem(w);
+    else italian_stem(w);
     utf8_encode(w, token);
   }
 }

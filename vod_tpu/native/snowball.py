@@ -20,11 +20,13 @@ filter still covers all 33 languages (`stopwords.py`).
 from __future__ import annotations
 
 __all__ = [
-    "german_stem", "spanish_stem", "french_stem", "russian_stem",
+    "german_stem", "spanish_stem", "french_stem", "russian_stem", "italian_stem",
     "snowball_stem", "STEMMED_LANGUAGES",
 ]
 
-STEMMED_LANGUAGES = {"english": 1, "german": 2, "spanish": 3, "french": 4, "russian": 5}
+STEMMED_LANGUAGES = {
+    "english": 1, "german": 2, "spanish": 3, "french": 4, "russian": 5, "italian": 6,
+}
 
 
 def snowball_stem(token: str, language: str) -> str:
@@ -42,6 +44,8 @@ def snowball_stem(token: str, language: str) -> str:
         return french_stem(token)
     if language == "russian":
         return russian_stem(token)
+    if language == "italian":
+        return italian_stem(token)
     return token
 
 
@@ -771,3 +775,193 @@ def russian_stem(word: str) -> str:
         elif w.endswith("ь") and len(w) - 1 >= rv:
             w = w[:-1]
     return w
+
+
+# --------------------------------------------------------------------------- #
+# Italian (Snowball italian stemmer)
+# --------------------------------------------------------------------------- #
+
+_IT_VOWELS = frozenset("aeiouàèìòù")
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_IT_PRON = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+    "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+    "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele", "veli",
+    "velo", "vene", "gli", "ci", "la", "le", "li", "lo", "mi", "ne", "si",
+    "ti", "vi",
+)
+_IT_STEP1: tuple[tuple[tuple[str, ...], str], ...] = (
+    (("atrice", "atrici", "anza", "anze", "iche", "ichi", "ismo", "ismi",
+      "abile", "abili", "ibile", "ibili", "ista", "iste", "isti", "istà",
+      "istè", "istì", "mente", "ante", "anti", "oso", "osi", "osa", "ose",
+      "ico", "ici", "ica", "ice"), "del_r2"),
+    (("azione", "azioni", "atore", "atori"), "del_r2_ic"),
+    (("logia", "logie"), "log"),
+    (("uzione", "uzioni", "usione", "usioni"), "u"),
+    (("enza", "enze"), "ente"),
+    (("amento", "amenti", "imento", "imenti"), "del_rv"),
+    (("amente",), "amente"),
+    (("ità",), "ita"),
+    (("ivo", "ivi", "iva", "ive"), "iv"),
+)
+_IT_STEP2 = (
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe", "eremmo",
+    "ereste", "eresti", "essero", "iranno", "irebbe", "iremmo", "ireste",
+    "iresti", "iscano", "iscono", "issero", "arono", "avamo", "avano",
+    "avate", "eremo", "erete", "erono", "evamo", "evano", "evate", "iremo",
+    "irete", "irono", "ivamo", "ivano", "ivate", "ammo", "ando", "asse",
+    "assi", "emmo", "enda", "ende", "endi", "endo", "erai", "erei", "Yamo",
+    "iamo", "immo", "irai", "irei", "isca", "isce", "isci", "isco", "ano",
+    "are", "ata", "ate", "ati", "ato", "ava", "avi", "avo", "erà", "ere",
+    "erò", "ete", "eva", "evi", "evo", "irà", "ire", "irò", "ita", "ite",
+    "iti", "ito", "iva", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto",
+    "ar", "ir",
+)
+
+
+def _it_mark(word: str) -> str:
+    chars = list(word)
+    n = len(chars)
+    for i, c in enumerate(chars):
+        if c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif c in ("u", "i") and 0 < i < n - 1 and chars[i - 1] in _IT_VOWELS \
+                and chars[i + 1] in _IT_VOWELS:
+            chars[i] = c.upper()
+    return "".join(chars)
+
+
+def _it_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _IT_VOWELS:  # X C ... : after the next vowel
+        i = 2
+        while i < n and w[i] not in _IT_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in _IT_VOWELS and w[1] in _IT_VOWELS:  # V V ... : after next consonant
+        i = 2
+        while i < n and w[i] in _IT_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    return 3  # C V ...
+
+
+def _it_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def next_region(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _IT_VOWELS:
+            i += 1
+        while i < n and w[i] in _IT_VOWELS:
+            i += 1
+        return min(i + 1, n) if i < n else n
+
+    r1 = next_region(0)
+    return r1, next_region(r1)
+
+
+def italian_stem(word: str) -> str:  # noqa: C901 - mirrors the published spec
+    w = _it_mark(word.translate(_IT_ACUTE))
+    rv = _it_rv(w)
+    r1, r2 = _it_regions(w)
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # ---- step 0: attached pronoun (longest pronoun, then the a/b test)
+    best_p = None
+    for pron in _IT_PRON:
+        if w.endswith(pron) and (best_p is None or len(pron) > len(best_p)):
+            best_p = pron
+    if best_p is not None:
+        base = w[: -len(best_p)]
+        if base.endswith(("ando", "endo")) and in_rv(len(base) - 4):
+            w = base
+        elif base.endswith(("ar", "er", "ir")) and in_rv(len(base) - 2):
+            w = base + "e"
+
+    n0 = len(w)
+    # ---- step 1: standard suffixes (longest match over all groups)
+    best: tuple[str, str] | None = None
+    for sufs, action in _IT_STEP1:
+        for suf in sufs:
+            if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+                best = (suf, action)
+    if best is not None:
+        suf, action = best
+        pos = len(w) - len(suf)
+        if action == "del_r2":
+            if in_r2(pos):
+                w = w[:pos]
+        elif action == "del_r2_ic":
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif action == "log":
+            if in_r2(pos):
+                w = w[:pos] + "log"
+        elif action == "u":
+            if in_r2(pos):
+                w = w[:pos] + "u"
+        elif action == "ente":
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+        elif action == "del_rv":
+            if in_rv(pos):
+                w = w[:pos]
+        elif action == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif (w.endswith("os") or w.endswith("ic")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif action == "ita":
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif (w.endswith("ic") or w.endswith("iv")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif action == "iv":
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic") and in_r2(len(w) - 2):
+                        w = w[:-2]
+
+    # ---- step 2: verb suffixes (only if step 1 removed nothing)
+    if len(w) == n0:
+        m2 = None
+        for suf in _IT_STEP2:
+            if w.endswith(suf) and (m2 is None or len(suf) > len(m2)):
+                m2 = suf
+        if m2 is not None and in_rv(len(w) - len(m2)):
+            w = w[: -len(m2)]
+
+    # ---- step 3a: final vowel (+ a preceding i), in RV
+    if w and w[-1] in "aeioàèìò" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if w.endswith("i") and in_rv(len(w) - 1):
+            w = w[:-1]
+    # ---- step 3b: ch/gh -> c/g in RV
+    if (w.endswith("ch") or w.endswith("gh")) and in_rv(len(w) - 2):
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
