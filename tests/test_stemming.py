@@ -185,11 +185,21 @@ ITALIAN_CASES = [
     ("abilità", "abil"), ("crocchio", "crocc"), ("crocchi", "crocc"),
     ("pensieri", "pensier"), ("pensiero", "pensier"),
 ]
+DUTCH_CASES = [
+    ("lichamelijk", "licham"), ("lichamelijke", "licham"),
+    ("katten", "kat"), ("kat", "kat"), ("boeken", "boek"),
+    ("huizen", "huiz"), ("huis", "huis"), ("mogelijkheden", "mogelijk"),
+    ("mogelijkheid", "mogelijk"), ("werken", "werk"), ("gewerkt", "gewerkt"),
+    ("snelheden", "snelheid"), ("manen", "man"), ("maan", "man"),
+    ("vrolijkheid", "vrolijk"), ("verschillende", "verschill"),
+    ("grootste", "grootst"),
+]
 
 
 def test_snowball_canonical_cases() -> None:
     from vod_tpu.native.snowball import (
-        french_stem, german_stem, italian_stem, russian_stem, spanish_stem,
+        dutch_stem, french_stem, german_stem, italian_stem, russian_stem,
+        spanish_stem,
     )
 
     bad = [(w, german_stem(w), s) for w, s in GERMAN_CASES if german_stem(w) != s]
@@ -197,6 +207,7 @@ def test_snowball_canonical_cases() -> None:
     bad += [(w, french_stem(w), s) for w, s in FRENCH_CASES if french_stem(w) != s]
     bad += [(w, russian_stem(w), s) for w, s in RUSSIAN_CASES if russian_stem(w) != s]
     bad += [(w, italian_stem(w), s) for w, s in ITALIAN_CASES if italian_stem(w) != s]
+    bad += [(w, dutch_stem(w), s) for w, s in DUTCH_CASES if dutch_stem(w) != s]
     assert not bad, bad
 
 
@@ -266,6 +277,19 @@ def test_snowball_native_matches_python() -> None:
             if native_stem(w, 5) != russian_stem(w)]
     bad += [(w, native_stem(w, 6), italian_stem(w)) for w in it_words
             if native_stem(w, 6) != italian_stem(w)]
+
+    from vod_tpu.native.snowball import dutch_stem
+
+    nl_stems = ["licham", "kat", "boek", "huiz", "mogelijk", "werk", "snel",
+                "groot", "xy", "geel"]
+    nl_sufs = ["", "en", "e", "s", "se", "heden", "heid", "lijk", "lijke",
+               "baar", "bar", "end", "ing", "ig", "ige", "tt", "kk", "je",
+               "ste", "y", "ën"]
+    nl_words = [w for w, _ in DUTCH_CASES]
+    for _ in range(400):
+        nl_words.append(str(rng.choice(nl_stems)) + str(rng.choice(nl_sufs)) + str(rng.choice(nl_sufs)))
+    bad += [(w, native_stem(w, 7), dutch_stem(w)) for w in nl_words
+            if native_stem(w, 7) != dutch_stem(w)]
     assert not bad, bad[:10]
 
 

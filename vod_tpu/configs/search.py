@@ -199,9 +199,9 @@ class SparseFactoryConfig(StrictModel):
     # stem — `es_body.py:32`; pipeline order lowercase -> stop -> stem).
     # Applies at BOTH index and query time (analyze_texts(stem=...)). The
     # stemmer follows `language`: Porter for English (default), Snowball
-    # German/Spanish/French (`native/snowball.py`); other languages pass
-    # through unstemmed with their stopword lists still applied (documented
-    # contract, snowball.py docstring).
+    # de/es/fr/ru/it/nl (`native/snowball.py`); other languages pass through
+    # unstemmed with their stopword lists still applied (documented contract,
+    # snowball.py docstring).
     stem: bool = False
     max_vocab: typ.Optional[int] = None
     section_template: str = "{{ title }} {{ content }}"

@@ -1301,20 +1301,184 @@ void italian_stem(u32& w) {
   }
 }
 
+// -- Dutch (Snowball dutch stemmer; mirrors snowball.py dutch_stem) ----------
+
+inline bool nl_vowel(char32_t c) {
+  return c == U'a' || c == U'e' || c == U'i' || c == U'o' || c == U'u' ||
+         c == U'y' || c == 0xE8;  // è
+}
+
+inline void nl_undouble(u32& w) {
+  if (u32_ends(w, U"kk") || u32_ends(w, U"dd") || u32_ends(w, U"tt"))
+    w.resize(w.size() - 1);
+}
+
+void dutch_stem(u32& w) {
+  // umlauts/acutes -> plain vowels
+  for (auto& c : w) {
+    switch (c) {
+      case 0xE4: case 0xE1: c = U'a'; break;
+      case 0xEB: case 0xE9: c = U'e'; break;
+      case 0xEF: case 0xED: c = U'i'; break;
+      case 0xF6: case 0xF3: c = U'o'; break;
+      case 0xFC: case 0xFA: c = U'u'; break;
+      default: break;
+    }
+  }
+  {  // initial y, y after a vowel, i between vowels -> markers
+    const int n = static_cast<int>(w.size());
+    for (int i = 0; i < n; ++i) {
+      const char32_t c = w[i];
+      if (c == U'y' && (i == 0 || nl_vowel(w[i - 1]))) w[i] = U'Y';
+      else if (c == U'i' && i > 0 && i < n - 1 && nl_vowel(w[i - 1]) &&
+               nl_vowel(w[i + 1]))
+        w[i] = U'I';
+    }
+  }
+  const int n = static_cast<int>(w.size());
+  int r1, r2;
+  {
+    auto next_region = [&](int start) {
+      int i = start;
+      while (i < n && !nl_vowel(w[i])) ++i;
+      while (i < n && nl_vowel(w[i])) ++i;
+      return i < n ? std::min(i + 1, n) : n;
+    };
+    r1 = next_region(0);
+    r2 = next_region(r1);
+    if (r1 < 3) r1 = std::min(3, n);
+  }
+  auto in_r1 = [&](int pos) { return pos >= r1; };
+  auto in_r2 = [&](int pos) { return pos >= r2; };
+
+  // delete en/ene if in R1, preceded by a valid en-ending (non-vowel, not
+  // gem); undouble. Returns whether a deletion happened.
+  auto del_en = [&](u32& v) -> bool {
+    const char32_t* sufs[] = {U"ene", U"en"};
+    for (const char32_t* suf : sufs) {
+      const size_t sl = u32_len(suf);
+      if (v.size() >= sl && u32_ends(v, suf)) {
+        const int pos = static_cast<int>(v.size() - sl);
+        const bool gem = pos >= 3 && v[pos - 3] == U'g' && v[pos - 2] == U'e' &&
+                         v[pos - 1] == U'm';
+        if (in_r1(pos) && pos > 0 && !nl_vowel(v[pos - 1]) && !gem) {
+          v.resize(pos);
+          nl_undouble(v);
+          return true;
+        }
+        return false;
+      }
+    }
+    return false;
+  };
+
+  // step 1
+  if (u32_ends(w, U"heden")) {
+    if (in_r1(static_cast<int>(w.size()) - 5)) {
+      w.resize(w.size() - 5);
+      w.append(U"heid");
+    }
+  } else if (!del_en(w)) {
+    const char32_t* suf = u32_ends(w, U"se") ? U"se"
+                        : (u32_ends(w, U"s") ? U"s" : nullptr);
+    if (suf != nullptr) {
+      const int pos = static_cast<int>(w.size() - u32_len(suf));
+      if (in_r1(pos) && pos > 0 && !nl_vowel(w[pos - 1]) && w[pos - 1] != U'j')
+        w.resize(pos);
+    }
+  }
+
+  // step 2: delete suffix e if in R1 and preceded by a non-vowel
+  bool e_removed = false;
+  if (u32_ends(w, U"e") && in_r1(static_cast<int>(w.size()) - 1) &&
+      w.size() >= 2 && !nl_vowel(w[w.size() - 2])) {
+    w.resize(w.size() - 1);
+    nl_undouble(w);
+    e_removed = true;
+  }
+
+  // step 3a: heid
+  if (u32_ends(w, U"heid") && in_r2(static_cast<int>(w.size()) - 4) &&
+      (w.size() < 5 || w[w.size() - 5] != U'c')) {
+    w.resize(w.size() - 4);
+    del_en(w);
+  }
+
+  // step 3b: d-suffixes (longest among)
+  {
+    const char32_t* m = nullptr;
+    size_t ml = 0;
+    for (const char32_t* suf :
+         {U"lijk", U"baar", U"end", U"ing", U"bar", U"ig"}) {
+      const size_t sl = u32_len(suf);
+      if (sl > ml && u32_ends(w, suf)) { m = suf; ml = sl; }
+    }
+    if (m != nullptr) {
+      const int pos = static_cast<int>(w.size() - ml);
+      const bool is_end = std::char_traits<char32_t>::compare(m, U"end", 4) == 0;
+      const bool is_ing = std::char_traits<char32_t>::compare(m, U"ing", 4) == 0;
+      if (is_end || is_ing) {
+        if (in_r2(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"ig") && in_r2(static_cast<int>(w.size()) - 2) &&
+              (w.size() < 3 || w[w.size() - 3] != U'e')) {
+            w.resize(w.size() - 2);
+          } else {
+            nl_undouble(w);
+          }
+        }
+      } else if (ml == 2) {  // ig
+        if (in_r2(pos) && (pos == 0 || w[pos - 1] != U'e')) w.resize(pos);
+      } else if (std::char_traits<char32_t>::compare(m, U"lijk", 5) == 0) {
+        if (in_r2(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"e") && in_r1(static_cast<int>(w.size()) - 1) &&
+              w.size() >= 2 && !nl_vowel(w[w.size() - 2])) {
+            w.resize(w.size() - 1);
+            nl_undouble(w);
+          }
+        }
+      } else if (std::char_traits<char32_t>::compare(m, U"baar", 5) == 0) {
+        if (in_r2(pos)) w.resize(pos);
+      } else {  // bar
+        if (in_r2(pos) && e_removed) w.resize(pos);
+      }
+    }
+  }
+
+  // step 4: undouble vowel (C V V D; D a non-vowel other than I)
+  if (w.size() >= 4) {
+    const char32_t c = w[w.size() - 4], v1 = w[w.size() - 3],
+                   v2 = w[w.size() - 2], d = w[w.size() - 1];
+    const bool dbl = v1 == v2 && (v1 == U'a' || v1 == U'e' || v1 == U'o' ||
+                                  v1 == U'u');
+    if (!nl_vowel(c) && dbl && !nl_vowel(d) && d != U'I') {
+      w[w.size() - 2] = d;
+      w.resize(w.size() - 1);
+    }
+  }
+
+  for (auto& c : w) {
+    if (c == U'I') c = U'i';
+    else if (c == U'Y') c = U'y';
+  }
+}
+
 // lang codes (mirror snowball.py STEMMED_LANGUAGES):
-// 0=none 1=english 2=german 3=spanish 4=french 5=russian 6=italian
+// 0=none 1=english 2=german 3=spanish 4=french 5=russian 6=italian 7=dutch
 inline void stem_token_lang(std::string& token, int lang) {
   if (lang == 1) {
     if (is_ascii(token)) porter_stem(token);
     return;
   }
-  if (lang >= 2 && lang <= 6) {
+  if (lang >= 2 && lang <= 7) {
     u32 w = utf8_decode(token);
     if (lang == 2) german_stem(w);
     else if (lang == 3) spanish_stem(w);
     else if (lang == 4) french_stem(w);
     else if (lang == 5) russian_stem(w);
-    else italian_stem(w);
+    else if (lang == 6) italian_stem(w);
+    else dutch_stem(w);
     utf8_encode(w, token);
   }
 }

@@ -21,11 +21,12 @@ from __future__ import annotations
 
 __all__ = [
     "german_stem", "spanish_stem", "french_stem", "russian_stem", "italian_stem",
-    "snowball_stem", "STEMMED_LANGUAGES",
+    "dutch_stem", "snowball_stem", "STEMMED_LANGUAGES",
 ]
 
 STEMMED_LANGUAGES = {
     "english": 1, "german": 2, "spanish": 3, "french": 4, "russian": 5, "italian": 6,
+    "dutch": 7,
 }
 
 
@@ -46,6 +47,8 @@ def snowball_stem(token: str, language: str) -> str:
         return russian_stem(token)
     if language == "italian":
         return italian_stem(token)
+    if language == "dutch":
+        return dutch_stem(token)
     return token
 
 
@@ -965,3 +968,139 @@ def italian_stem(word: str) -> str:  # noqa: C901 - mirrors the published spec
         w = w[:-1]
 
     return w.replace("I", "i").replace("U", "u")
+
+
+# --------------------------------------------------------------------------- #
+# Dutch (Snowball dutch stemmer)
+# --------------------------------------------------------------------------- #
+
+_NL_VOWELS = frozenset("aeiouyè")
+_NL_UMLAUT = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _nl_mark(word: str) -> str:
+    """Initial y, y after a vowel, and i between vowels -> upper case."""
+    chars = list(word)
+    n = len(chars)
+    for i, c in enumerate(chars):
+        if c == "y" and (i == 0 or chars[i - 1] in _NL_VOWELS):
+            chars[i] = "Y"
+        elif c == "i" and 0 < i < n - 1 and chars[i - 1] in _NL_VOWELS \
+                and chars[i + 1] in _NL_VOWELS:
+            chars[i] = "I"
+    return "".join(chars)
+
+
+def _nl_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def next_region(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _NL_VOWELS:
+            i += 1
+        while i < n and w[i] in _NL_VOWELS:
+            i += 1
+        return min(i + 1, n) if i < n else n
+
+    r1 = next_region(0)
+    r2 = next_region(r1)
+    if r1 < 3:  # region before R1 must hold at least 3 letters (as in German)
+        r1 = min(3, n)
+    return r1, r2
+
+
+def _nl_undouble(w: str) -> str:
+    if w.endswith(("kk", "dd", "tt")):
+        return w[:-1]
+    return w
+
+
+def dutch_stem(word: str) -> str:
+    w = _nl_mark(word.translate(_NL_UMLAUT))
+    r1, r2 = _nl_regions(w)
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    def del_en(w: str) -> tuple[str, bool]:
+        """Delete en/ene if in R1, preceded by a valid en-ending (a non-vowel,
+        and not gem); undouble the ending."""
+        for suf in ("ene", "en"):
+            if w.endswith(suf):
+                pos = len(w) - len(suf)
+                if in_r1(pos) and pos > 0 and w[pos - 1] not in _NL_VOWELS \
+                        and w[max(0, pos - 3):pos] != "gem":
+                    return _nl_undouble(w[:pos]), True
+                return w, False
+        return w, False
+
+    # ---- step 1
+    if w.endswith("heden"):
+        if in_r1(len(w) - 5):
+            w = w[:-5] + "heid"
+    else:
+        w2, done = del_en(w)
+        if done:
+            w = w2
+        elif w.endswith(("se", "s")):
+            suf = "se" if w.endswith("se") else "s"
+            pos = len(w) - len(suf)
+            if in_r1(pos) and pos > 0 and w[pos - 1] not in _NL_VOWELS \
+                    and w[pos - 1] != "j":
+                w = w[:pos]
+
+    # ---- step 2: delete suffix e if in R1 and preceded by a non-vowel
+    e_removed = False
+    if w.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
+            and w[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+
+    # ---- step 3a: heid
+    if w.endswith("heid") and in_r2(len(w) - 4) and (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        w, _ = del_en(w)
+
+    # ---- step 3b: d-suffixes
+    m = None
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if w.endswith(suf) and (m is None or len(suf) > len(m)):
+            m = suf
+    if m is not None:
+        pos = len(w) - len(m)
+        if m in ("end", "ing"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("ig") and in_r2(len(w) - 2) and \
+                        (len(w) < 3 or w[-3] != "e"):
+                    w = w[:-2]
+                else:
+                    w = _nl_undouble(w)
+        elif m == "ig":
+            if in_r2(pos) and (pos == 0 or w[pos - 1] != "e"):
+                w = w[:pos]
+        elif m == "lijk":
+            if in_r2(pos):
+                w = w[:pos]
+                # repeat step 2
+                if w.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
+                        and w[-2] not in _NL_VOWELS:
+                    w = _nl_undouble(w[:-1])
+        elif m == "baar":
+            if in_r2(pos):
+                w = w[:pos]
+        elif m == "bar":
+            if in_r2(pos) and e_removed:
+                w = w[:pos]
+
+    # ---- step 4: undouble vowel (C V V D, D a non-vowel other than I)
+    if len(w) >= 4:
+        c, v1, v2, d = w[-4], w[-3], w[-2], w[-1]
+        if (c not in _NL_VOWELS and v1 == v2 and v1 in "aeou"
+                and d not in _NL_VOWELS and d != "I"):
+            w = w[:-2] + w[-1]
+
+    return w.replace("I", "i").replace("Y", "y")
