@@ -194,12 +194,23 @@ DUTCH_CASES = [
     ("vrolijkheid", "vrolijk"), ("verschillende", "verschill"),
     ("grootste", "grootst"),
 ]
+PORTUGUESE_CASES = [
+    ("gatos", "gat"), ("gato", "gat"), ("casas", "cas"),
+    ("cantando", "cant"), ("cantaram", "cant"), ("bonita", "bonit"),
+    ("bonitas", "bonit"), ("felicidade", "felic"),
+    ("informação", "inform"), ("informações", "inform"),
+    ("lógica", "logic"), ("trabalhador", "trabalh"),
+    ("nacional", "nacional"), ("nacionais", "nacion"),
+    ("bandeira", "bandeir"), ("quilométricas", "quilometr"),
+    ("comendo", "com"), ("falou", "fal"), ("guloso", "gulos"),
+    ("línguas", "lingu"),
+]
 
 
 def test_snowball_canonical_cases() -> None:
     from vod_tpu.native.snowball import (
-        dutch_stem, french_stem, german_stem, italian_stem, russian_stem,
-        spanish_stem,
+        dutch_stem, french_stem, german_stem, italian_stem, portuguese_stem,
+        russian_stem, spanish_stem,
     )
 
     bad = [(w, german_stem(w), s) for w, s in GERMAN_CASES if german_stem(w) != s]
@@ -208,6 +219,8 @@ def test_snowball_canonical_cases() -> None:
     bad += [(w, russian_stem(w), s) for w, s in RUSSIAN_CASES if russian_stem(w) != s]
     bad += [(w, italian_stem(w), s) for w, s in ITALIAN_CASES if italian_stem(w) != s]
     bad += [(w, dutch_stem(w), s) for w, s in DUTCH_CASES if dutch_stem(w) != s]
+    bad += [(w, portuguese_stem(w), s) for w, s in PORTUGUESE_CASES
+            if portuguese_stem(w) != s]
     assert not bad, bad
 
 
@@ -290,6 +303,19 @@ def test_snowball_native_matches_python() -> None:
         nl_words.append(str(rng.choice(nl_stems)) + str(rng.choice(nl_sufs)) + str(rng.choice(nl_sufs)))
     bad += [(w, native_stem(w, 7), dutch_stem(w)) for w in nl_words
             if native_stem(w, 7) != dutch_stem(w)]
+
+    from vod_tpu.native.snowball import portuguese_stem
+
+    pt_stems = ["gat", "cas", "cant", "inform", "trabalh", "felic", "band",
+                "lingu", "xy", "quilométric"]
+    pt_sufs = ["", "os", "as", "a", "o", "ando", "aram", "ação", "ações",
+               "idade", "mente", "amente", "ível", "oso", "logia", "ução",
+               "eira", "ou", "ei", "ç", "íssemos", "é", "e", "ências"]
+    pt_words = [w for w, _ in PORTUGUESE_CASES]
+    for _ in range(400):
+        pt_words.append(str(rng.choice(pt_stems)) + str(rng.choice(pt_sufs)) + str(rng.choice(pt_sufs)))
+    bad += [(w, native_stem(w, 8), portuguese_stem(w)) for w in pt_words
+            if native_stem(w, 8) != portuguese_stem(w)]
     assert not bad, bad[:10]
 
 

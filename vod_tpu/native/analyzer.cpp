@@ -1464,21 +1464,240 @@ void dutch_stem(u32& w) {
   }
 }
 
+// -- Portuguese (Snowball; mirrors snowball.py portuguese_stem) --------------
+
+inline bool pt_vowel(char32_t c) {
+  return c == U'a' || c == U'e' || c == U'i' || c == U'o' || c == U'u' ||
+         c == 0xE1 || c == 0xE9 || c == 0xED || c == 0xF3 || c == 0xFA ||
+         c == 0xE2 || c == 0xEA || c == 0xF4;  // á é í ó ú â ê ô
+}
+
+struct PtRule { const char32_t* suf; int action; };
+// actions: 0=del(r2) 1=log 2=u 3=ente 4=amente(r1) 5=mente 6=idade 7=iv 8=eira
+static const PtRule kPtStep1[] = {
+    {U"amentos", 0}, {U"imentos", 0}, {U"amento", 0}, {U"imento", 0},
+    {U"adoras", 0}, {U"adores", 0}, {U"ações", 0}, {U"ância", 0},
+    {U"antes", 0}, {U"adora", 0}, {U"ação", 0}, {U"ador", 0}, {U"ante", 0},
+    {U"ezas", 0}, {U"icos", 0}, {U"icas", 0}, {U"ismos", 0}, {U"ável", 0},
+    {U"ível", 0}, {U"istas", 0}, {U"osos", 0}, {U"osas", 0}, {U"eza", 0},
+    {U"ico", 0}, {U"ica", 0}, {U"ismo", 0}, {U"ista", 0}, {U"oso", 0},
+    {U"osa", 0},
+    {U"logias", 1}, {U"logia", 1},
+    {U"uções", 2}, {U"ução", 2},
+    {U"ências", 3}, {U"ência", 3},
+    {U"amente", 4}, {U"mente", 5},
+    {U"idades", 6}, {U"idade", 6},
+    {U"ivas", 7}, {U"ivos", 7}, {U"iva", 7}, {U"ivo", 7},
+    {U"iras", 8}, {U"ira", 8},
+};
+// full regular -ar/-er/-ir paradigm, longest-first (see snowball.py note)
+static const char32_t* kPtStep2[] = {
+    U"aríamos", U"eríamos", U"iríamos", U"ássemos", U"êssemos", U"íssemos",
+    U"ávamos", U"áramos", U"éramos", U"íramos", U"aremos", U"eremos",
+    U"iremos", U"ariam", U"eriam", U"iriam", U"aríeis", U"eríeis",
+    U"iríeis", U"ásseis", U"ésseis", U"ísseis", U"astes", U"estes",
+    U"istes", U"assem", U"essem", U"issem", U"asses", U"esses", U"isses",
+    U"áveis", U"áreis", U"éreis", U"íreis", U"arias", U"erias", U"irias",
+    U"ardes", U"erdes", U"irdes", U"armos", U"ermos", U"irmos", U"aria",
+    U"eria", U"iria", U"asse", U"esse", U"isse", U"aste", U"este",
+    U"iste", U"arei", U"erei", U"irei", U"arás", U"erás", U"irás",
+    U"arão", U"erão", U"irão", U"ando", U"endo",
+    U"indo", U"adas", U"idas", U"ados", U"idos", U"aram",
+    U"eram", U"iram", U"avam", U"arem", U"erem", U"irem", U"amos",
+    U"emos", U"imos", U"íamos", U"ara", U"aras", U"era", U"eras", U"ira",
+    U"iras", U"avas", U"ares", U"eres", U"ires", U"íeis", U"ado",
+    U"ada", U"ido", U"ida", U"ará", U"erá", U"irá", U"ava", U"iam",
+    U"ias", U"ais", U"eis", U"ei", U"ou", U"eu", U"iu", U"am", U"em",
+    U"ar", U"er", U"ir", U"as", U"es", U"is", U"ia",
+};
+
+inline int pt_rv(const u32& w) {
+  const int n = static_cast<int>(w.size());
+  if (n < 3) return n;
+  if (!pt_vowel(w[1])) {
+    int i = 2;
+    while (i < n && !pt_vowel(w[i])) ++i;
+    return std::min(i + 1, n);
+  }
+  if (pt_vowel(w[0]) && pt_vowel(w[1])) {
+    int i = 2;
+    while (i < n && pt_vowel(w[i])) ++i;
+    return std::min(i + 1, n);
+  }
+  return 3;
+}
+
+inline void pt_regions(const u32& w, int* r1, int* r2) {
+  const int n = static_cast<int>(w.size());
+  auto next_region = [&](int start) {
+    int i = start;
+    while (i < n && !pt_vowel(w[i])) ++i;
+    while (i < n && pt_vowel(w[i])) ++i;
+    return i < n ? std::min(i + 1, n) : n;
+  };
+  *r1 = next_region(0);
+  *r2 = next_region(*r1);
+}
+
+void portuguese_stem(u32& w) {
+  const int rv = pt_rv(w);
+  int r1, r2;
+  pt_regions(w, &r1, &r2);
+  auto in_rv = [&](int pos) { return pos >= rv; };
+  auto in_r1 = [&](int pos) { return pos >= r1; };
+  auto in_r2 = [&](int pos) { return pos >= r2; };
+
+  const size_t n0 = w.size();
+  // step 1
+  const PtRule* best = nullptr;
+  size_t best_len = 0;
+  for (const auto& r : kPtStep1) {
+    const size_t sl = u32_len(r.suf);
+    if (sl > best_len && u32_ends(w, r.suf)) { best = &r; best_len = sl; }
+  }
+  if (best != nullptr) {
+    const int pos = static_cast<int>(w.size() - best_len);
+    switch (best->action) {
+      case 0:
+        if (in_r2(pos)) w.resize(pos);
+        break;
+      case 1:
+        if (in_r2(pos)) { w.resize(pos); w.append(U"log"); }
+        break;
+      case 2:
+        if (in_r2(pos)) { w.resize(pos); w.append(U"u"); }
+        break;
+      case 3:
+        if (in_r2(pos)) { w.resize(pos); w.append(U"ente"); }
+        break;
+      case 4:
+        if (in_r1(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"iv") && in_r2(static_cast<int>(w.size()) - 2)) {
+            w.resize(w.size() - 2);
+            if (u32_ends(w, U"at") && in_r2(static_cast<int>(w.size()) - 2))
+              w.resize(w.size() - 2);
+          } else if ((u32_ends(w, U"os") || u32_ends(w, U"ic") ||
+                      u32_ends(w, U"ad")) &&
+                     in_r2(static_cast<int>(w.size()) - 2)) {
+            w.resize(w.size() - 2);
+          }
+        }
+        break;
+      case 5:
+        if (in_r2(pos)) {
+          w.resize(pos);
+          const char32_t* pres[] = {U"ante", U"avel", U"ível"};
+          for (const char32_t* pre : pres) {
+            if (u32_ends(w, pre) && in_r2(static_cast<int>(w.size()) - 4)) {
+              w.resize(w.size() - 4);
+              break;
+            }
+          }
+        }
+        break;
+      case 6:
+        if (in_r2(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"abil") && in_r2(static_cast<int>(w.size()) - 4))
+            w.resize(w.size() - 4);
+          else if ((u32_ends(w, U"ic") || u32_ends(w, U"iv")) &&
+                   in_r2(static_cast<int>(w.size()) - 2))
+            w.resize(w.size() - 2);
+        }
+        break;
+      case 7:
+        if (in_r2(pos)) {
+          w.resize(pos);
+          if (u32_ends(w, U"at") && in_r2(static_cast<int>(w.size()) - 2))
+            w.resize(w.size() - 2);
+        }
+        break;
+      case 8:
+        if (in_rv(pos) && pos > 0 && w[pos - 1] == U'e') {
+          w.resize(pos);
+          w.append(U"ir");
+        }
+        break;
+    }
+  }
+
+  // step 2 (only if step 1 removed nothing): longest match
+  bool step2_done = false;
+  if (w.size() == n0) {
+    const char32_t* m2 = nullptr;
+    size_t ml = 0;
+    for (const char32_t* suf : kPtStep2) {
+      if (suf == nullptr) continue;
+      const size_t sl = u32_len(suf);
+      if (sl > ml && u32_ends(w, suf)) { m2 = suf; ml = sl; }
+    }
+    if (m2 != nullptr && in_rv(static_cast<int>(w.size() - ml))) {
+      w.resize(w.size() - ml);
+      step2_done = true;
+    }
+  }
+
+  if (w.size() != n0 || step2_done) {
+    // step 3: delete i if in RV and preceded by c
+    if (u32_ends(w, U"i") && in_rv(static_cast<int>(w.size()) - 1) &&
+        w.size() >= 2 && w[w.size() - 2] == U'c')
+      w.resize(w.size() - 1);
+  } else {
+    // step 4: residual suffix
+    const char32_t* m4 = nullptr;
+    size_t ml = 0;
+    for (const char32_t* suf : {U"os", U"a", U"i", U"o", U"á", U"í", U"ó"}) {
+      const size_t sl = u32_len(suf);
+      if (sl > ml && u32_ends(w, suf)) { m4 = suf; ml = sl; }
+    }
+    if (m4 != nullptr && in_rv(static_cast<int>(w.size() - ml)))
+      w.resize(w.size() - ml);
+  }
+
+  // step 5: final e/é/ê in RV (+ gu/ci), or ç -> c
+  if (!w.empty() &&
+      (w.back() == U'e' || w.back() == 0xE9 || w.back() == 0xEA) &&
+      in_rv(static_cast<int>(w.size()) - 1)) {
+    w.resize(w.size() - 1);
+    if (u32_ends(w, U"gu") && in_rv(static_cast<int>(w.size()) - 1))
+      w.resize(w.size() - 1);
+    else if (u32_ends(w, U"ci") && in_rv(static_cast<int>(w.size()) - 1))
+      w.resize(w.size() - 1);
+  } else if (!w.empty() && w.back() == 0xE7) {
+    w.back() = U'c';
+  }
+
+  // de-accent
+  for (auto& c : w) {
+    switch (c) {
+      case 0xE1: case 0xE2: c = U'a'; break;
+      case 0xE9: case 0xEA: c = U'e'; break;
+      case 0xED: c = U'i'; break;
+      case 0xF3: case 0xF4: c = U'o'; break;
+      case 0xFA: c = U'u'; break;
+      default: break;
+    }
+  }
+}
+
 // lang codes (mirror snowball.py STEMMED_LANGUAGES):
 // 0=none 1=english 2=german 3=spanish 4=french 5=russian 6=italian 7=dutch
+// 8=portuguese
 inline void stem_token_lang(std::string& token, int lang) {
   if (lang == 1) {
     if (is_ascii(token)) porter_stem(token);
     return;
   }
-  if (lang >= 2 && lang <= 7) {
+  if (lang >= 2 && lang <= 8) {
     u32 w = utf8_decode(token);
     if (lang == 2) german_stem(w);
     else if (lang == 3) spanish_stem(w);
     else if (lang == 4) french_stem(w);
     else if (lang == 5) russian_stem(w);
     else if (lang == 6) italian_stem(w);
-    else dutch_stem(w);
+    else if (lang == 7) dutch_stem(w);
+    else portuguese_stem(w);
     utf8_encode(w, token);
   }
 }

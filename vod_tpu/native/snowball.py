@@ -21,12 +21,12 @@ from __future__ import annotations
 
 __all__ = [
     "german_stem", "spanish_stem", "french_stem", "russian_stem", "italian_stem",
-    "dutch_stem", "snowball_stem", "STEMMED_LANGUAGES",
+    "dutch_stem", "portuguese_stem", "snowball_stem", "STEMMED_LANGUAGES",
 ]
 
 STEMMED_LANGUAGES = {
     "english": 1, "german": 2, "spanish": 3, "french": 4, "russian": 5, "italian": 6,
-    "dutch": 7,
+    "dutch": 7, "portuguese": 8,
 }
 
 
@@ -49,6 +49,8 @@ def snowball_stem(token: str, language: str) -> str:
         return italian_stem(token)
     if language == "dutch":
         return dutch_stem(token)
+    if language == "portuguese":
+        return portuguese_stem(token)
     return token
 
 
@@ -1104,3 +1106,205 @@ def dutch_stem(word: str) -> str:
             w = w[:-2] + w[-1]
 
     return w.replace("I", "i").replace("Y", "y")
+
+
+# --------------------------------------------------------------------------- #
+# Portuguese (Snowball portuguese stemmer)
+# --------------------------------------------------------------------------- #
+
+_PT_VOWELS = frozenset("aeiouáéíóúâêô")
+_PT_DEACCENT = str.maketrans("áéíóúâêô", "aeiouaeo")
+
+# step 1 standard suffixes: (suffixes, action). ã/õ are kept as-is (single
+# codepoints — no a~/o~ re-encoding needed at the python level).
+_PT_STEP1: tuple[tuple[tuple[str, ...], str], ...] = (
+    (("amentos", "imentos", "amento", "imento", "adoras", "adores", "ações",
+      "ância", "antes", "adora", "ação", "ador", "ante", "ezas", "icos",
+      "icas", "ismos", "ável", "ível", "istas", "osos", "osas", "eza", "ico",
+      "ica", "ismo", "ista", "oso", "osa"), "del_r2"),
+    (("logias", "logia"), "log"),
+    (("uções", "ução"), "u"),
+    (("ências", "ência"), "ente"),
+    (("amente",), "amente"),
+    (("mente",), "mente"),
+    (("idades", "idade"), "idade"),
+    (("ivas", "ivos", "iva", "ivo"), "iv"),
+    (("iras", "ira"), "eira"),
+)
+
+# step 2 verb suffixes: the full regular -ar/-er/-ir paradigm (present,
+# imperfect, preterite, pluperfect, future, conditional, subjunctives,
+# personal infinitive, participles, gerund), longest match, delete if in RV.
+_PT_STEP2 = tuple(sorted({
+    # participles / gerund
+    "ado", "ada", "ados", "adas", "ido", "ida", "idos", "idas",
+    "ando", "endo", "indo",
+    # present indicative (-o is handled by step 5's residuals)
+    "amos", "ais", "am", "es", "emos", "eis", "em", "imos", "is", "as", "e",
+    # imperfect
+    "ava", "avas", "ávamos", "áveis", "avam", "ia", "ias", "íamos", "íeis",
+    "iam",
+    # preterite
+    "ei", "aste", "ou", "astes", "aram", "este", "eu", "estes", "eram",
+    "iste", "iu", "istes", "iram",
+    # pluperfect
+    "ara", "aras", "áramos", "áreis", "era", "eras", "éramos", "éreis",
+    "ira", "iras", "íramos", "íreis",
+    # future
+    "arei", "arás", "ará", "aremos", "areis", "arão",
+    "erei", "erás", "erá", "eremos", "ereis", "erão",
+    "irei", "irás", "irá", "iremos", "ireis", "irão",
+    # conditional
+    "aria", "arias", "aríamos", "aríeis", "ariam",
+    "eria", "erias", "eríamos", "eríeis", "eriam",
+    "iria", "irias", "iríamos", "iríeis", "iriam",
+    # imperfect subjunctive
+    "asse", "asses", "ássemos", "ásseis", "assem",
+    "esse", "esses", "êssemos", "ésseis", "essem",
+    "isse", "isses", "íssemos", "ísseis", "issem",
+    # future subjunctive / personal infinitive
+    "ar", "ares", "armos", "ardes", "arem",
+    "er", "eres", "ermos", "erdes", "erem",
+    "ir", "ires", "irmos", "irdes", "irem",
+} - {"e"}, key=len, reverse=True))
+# NOTE: bare "e"/"o"/"a" singles are step-5/4 residuals, not verb endings.
+
+
+def _pt_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _PT_VOWELS:
+        i = 2
+        while i < n and w[i] not in _PT_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in _PT_VOWELS and w[1] in _PT_VOWELS:
+        i = 2
+        while i < n and w[i] in _PT_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
+def _pt_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def next_region(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _PT_VOWELS:
+            i += 1
+        while i < n and w[i] in _PT_VOWELS:
+            i += 1
+        return min(i + 1, n) if i < n else n
+
+    r1 = next_region(0)
+    return r1, next_region(r1)
+
+
+def portuguese_stem(word: str) -> str:  # noqa: C901 - mirrors the published spec
+    w = word
+    rv = _pt_rv(w)
+    r1, r2 = _pt_regions(w)
+
+    def in_rv(pos: int) -> bool:
+        return pos >= rv
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    n0 = len(w)
+    # ---- step 1: standard suffix removal (longest match over all groups)
+    best: tuple[str, str] | None = None
+    for sufs, action in _PT_STEP1:
+        for suf in sufs:
+            if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+                best = (suf, action)
+    if best is not None:
+        suf, action = best
+        pos = len(w) - len(suf)
+        if action == "del_r2":
+            if in_r2(pos):
+                w = w[:pos]
+        elif action == "log":
+            if in_r2(pos):
+                w = w[:pos] + "log"
+        elif action == "u":
+            if in_r2(pos):
+                w = w[:pos] + "u"
+        elif action == "ente":
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+        elif action == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif (w.endswith("os") or w.endswith("ic") or w.endswith("ad")) \
+                        and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif action == "mente":
+            if in_r2(pos):
+                w = w[:pos]
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and in_r2(len(w) - 4):
+                        w = w[:-4]
+                        break
+        elif action == "idade":
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif (w.endswith("ic") or w.endswith("iv")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif action == "iv":
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif action == "eira":
+            # ira/iras -> ir if in RV and preceded by e ("bandeira")
+            if in_rv(pos) and pos > 0 and w[pos - 1] == "e":
+                w = w[:pos] + "ir"
+
+    # ---- step 2: verb suffixes (only if step 1 removed nothing)
+    step2_done = False
+    if len(w) == n0:
+        m2 = None
+        for suf in _PT_STEP2:
+            if w.endswith(suf):
+                m2 = suf
+                break  # list is sorted longest-first
+        if m2 is not None and in_rv(len(w) - len(m2)):
+            w = w[: -len(m2)]
+            step2_done = True
+
+    # ---- step 3: delete i if in RV and preceded by c (only if 1 or 2 changed)
+    if len(w) != n0 or step2_done:
+        if w.endswith("i") and in_rv(len(w) - 1) and len(w) >= 2 and w[-2] == "c":
+            w = w[:-1]
+    else:
+        # ---- step 4: residual suffix (only if steps 1 and 2 changed nothing)
+        m4 = None
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(suf) and (m4 is None or len(suf) > len(m4)):
+                m4 = suf
+        if m4 is not None and in_rv(len(w) - len(m4)):
+            w = w[: -len(m4)]
+
+    # ---- step 5: final e/é/ê in RV; gu/ci u/i removal; ç -> c
+    if w and w[-1] in "eéê" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if w.endswith("gu") and in_rv(len(w) - 1):
+            w = w[:-1]
+        elif w.endswith("ci") and in_rv(len(w) - 1):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.translate(_PT_DEACCENT)
