@@ -199,31 +199,42 @@ def bench_hybrid(deadline_s: float = 900.0) -> list[dict]:
 # --------------------------------------------------------------------------- #
 
 
-def _serve_ms_block(sfn, index, make_queries, d, sb=64, reps=3, blocks=9):
-    """Marginal serving-block wall: `blocks`-block vs 1-block lax.map (RTT
-    cancels). If the marginal falls below the relay noise floor (cheap
-    kernels), fall back to the amortized per-block wall of the multi-block
-    run — a conservative upper bound."""
+def _serve_ms_block(sfn, index, make_queries, d, sb=64, reps=3, b_small=4, b_big=36):
+    """Marginal serving-block wall: difference a `b_big`-block and a
+    `b_small`-block lax.map (the fixed dispatch+fetch RTT cancels exactly).
+
+    The span (b_big - b_small = 32 blocks) is sized so the SIGNAL dominates
+    relay jitter: the old 9-vs-1 design carried only ~8 blocks of signal
+    (~10 ms at serving shapes) against ~5 ms of jitter, which made the
+    per-block marginal flip by 2-4x between runs — the r5 sweep's
+    "environment-sensitive" fused-kernel numbers were partly THIS, not the
+    kernel. If the marginal still comes out non-positive (hard relay noise),
+    fall back to the amortized per-block wall — a conservative upper bound."""
     import jax
     import jax.numpy as jnp
 
-    p_one = [jnp.asarray(make_queries(sb, seed=100 + i)[None]) for i in range(reps)]
-    p_many = [
+    p_small = [
         jnp.asarray(np.stack(
-            [make_queries(sb, seed=200 + blocks * i + j) for j in range(blocks)]
+            [make_queries(sb, seed=100 + b_small * i + j) for j in range(b_small)]
+        ))
+        for i in range(reps)
+    ]
+    p_big = [
+        jnp.asarray(np.stack(
+            [make_queries(sb, seed=200 + b_big * i + j) for j in range(b_big)]
         ))
         for i in range(reps)
     ]
     fb = jax.jit(lambda ix, qb: jax.lax.map(lambda v: sfn(ix, v), qb))
-    np.asarray(fb(index, p_one[0])[0, 0, 0])
-    np.asarray(fb(index, p_many[0])[0, 0, 0])
+    np.asarray(fb(index, p_small[0])[0, 0, 0])
+    np.asarray(fb(index, p_big[0])[0, 0, 0])
     w1 = wn = float("inf")
     for i in range(reps):
-        t = time.time(); np.asarray(fb(index, p_one[i])[-1, -1]); w1 = min(w1, time.time() - t)
-        t = time.time(); np.asarray(fb(index, p_many[i])[-1, -1]); wn = min(wn, time.time() - t)
-    marginal = (wn - w1) / (blocks - 1) * 1000
-    amortized = wn / blocks * 1000
-    return marginal if marginal >= amortized / 4 else amortized
+        t = time.time(); np.asarray(fb(index, p_small[i])[-1, -1]); w1 = min(w1, time.time() - t)
+        t = time.time(); np.asarray(fb(index, p_big[i])[-1, -1]); wn = min(wn, time.time() - t)
+    marginal = (wn - w1) / (b_big - b_small) * 1000
+    amortized = wn / b_big * 1000
+    return marginal if marginal > 0 else amortized
 
 
 def bench_msmarco(n: int = 8_841_823, d: int = 768, n_eval: int = 64, k: int = 10) -> None:

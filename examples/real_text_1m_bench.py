@@ -169,14 +169,17 @@ def train_and_embed(passages, args, cache: pathlib.Path):
     return emb, q_emb, qrows, qtexts
 
 
-def serve_ms_block(sfn, index, q_src, d, sb=64, reps=4, blocks=17):
-    """Marginal B=64 serving-block wall: `blocks`-block vs 1-block lax.map.
+def serve_ms_block(sfn, index, q_src, d, sb=64, reps=4, b_small=4, b_big=68):
+    """Marginal B=64 serving-block wall: difference a `b_big`-block and a
+    `b_small`-block lax.map (the fixed relay RTT cancels exactly).
 
-    The marginal difference cancels per-dispatch relay overhead, but for very
-    cheap kernels (e.g. a 96-dim coarse scan at 1M) the marginal is below the
-    relay noise floor and the subtraction can go ~0 or negative. In that case
-    fall back to the amortized per-block wall of the multi-block run — a
-    conservative upper bound on the per-block cost."""
+    The 64-block span keeps the SIGNAL well above relay jitter even for very
+    cheap kernels (a ~0.5 ms/block 1M int8 scan = 32 ms of span signal vs
+    ~5 ms jitter). The old 17-vs-1 design carried only ~8 ms of signal there,
+    and its amortized-fallback heuristic flipped between modes run-to-run —
+    the r5 record shows the same line at 124.5k and 32.5k QPS in back-to-back
+    runs. If the marginal still comes out non-positive (hard relay noise),
+    fall back to the amortized per-block wall — a conservative upper bound."""
     import jax
     import jax.numpy as jnp
 
@@ -185,21 +188,24 @@ def serve_ms_block(sfn, index, q_src, d, sb=64, reps=4, blocks=17):
         q = q_src[i] + 1e-4 * np.random.default_rng(seed + 1).standard_normal((sb, d), dtype=np.float32)
         return q / np.linalg.norm(q, axis=-1, keepdims=True)
 
-    p_one = [jnp.asarray(mk(100 + i)[None]) for i in range(reps)]
-    p_many = [
-        jnp.asarray(np.stack([mk(200 + blocks * i + j) for j in range(blocks)]))
+    p_small = [
+        jnp.asarray(np.stack([mk(100 + b_small * i + j) for j in range(b_small)]))
+        for i in range(reps)
+    ]
+    p_big = [
+        jnp.asarray(np.stack([mk(200 + b_big * i + j) for j in range(b_big)]))
         for i in range(reps)
     ]
     fb = jax.jit(lambda ix, qb: jax.lax.map(lambda v: sfn(ix, v), qb))
-    np.asarray(fb(index, p_one[0])[0, 0, 0])  # warm both shapes
-    np.asarray(fb(index, p_many[0])[0, 0, 0])
+    np.asarray(fb(index, p_small[0])[0, 0, 0])  # warm both shapes
+    np.asarray(fb(index, p_big[0])[0, 0, 0])
     w1 = wn = float("inf")
     for i in range(reps):
-        t = time.time(); np.asarray(fb(index, p_one[i])[-1, -1]); w1 = min(w1, time.time() - t)
-        t = time.time(); np.asarray(fb(index, p_many[i])[-1, -1]); wn = min(wn, time.time() - t)
-    marginal = (wn - w1) / (blocks - 1) * 1000
-    amortized = wn / blocks * 1000
-    return marginal if marginal >= amortized / 4 else amortized
+        t = time.time(); np.asarray(fb(index, p_small[i])[-1, -1]); w1 = min(w1, time.time() - t)
+        t = time.time(); np.asarray(fb(index, p_big[i])[-1, -1]); wn = min(wn, time.time() - t)
+    marginal = (wn - w1) / (b_big - b_small) * 1000
+    amortized = wn / b_big * 1000
+    return marginal if marginal > 0 else amortized
 
 
 def main() -> None:
