@@ -125,8 +125,12 @@ def _qps(search_indices_fn, index, make_queries, *, small_q=256, big_blocks=8, b
 
     pools_s = [jnp.asarray(p) for p in pools_s]
     pools_b = [jnp.asarray(p) for p in pools_b]
-    np.asarray(sfn(index, pools_s[0])[0, 0])  # warm small shape
-    np.asarray(sfn_blocks(index, pools_b[0])[0, 0, 0])  # warm big shape
+    # dedicated warmup pools (seed 9xxx): timing the same arrays the warmup
+    # dispatched would let the relay's identical-dispatch dedup bias rep 0
+    wu_s = jnp.asarray(make_queries(small_q, seed=9000))
+    wu_b = jnp.asarray(np.stack([make_queries(block, seed=9100 + j) for j in range(big_blocks)]))
+    np.asarray(sfn(index, wu_s)[0, 0])  # warm small shape
+    np.asarray(sfn_blocks(index, wu_b)[0, 0, 0])  # warm big shape
     w1 = w2 = float("inf")
     for i in range(reps):
         t0 = time.time(); np.asarray(sfn(index, pools_s[i])[-1]); w1 = min(w1, time.time() - t0)
@@ -225,9 +229,14 @@ def _serve_ms_block(sfn, index, make_queries, d, sb=64, reps=3, b_small=4, b_big
         ))
         for i in range(reps)
     ]
+    # DEDICATED warmup pools (seed 9xxx): re-dispatching the same arrays in
+    # the timed loop would let the relay's identical-dispatch dedup serve
+    # rep 0 from cache and bias the min-over-reps low
+    wu_s = jnp.asarray(np.stack([make_queries(sb, seed=9000 + j) for j in range(b_small)]))
+    wu_b = jnp.asarray(np.stack([make_queries(sb, seed=9100 + j) for j in range(b_big)]))
     fb = jax.jit(lambda ix, qb: jax.lax.map(lambda v: sfn(ix, v), qb))
-    np.asarray(fb(index, p_small[0])[0, 0, 0])
-    np.asarray(fb(index, p_big[0])[0, 0, 0])
+    np.asarray(fb(index, wu_s)[0, 0, 0])
+    np.asarray(fb(index, wu_b)[0, 0, 0])
     w1 = wn = float("inf")
     for i in range(reps):
         t = time.time(); np.asarray(fb(index, p_small[i])[-1, -1]); w1 = min(w1, time.time() - t)

@@ -196,9 +196,14 @@ def serve_ms_block(sfn, index, q_src, d, sb=64, reps=4, b_small=4, b_big=68):
         jnp.asarray(np.stack([mk(200 + b_big * i + j) for j in range(b_big)]))
         for i in range(reps)
     ]
+    # DEDICATED warmup pools: re-dispatching the same arrays in the timed
+    # loop would let the relay's identical-dispatch dedup serve rep 0 from
+    # cache and bias the min-over-reps low
+    wu_s = jnp.asarray(np.stack([mk(9000 + j) for j in range(b_small)]))
+    wu_b = jnp.asarray(np.stack([mk(9100 + j) for j in range(b_big)]))
     fb = jax.jit(lambda ix, qb: jax.lax.map(lambda v: sfn(ix, v), qb))
-    np.asarray(fb(index, p_small[0])[0, 0, 0])  # warm both shapes
-    np.asarray(fb(index, p_big[0])[0, 0, 0])
+    np.asarray(fb(index, wu_s)[0, 0, 0])  # warm both shapes
+    np.asarray(fb(index, wu_b)[0, 0, 0])
     w1 = wn = float("inf")
     for i in range(reps):
         t = time.time(); np.asarray(fb(index, p_small[i])[-1, -1]); w1 = min(w1, time.time() - t)
