@@ -205,6 +205,21 @@ PORTUGUESE_CASES = [
     ("comendo", "com"), ("falou", "fal"), ("guloso", "gulos"),
     ("línguas", "lingu"),
 ]
+SWEDISH_CASES = [
+    ("jakten", "jakt"), ("jakt", "jakt"), ("klockorna", "klock"),
+    ("möjligheternas", "möjlighet"), ("vackraste", "vackr"),
+    ("flickorna", "flick"), ("betydelsen", "betyd"), ("enkelt", "enkelt"),
+]
+NORWEGIAN_CASES = [
+    ("huset", "hus"), ("husene", "hus"), ("viktigste", "viktigst"),
+    ("arbeidere", "arbeider"), ("muligheter", "mul"), ("vakkert", "vakker"),
+    ("forskjellige", "forskjel"),
+]
+DANISH_CASES = [
+    ("huset", "hus"), ("husene", "hus"), ("vigtigste", "vigt"),
+    ("arbejdere", "arbejd"), ("muligheder", "mulig"),
+    ("kærlighedens", "kær"), ("bestemmelse", "bestem"),
+]
 
 
 def test_snowball_canonical_cases() -> None:
@@ -221,6 +236,12 @@ def test_snowball_canonical_cases() -> None:
     bad += [(w, dutch_stem(w), s) for w, s in DUTCH_CASES if dutch_stem(w) != s]
     bad += [(w, portuguese_stem(w), s) for w, s in PORTUGUESE_CASES
             if portuguese_stem(w) != s]
+    from vod_tpu.native.snowball import danish_stem, norwegian_stem, swedish_stem
+
+    bad += [(w, swedish_stem(w), s) for w, s in SWEDISH_CASES if swedish_stem(w) != s]
+    bad += [(w, norwegian_stem(w), s) for w, s in NORWEGIAN_CASES
+            if norwegian_stem(w) != s]
+    bad += [(w, danish_stem(w), s) for w, s in DANISH_CASES if danish_stem(w) != s]
     assert not bad, bad
 
 
@@ -316,6 +337,25 @@ def test_snowball_native_matches_python() -> None:
         pt_words.append(str(rng.choice(pt_stems)) + str(rng.choice(pt_sufs)) + str(rng.choice(pt_sufs)))
     bad += [(w, native_stem(w, 8), portuguese_stem(w)) for w in pt_words
             if native_stem(w, 8) != portuguese_stem(w)]
+
+    from vod_tpu.native.snowball import danish_stem, norwegian_stem, swedish_stem
+
+    sc_stems = ["jakt", "klock", "hus", "möjlig", "vackr", "arbeid", "bestem",
+                "kærlig", "xy", "løs"]
+    sc_sufs = ["", "en", "et", "ene", "erna", "orna", "heterna", "heten",
+               "heter", "hetene", "heden", "hedens", "aste", "s", "es", "ig",
+               "lig", "elig", "els", "igst", "ert", "erte", "dt", "gt", "tt",
+               "nn", "löst", "løst", "fullt", "å", "ø", "æ"]
+    sc_words = ([w for w, _ in SWEDISH_CASES] + [w for w, _ in NORWEGIAN_CASES]
+                + [w for w, _ in DANISH_CASES])
+    for _ in range(400):
+        sc_words.append(str(rng.choice(sc_stems)) + str(rng.choice(sc_sufs)) + str(rng.choice(sc_sufs)))
+    bad += [(w, native_stem(w, 9), swedish_stem(w)) for w in sc_words
+            if native_stem(w, 9) != swedish_stem(w)]
+    bad += [(w, native_stem(w, 10), norwegian_stem(w)) for w in sc_words
+            if native_stem(w, 10) != norwegian_stem(w)]
+    bad += [(w, native_stem(w, 11), danish_stem(w)) for w in sc_words
+            if native_stem(w, 11) != danish_stem(w)]
     assert not bad, bad[:10]
 
 

@@ -199,7 +199,7 @@ class SparseFactoryConfig(StrictModel):
     # stem — `es_body.py:32`; pipeline order lowercase -> stop -> stem).
     # Applies at BOTH index and query time (analyze_texts(stem=...)). The
     # stemmer follows `language`: Porter for English (default), Snowball
-    # de/es/fr/ru/it/nl/pt (`native/snowball.py`); other languages pass through
+    # de/es/fr/ru/it/nl/pt/sv/no/da (`native/snowball.py`); others pass through
     # unstemmed with their stopword lists still applied (documented contract,
     # snowball.py docstring).
     stem: bool = False

@@ -1681,15 +1681,201 @@ void portuguese_stem(u32& w) {
   }
 }
 
+// -- Swedish / Norwegian / Danish (Snowball; mirror snowball.py) -------------
+
+// R1 with the Scandinavian min-3 adjustment
+template <typename VowelFn>
+inline int scan_r1(const u32& w, VowelFn vowel) {
+  const int n = static_cast<int>(w.size());
+  int i = 0;
+  while (i < n && !vowel(w[i])) ++i;
+  while (i < n && vowel(w[i])) ++i;
+  int r1 = i < n ? std::min(i + 1, n) : n;
+  if (r1 < 3) r1 = std::min(3, n);
+  return r1;
+}
+
+inline bool sv_vowel(char32_t c) {
+  return c == U'a' || c == U'e' || c == U'i' || c == U'o' || c == U'u' ||
+         c == U'y' || c == 0xE4 || c == 0xE5 || c == 0xF6;  // ä å ö
+}
+inline bool scan_vowel_no_da(char32_t c) {
+  return c == U'a' || c == U'e' || c == U'i' || c == U'o' || c == U'u' ||
+         c == U'y' || c == 0xE6 || c == 0xE5 || c == 0xF8;  // æ å ø
+}
+
+// longest-first lists (mirror the python tuples)
+static const char32_t* kSvStep1[] = {
+    U"heterna", U"hetens", U"arnas", U"ernas", U"ornas", U"anden", U"heten",
+    U"heter", U"andet", U"arens", U"andes", U"arna", U"erna", U"orna",
+    U"ande", U"arne", U"aste", U"aren", U"ades", U"erns", U"ade", U"are",
+    U"ern", U"ens", U"het", U"ast", U"ad", U"en", U"ar", U"er", U"or",
+    U"as", U"es", U"at", U"a", U"e"};
+static const char32_t* kNoStep1[] = {
+    U"hetenes", U"hetene", U"hetens", U"heten", U"heter", U"endes",
+    U"edes", U"enes", U"ande", U"ende", U"ane", U"ene", U"ede", U"ens",
+    U"ers", U"ets", U"het", U"ast", U"en", U"ar", U"er", U"as", U"es",
+    U"et", U"a", U"e"};
+static const char32_t* kDaStep1[] = {
+    U"erendes", U"erende", U"hedens", U"ethed", U"erede", U"heden",
+    U"heder", U"erens", U"endes", U"ernes", U"erets", U"ered", U"ende",
+    U"erne", U"eren", U"erer", U"heds", U"enes", U"eres", U"eret",
+    U"hed", U"ene", U"ere", U"ens", U"ers", U"ets", U"es", U"en", U"er",
+    U"et", U"e"};
+
+inline bool ends_pair(const u32& w, const char* pairs[], int n_pairs, int r1) {
+  if (w.size() < 2 || static_cast<int>(w.size()) - 2 < r1) return false;
+  const char32_t a = w[w.size() - 2], b = w[w.size() - 1];
+  for (int i = 0; i < n_pairs; ++i) {
+    if (a == static_cast<char32_t>(pairs[i][0]) &&
+        b == static_cast<char32_t>(pairs[i][1]))
+      return true;
+  }
+  return false;
+}
+
+void swedish_stem(u32& w) {
+  const int r1 = scan_r1(w, sv_vowel);
+  // step 1
+  const char32_t* m = nullptr;
+  for (const char32_t* suf : kSvStep1) {
+    if (u32_ends(w, suf)) { m = suf; break; }
+  }
+  if (m != nullptr) {
+    const int pos = static_cast<int>(w.size() - u32_len(m));
+    if (pos >= r1) w.resize(pos);
+  } else if (u32_ends(w, U"s") && static_cast<int>(w.size()) - 1 >= r1 &&
+             w.size() >= 2) {
+    const char32_t p = w[w.size() - 2];
+    static const char32_t kSEnd[] = U"bcdfghjklmnoprtvy";
+    for (const char32_t* c = kSEnd; *c; ++c) {
+      if (p == *c) { w.resize(w.size() - 1); break; }
+    }
+  }
+  // step 2
+  static const char* kPairs[] = {"dd", "gd", "nn", "dt", "gt", "kt", "tt"};
+  if (ends_pair(w, kPairs, 7, r1)) w.resize(w.size() - 1);
+  // step 3
+  bool done = false;
+  for (const char32_t* suf : {U"lig", U"els", U"ig"}) {
+    const size_t sl = u32_len(suf);
+    if (u32_ends(w, suf) && static_cast<int>(w.size() - sl) >= r1) {
+      w.resize(w.size() - sl);
+      done = true;
+      break;
+    }
+  }
+  if (!done) {
+    if (u32_ends(w, U"löst") && static_cast<int>(w.size()) - 4 >= r1)
+      w.resize(w.size() - 1);
+    else if (u32_ends(w, U"fullt") && static_cast<int>(w.size()) - 5 >= r1)
+      w.resize(w.size() - 1);
+  }
+}
+
+void norwegian_stem(u32& w) {
+  const int r1 = scan_r1(w, scan_vowel_no_da);
+  // step 1: longest among {list(del), erte/ert(->er), s(cond)}
+  const char32_t* best = nullptr;
+  int act = -1;  // 0=del 1=er 2=s
+  size_t bl = 0;
+  for (const char32_t* suf : kNoStep1) {
+    if (u32_ends(w, suf)) {
+      best = suf; act = 0; bl = u32_len(suf);
+      break;
+    }
+  }
+  for (const char32_t* suf : {U"erte", U"ert"}) {
+    const size_t sl = u32_len(suf);
+    if (sl >= bl && u32_ends(w, suf)) { best = suf; act = 1; bl = sl; break; }
+  }
+  if (bl == 0 && u32_ends(w, U"s")) { best = U"s"; act = 2; bl = 1; }
+  if (best != nullptr) {
+    const int pos = static_cast<int>(w.size() - bl);
+    if (act == 0) {
+      if (pos >= r1) w.resize(pos);
+    } else if (act == 1) {
+      if (pos >= r1) { w.resize(pos); w.append(U"er"); }
+    } else if (pos >= r1 && w.size() >= 2) {
+      const char32_t p = w[w.size() - 2];
+      static const char32_t kSEnd[] = U"bcdfghjlmnoprtvyz";
+      bool ok = false;
+      for (const char32_t* c = kSEnd; *c; ++c)
+        if (p == *c) { ok = true; break; }
+      if (!ok && p == U'k' &&
+          (w.size() < 3 || !scan_vowel_no_da(w[w.size() - 3])))
+        ok = true;
+      if (ok) w.resize(w.size() - 1);
+    }
+  }
+  // step 2
+  static const char* kPairs[] = {"dt", "vt"};
+  if (ends_pair(w, kPairs, 2, r1)) w.resize(w.size() - 1);
+  // step 3
+  for (const char32_t* suf : {U"hetslov", U"slov", U"elov", U"elig", U"eleg",
+                              U"lov", U"lig", U"eig", U"leg", U"els", U"ig"}) {
+    const size_t sl = u32_len(suf);
+    if (u32_ends(w, suf) && static_cast<int>(w.size() - sl) >= r1) {
+      w.resize(w.size() - sl);
+      break;
+    }
+  }
+}
+
+void danish_stem(u32& w) {
+  const int r1 = scan_r1(w, scan_vowel_no_da);
+  static const char* kPairs[] = {"gd", "dt", "gt", "kt"};
+  auto step2 = [&]() {
+    if (ends_pair(w, kPairs, 4, r1)) w.resize(w.size() - 1);
+  };
+  // step 1
+  const char32_t* m = nullptr;
+  for (const char32_t* suf : kDaStep1) {
+    if (u32_ends(w, suf)) { m = suf; break; }
+  }
+  if (m != nullptr) {
+    const int pos = static_cast<int>(w.size() - u32_len(m));
+    if (pos >= r1) w.resize(pos);
+  } else if (u32_ends(w, U"s") && static_cast<int>(w.size()) - 1 >= r1 &&
+             w.size() >= 2) {
+    const char32_t p = w[w.size() - 2];
+    static const char32_t kSEnd[] = U"abcdfghjklmnoprtvyzå";
+    for (const char32_t* c = kSEnd; *c; ++c) {
+      if (p == *c) { w.resize(w.size() - 1); break; }
+    }
+  }
+  // step 2
+  step2();
+  // step 3
+  if (u32_ends(w, U"igst") && static_cast<int>(w.size()) - 2 >= r1)
+    w.resize(w.size() - 2);
+  const char32_t* m3 = nullptr;
+  for (const char32_t* suf : {U"elig", U"lig", U"els", U"ig"}) {
+    if (u32_ends(w, suf)) { m3 = suf; break; }
+  }
+  if (m3 != nullptr &&
+      static_cast<int>(w.size() - u32_len(m3)) >= r1) {
+    w.resize(w.size() - u32_len(m3));
+    step2();
+  } else if (u32_ends(w, U"løst") && static_cast<int>(w.size()) - 4 >= r1) {
+    w.resize(w.size() - 1);
+  }
+  // step 4: undouble (last letter in R1)
+  if (w.size() >= 2 && w[w.size() - 1] == w[w.size() - 2] &&
+      !scan_vowel_no_da(w[w.size() - 1]) &&
+      static_cast<int>(w.size()) - 1 >= r1)
+    w.resize(w.size() - 1);
+}
+
 // lang codes (mirror snowball.py STEMMED_LANGUAGES):
 // 0=none 1=english 2=german 3=spanish 4=french 5=russian 6=italian 7=dutch
-// 8=portuguese
+// 8=portuguese 9=swedish 10=norwegian 11=danish
 inline void stem_token_lang(std::string& token, int lang) {
   if (lang == 1) {
     if (is_ascii(token)) porter_stem(token);
     return;
   }
-  if (lang >= 2 && lang <= 8) {
+  if (lang >= 2 && lang <= 11) {
     u32 w = utf8_decode(token);
     if (lang == 2) german_stem(w);
     else if (lang == 3) spanish_stem(w);
@@ -1697,7 +1883,10 @@ inline void stem_token_lang(std::string& token, int lang) {
     else if (lang == 5) russian_stem(w);
     else if (lang == 6) italian_stem(w);
     else if (lang == 7) dutch_stem(w);
-    else portuguese_stem(w);
+    else if (lang == 8) portuguese_stem(w);
+    else if (lang == 9) swedish_stem(w);
+    else if (lang == 10) norwegian_stem(w);
+    else danish_stem(w);
     utf8_encode(w, token);
   }
 }

@@ -37,7 +37,7 @@ _TOKEN_RE = re.compile(r"[0-9a-z\u0080-\U0010FFFF]+")
 # inverse of snowball.STEMMED_LANGUAGES (lang code -> name), for _py_analyze
 _LANG_BY_CODE = {
     1: "english", 2: "german", 3: "spanish", 4: "french", 5: "russian", 6: "italian",
-    7: "dutch", 8: "portuguese",
+    7: "dutch", 8: "portuguese", 9: "swedish", 10: "norwegian", 11: "danish",
 }
 
 
@@ -158,7 +158,7 @@ def analyze_texts(
     stopword list — filtered IN the analyzer, before stemming (the ES pipeline
     order lowercase -> stop -> stem, `es_body.py:32,101`); English is always
     filtered in-kernel. `stem=True` applies the language's stemmer: Porter for
-    English (the round-4 default), Snowball de/es/fr/ru/it/nl/pt (round 5,
+    English (the round-4 default), Snowball de/es/fr/ru/it/nl/pt/sv/no/da (r5,
     `snowball.py`); other languages pass through unstemmed (documented
     contract — BM25 stays exact-surface for them).
     """

@@ -21,12 +21,13 @@ from __future__ import annotations
 
 __all__ = [
     "german_stem", "spanish_stem", "french_stem", "russian_stem", "italian_stem",
-    "dutch_stem", "portuguese_stem", "snowball_stem", "STEMMED_LANGUAGES",
+    "dutch_stem", "portuguese_stem", "swedish_stem", "norwegian_stem",
+    "danish_stem", "snowball_stem", "STEMMED_LANGUAGES",
 ]
 
 STEMMED_LANGUAGES = {
     "english": 1, "german": 2, "spanish": 3, "french": 4, "russian": 5, "italian": 6,
-    "dutch": 7, "portuguese": 8,
+    "dutch": 7, "portuguese": 8, "swedish": 9, "norwegian": 10, "danish": 11,
 }
 
 
@@ -51,6 +52,12 @@ def snowball_stem(token: str, language: str) -> str:
         return dutch_stem(token)
     if language == "portuguese":
         return portuguese_stem(token)
+    if language == "swedish":
+        return swedish_stem(token)
+    if language == "norwegian":
+        return norwegian_stem(token)
+    if language == "danish":
+        return danish_stem(token)
     return token
 
 
@@ -1308,3 +1315,159 @@ def portuguese_stem(word: str) -> str:  # noqa: C901 - mirrors the published spe
         w = w[:-1] + "c"
 
     return w.translate(_PT_DEACCENT)
+
+
+# --------------------------------------------------------------------------- #
+# Swedish / Norwegian / Danish (Snowball Scandinavian stemmers)
+# --------------------------------------------------------------------------- #
+
+def _scan_r1(w: str, vowels: frozenset) -> int:
+    """R1 with the Scandinavian min-3 adjustment."""
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in vowels:
+        i += 1
+    while i < n and w[i] in vowels:
+        i += 1
+    r1 = min(i + 1, n) if i < n else n
+    return min(3, n) if r1 < 3 else r1
+
+
+_SV_VOWELS = frozenset("aeiouyäåö")
+_SV_STEP1 = tuple(sorted((
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande", "arne",
+    "are", "aste", "en", "anden", "aren", "heten", "ern", "ar", "er", "heter",
+    "or", "as", "arnas", "ernas", "ornas", "es", "ades", "andes", "ens",
+    "arens", "hetens", "erns", "at", "andet", "het", "ast",
+), key=len, reverse=True))
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+
+
+def swedish_stem(word: str) -> str:
+    w = word
+    r1 = _scan_r1(w, _SV_VOWELS)
+
+    # step 1: ONE among over the a-list + the s-rule (longest match wins; a
+    # failed condition removes nothing — no fallback to shorter entries)
+    m = next((suf for suf in _SV_STEP1 if w.endswith(suf)), None)
+    if m is not None:
+        if len(w) - len(m) >= r1:
+            w = w[: -len(m)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 and w[-2] in _SV_S_END:
+        w = w[:-1]
+
+    # step 2: dd gd nn dt gt kt tt (the pair in R1) -> remove last letter
+    if w[-2:] in ("dd", "gd", "nn", "dt", "gt", "kt", "tt") and len(w) - 2 >= r1:
+        w = w[:-1]
+
+    # step 3 (in R1): lig ig els delete; löst -> lös; fullt -> full
+    for suf in ("lig", "els", "ig"):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("löst") and len(w) - 4 >= r1:
+            w = w[:-1]
+        elif w.endswith("fullt") and len(w) - 5 >= r1:
+            w = w[:-1]
+    return w
+
+
+_NO_VOWELS = frozenset("aeiouyæåø")
+_NO_STEP1 = tuple(sorted((
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en", "heten",
+    "ar", "er", "heter", "as", "es", "edes", "endes", "enes", "hetenes",
+    "ens", "hetens", "ers", "ets", "et", "het", "ast",
+), key=len, reverse=True))
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")
+
+
+def norwegian_stem(word: str) -> str:
+    w = word
+    r1 = _scan_r1(w, _NO_VOWELS)
+
+    # step 1: ONE among over {a-list, erte/ert -> er, s-rule}; longest wins
+    cands: list[tuple[str, str]] = []
+    m = next((suf for suf in _NO_STEP1 if w.endswith(suf)), None)
+    if m is not None:
+        cands.append((m, "del"))
+    for suf in ("erte", "ert"):
+        if w.endswith(suf):
+            cands.append((suf, "er"))
+            break
+    if w.endswith("s"):
+        cands.append(("s", "s"))
+    if cands:
+        suf, act = max(cands, key=lambda c: len(c[0]))
+        pos = len(w) - len(suf)
+        if act == "del":
+            if pos >= r1:
+                w = w[:pos]
+        elif act == "er":
+            if pos >= r1:
+                w = w[:pos] + "er"
+        elif pos >= r1 and len(w) >= 2 and (
+            w[-2] in _NO_S_END
+            or (w[-2] == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS))
+        ):
+            w = w[:-1]
+
+    # step 2: dt vt (the pair in R1) -> remove t
+    if w[-2:] in ("dt", "vt") and len(w) - 2 >= r1:
+        w = w[:-1]
+
+    # step 3 (in R1): longest among, delete
+    for suf in ("hetslov", "slov", "elov", "elig", "eleg", "lov", "lig",
+                "eig", "leg", "els", "ig"):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: -len(suf)]
+            break
+    return w
+
+
+_DA_VOWELS = frozenset("aeiouyæåø")
+_DA_STEP1 = tuple(sorted((
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene", "erne",
+    "ere", "en", "heden", "eren", "er", "heder", "erer", "heds", "es",
+    "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens", "erens",
+    "ers", "ets", "erets", "et", "eret",
+), key=len, reverse=True))
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+
+
+def danish_stem(word: str) -> str:
+    w = word
+    r1 = _scan_r1(w, _DA_VOWELS)
+
+    def step2(w: str) -> str:
+        if w[-2:] in ("gd", "dt", "gt", "kt") and len(w) - 2 >= r1:
+            return w[:-1]
+        return w
+
+    # step 1: ONE among (a-list or the s-rule); longest wins, no fallback
+    m = next((suf for suf in _DA_STEP1 if w.endswith(suf)), None)
+    if m is not None:
+        if len(w) - len(m) >= r1:
+            w = w[: -len(m)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 and w[-2] in _DA_S_END:
+        w = w[:-1]
+
+    # step 2
+    w = step2(w)
+
+    # step 3: igst -> remove st; then ig/lig/elig/els delete (+ repeat step2);
+    # løst -> løs
+    if w.endswith("igst") and len(w) - 2 >= r1:
+        w = w[:-2]
+    m3 = next((suf for suf in ("elig", "lig", "els", "ig") if w.endswith(suf)), None)
+    if m3 is not None and len(w) - len(m3) >= r1:
+        w = w[: -len(m3)]
+        w = step2(w)
+    elif w.endswith("løst") and len(w) - 4 >= r1:
+        w = w[:-1]
+
+    # step 4: undouble a final double consonant (last letter in R1)
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
+            and len(w) - 1 >= r1:
+        w = w[:-1]
+    return w
