@@ -837,7 +837,11 @@ def _est_cost_s(name: str) -> float:
     return {
         "flat": 160.0 if pathlib.Path(_CORPUS_CACHE).exists() else 260.0,
         "msmarco": 300.0,  # 67 s fully warm, 366-471 s with cold index builds
-        "realm": 470.0,
+        # 71 s fully warm / 457 s cold-compile. Deliberately optimistic: realm
+        # runs LAST, it emits a provisional ms/step line before the reindex
+        # stage, and a deadline kill salvages it — launching into a tight
+        # remainder beats skipping (r5 rehearsal 4 skipped realm by 13 s).
+        "realm": 200.0,
         "realtext": 650.0 if warm_realtext else 980.0,
         "hybrid": 40.0,
     }.get(name, 300.0)
