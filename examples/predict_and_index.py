@@ -12,7 +12,15 @@ import sys, pathlib, tempfile
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
+import os
+
 import jax
+
+# honor an explicit JAX_PLATFORMS=cpu request: the axon TPU plugin's
+# sitecustomize overrides jax_platforms to "axon,cpu", so the env var alone
+# blocks forever on the relay when the chip is busy/down (round-3 finding)
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

@@ -6,10 +6,19 @@ live retrieval, re-embedding + rebuilding the index between periods.
 Run: python examples/train_periodic.py
 """
 
+import os
 import sys, pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tests"))
+
+import jax
+
+# honor an explicit JAX_PLATFORMS=cpu request: the axon TPU plugin's
+# sitecustomize overrides jax_platforms to "axon,cpu", so the env var alone
+# blocks forever on the relay when the chip is busy/down (round-3 finding)
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 from helpers import tiny_tokenizer
 
