@@ -1,7 +1,10 @@
 # Parity: reference Makefile (`make test` runs pytest in CI).
 .PHONY: test test-all test-fast bench dryrun examples lint
 
-# default: the <5-min path (compile-heavy mesh/e2e tests carry @pytest.mark.slow)
+# default CI gate. Walls on a 1-core box: ~4 min with a warm persistent
+# compile cache (/tmp/jaxcache-tests, seeded by the first run), ~15 min cold.
+# Compile-heavy mesh/e2e tests carry @pytest.mark.slow (run via test-all,
+# ~17 min warm all-in).
 test:
 	python -m pytest tests/ -q -m "not slow"
 
